@@ -1,38 +1,124 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (BM25 exact top-k over the
+sf0.001 documents table). ``queries()`` maps operator names from
+SURVEY.md §2 to (spark, sf_dir) callables; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for each (generated from the same constants the
+Spark pipelines use, see bm25spark/oracle.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
+FLAGSHIP_QUERY = "spark merge window"
+FLAGSHIP_K = 10
+
+_QUERY_SETS = {
+    "q_multi": (["merge", "spark", "window"], 10),
+    "q_single_hot": (["the"], 10),
+    "q_single_rare": (["vector"], 10),
+    "q_with_missing": (["merge", "zzzmissingterm"], 10),
+    "q_k100": (["data", "table", "query"], 100),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from bm25spark.query import exact_topk
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    return exact_topk(spark, docs, "text", "doc_id", FLAGSHIP_QUERY, FLAGSHIP_K)
+
+
+def _exact_q(tokens: list[str], k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bm25spark.query import exact_topk
+
+        return exact_topk(
+            spark, _docs(spark, sf_dir), "text", "doc_id", " ".join(tokens), k
+        )
+
+    return run
+
+
+def _wand_q(tokens: list[str], k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bm25spark.api import wand_topk_df
+
+        return wand_topk_df(
+            spark, _docs(spark, sf_dir), "text", "doc_id", " ".join(tokens), k
+        )
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from bm25spark import stats
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    try:
+        import bm25spark.api  # noqa: F401
+
+        have_wand = True
+    except ImportError:
+        have_wand = False
+
+    for name, (tokens, k) in _QUERY_SETS.items():
+        out[f"bm25_exact_{name}"] = _exact_q(tokens, k)
+        if have_wand:
+            out[f"bm25_wand_{name}"] = _wand_q(tokens, k)
+
+    out["corpus_stats"] = lambda spark, sf: stats.corpus_stats(spark, _docs(spark, sf))
+    out["term_df_top50"] = lambda spark, sf: stats.term_df(spark, _docs(spark, sf), 50)
+    out["doc_fieldnorms"] = lambda spark, sf: stats.doc_fieldnorms(
+        spark, _docs(spark, sf)
+    )
+
+    try:
+        from bm25spark.datapipe import registry as dp_registry
+
+        out.update(dp_registry())
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from bm25spark import oracle
+
+    out: dict[str, str] = {}
+    try:
+        import bm25spark.api  # noqa: F401
+
+        have_wand = True
+    except ImportError:
+        have_wand = False
+
+    for name, (tokens, k) in _QUERY_SETS.items():
+        sql = oracle.bm25_topk_sql(tokens, k)
+        out[f"bm25_exact_{name}"] = sql
+        if have_wand:
+            out[f"bm25_wand_{name}"] = sql
+
+    out["corpus_stats"] = oracle.corpus_stats_sql()
+    out["term_df_top50"] = oracle.term_df_sql(50)
+    out["doc_fieldnorms"] = oracle.doc_fieldnorm_sql()
+
+    try:
+        from bm25spark.datapipe import oracle_registry as dp_oracles
+
+        out.update(dp_oracles())
+    except ImportError:
+        pass
+    return out

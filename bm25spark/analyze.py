@@ -1,0 +1,164 @@
+"""Analyzers (text -> token multiset) and term-key interning.
+
+The reference keeps tokenization *outside* the index (pg_tokenizer /
+`to_tsvector`; see /root/reference/src/datatype/tsvector.rs:84-94 and
+README.md:126-139), so analyzers here are our own, pluggable via
+``Bm25Config.analyzer``:
+
+- ``simple``  — lowercase + split on non-[a-z0-9] runs. Deliberately
+  expressible in ANSI SQL (``regexp_split``) so every Spark pipeline
+  built on it has a DuckDB oracle.
+- ``code``    — source-code aware: NFKD, camelCase / snake_case /
+  digit-boundary splitting, emits both the identifier and its parts.
+- ``english`` — PostgreSQL-``to_tsvector('english', …)``-alike:
+  lowercase, hyphen-compound handling (emit whole word and parts),
+  Snowball stopword list, Porter2 stemming. Used to reproduce the
+  reference's sqllogictest golden orderings.
+
+``intern`` maps a token to a fixed 16-byte key exactly like the
+reference (/root/reference/crates/bm25/src/vector.rs:19-35): strings
+shorter than 16 bytes containing no NUL are stored raw, zero-padded;
+longer ones are hashed with a 32-byte-keyed hash, last byte forced
+nonzero. Deviation: the reference uses keyed blake3; this container
+has no blake3, so we use ``hashlib.blake2b(key=seed, digest_size=16)``.
+Interning is a pure consistent token->key map used identically at
+build and query time, so this cannot affect rank-identity; the raw
+fast path (the overwhelming majority of real tokens) is byte-identical
+to the reference.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import unicodedata
+from collections import Counter
+from collections.abc import Callable, Iterable
+
+from .config import KEY_WIDTH
+from .porter2 import stem
+
+# PostgreSQL's english.stop (= the Snowball English stopword list).
+SNOWBALL_STOPWORDS = frozenset(
+    """i me my myself we our ours ourselves you your yours yourself
+    yourselves he him his himself she her hers herself it its itself
+    they them their theirs themselves what which who whom this that
+    these those am is are was were be been being have has had having
+    do does did doing a an the and but if or because as until while
+    of at by for with about against between into through during
+    before after above below to from up down in out on off over
+    under again further then once here there when where why how all
+    any both each few more most other some such no nor not only own
+    same so than too very s t can will just don should now""".split()
+)
+
+_SIMPLE_RE = re.compile(r"[a-z0-9]+")
+_WORD_RE = re.compile(r"[a-z0-9]+(?:-[a-z0-9]+)*")
+_CAMEL_RE = re.compile(
+    r"[A-Z]+(?![a-z])|[A-Z][a-z]+|[a-z]+|[0-9]+"
+)
+_IDENT_RE = re.compile(r"[A-Za-z0-9_]+")
+
+
+def tokenize_simple(text: str) -> list[str]:
+    """lowercase + split on non-alphanumeric runs (SQL-replicable)."""
+    return _SIMPLE_RE.findall(text.lower())
+
+
+def tokenize_code(text: str) -> list[str]:
+    """Code-aware analyzer: identifiers split on ``_``, camelCase and
+    digit boundaries; emits the lowercased parts."""
+    text = unicodedata.normalize("NFKD", text)
+    out: list[str] = []
+    for ident in _IDENT_RE.findall(text):
+        for piece in ident.split("_"):
+            if not piece:
+                continue
+            parts = _CAMEL_RE.findall(piece)
+            if len(parts) > 1:
+                out.extend(p.lower() for p in parts)
+            elif parts:
+                out.append(parts[0].lower())
+    return out
+
+
+def tokenize_english(text: str) -> list[str]:
+    """PostgreSQL ``to_tsvector('english', …)``-alike.
+
+    Hyphenated compounds emit the whole word plus each part (PG's
+    hword/hword_part behaviour); stopword parts are dropped; surviving
+    tokens are Porter2-stemmed.
+    """
+    out: list[str] = []
+    for w in _WORD_RE.findall(text.lower()):
+        if "-" in w:
+            if w not in SNOWBALL_STOPWORDS:
+                out.append(stem(w))
+            for part in w.split("-"):
+                if part and part not in SNOWBALL_STOPWORDS:
+                    out.append(stem(part))
+        elif w not in SNOWBALL_STOPWORDS:
+            out.append(stem(w))
+    return out
+
+
+ANALYZERS: dict[str, Callable[[str], list[str]]] = {
+    "simple": tokenize_simple,
+    "code": tokenize_code,
+    "english": tokenize_english,
+}
+
+
+def get_analyzer(name: str) -> Callable[[str], list[str]]:
+    try:
+        return ANALYZERS[name]
+    except KeyError:
+        raise ValueError(f"unknown analyzer {name!r}; have {sorted(ANALYZERS)}")
+
+
+def intern(seed: bytes, token: bytes) -> bytes:
+    """Token bytes -> 16-byte term key (reference vector.rs:19-35)."""
+    if len(token) < KEY_WIDTH and b"\x00" not in token:
+        return token.ljust(KEY_WIDTH, b"\x00")
+    digest = bytearray(
+        hashlib.blake2b(token, key=seed, digest_size=KEY_WIDTH).digest()
+    )
+    if digest[-1] == 0:
+        digest[-1] = 1
+    return bytes(digest)
+
+
+def intern_str(seed: bytes, token: str) -> bytes:
+    return intern(seed, token.encode("utf-8"))
+
+
+def analyze_document(
+    text: str, analyzer: Callable[[str], list[str]], seed: bytes
+) -> tuple[list[tuple[bytes, int]], int]:
+    """Text -> (sorted [(term_key, tf)], doc_length).
+
+    Duplicate lexemes are merged with a saturating-add sum and the
+    document length is the sum of tfs, matching
+    /root/reference/src/datatype/tsvector.rs:107-127 and
+    crates/bm25/src/vector.rs:76-83 (u32 saturation is unreachable at
+    sane document sizes but applied for parity).
+    """
+    counts = Counter(analyzer(text))
+    items = sorted(
+        (intern_str(seed, tok), min(c, 0xFFFFFFFF)) for tok, c in counts.items()
+    )
+    length = min(sum(c for _, c in items), 0xFFFFFFFF)
+    return items, length
+
+
+def analyze_query(
+    text: str, analyzer: Callable[[str], list[str]], seed: bytes
+) -> list[bytes]:
+    """Text -> sorted, deduped term keys (reference vector.rs:96-134;
+    dedup at src/datatype/tsvector.rs:96-105 — query frequencies are
+    discarded)."""
+    return sorted({intern_str(seed, tok) for tok in analyzer(text)})
+
+
+def term_keys(seed: bytes, tokens: Iterable[str]) -> list[bytes]:
+    return [intern_str(seed, t) for t in tokens]

@@ -1,0 +1,120 @@
+"""ANSI-SQL (DuckDB-runnable) oracle generators.
+
+Each generator mirrors one Spark pipeline token-for-token: same
+``simple`` analyzer (lower + split on non-[a-z0-9] runs), same
+quantization table, same BM25 constants — so the driver's side-by-side
+value-hash comparison is exact. Scores are rounded to 4 decimals on
+both sides and both sides order by (rounded score desc, doc_id asc) to
+make float-ulp differences between engines unobservable.
+"""
+
+from __future__ import annotations
+
+from .fieldnorm import FIELDNORM_TO_LENGTH
+
+
+def fieldnorm_values_sql() -> str:
+    """256-row VALUES list (lo, hi, qdl) of half-open quantization
+    ranges, identical to bm25spark.query._FN_RANGES."""
+    hi = list(FIELDNORM_TO_LENGTH[1:]) + [1 << 62]
+    return ",".join(
+        f"({int(lo)},{int(h)},{int(lo)})" for lo, h in zip(FIELDNORM_TO_LENGTH, hi)
+    )
+
+
+def _tok_cte(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+tok AS (
+  SELECT {id_col} AS doc_id,
+         unnest(string_split_regex(lower({text_col}), '[^a-z0-9]+')) AS token
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf
+  FROM tok WHERE token <> '' GROUP BY 1, 2
+),
+dl AS (
+  SELECT d.{id_col} AS doc_id, coalesce(sum(tf.tf), 0)::BIGINT AS doc_len
+  FROM {table} d LEFT JOIN tf ON d.{id_col} = tf.doc_id
+  WHERE d.{text_col} IS NOT NULL GROUP BY 1
+)"""
+
+
+def bm25_topk_sql(
+    query_tokens: list[str],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    qvals = ",".join("('" + t.replace("'", "''") + "')" for t in sorted(set(query_tokens)))
+    return f"""
+WITH {_tok_cte(table, id_col, text_col)},
+fn(lo, hi, qdl) AS (VALUES {fieldnorm_values_sql()}),
+qdl AS (
+  SELECT dl.doc_id, fn.qdl FROM dl
+  JOIN fn ON dl.doc_len >= fn.lo AND dl.doc_len < fn.hi
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(doc_len)::DOUBLE / count(*) AS avgdl FROM dl
+),
+q(token) AS (VALUES {qvals}),
+dfs AS (
+  SELECT token, count(*)::BIGINT AS df FROM tf
+  WHERE token IN (SELECT token FROM q) GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((s.n + 1.0) / (dfs.df + 0.5))
+             * (tf.tf * ({k1} + 1.0))
+               / (tf.tf + {k1} * (1.0 - {b} + {b} * qdl.qdl / s.avgdl))) AS raw
+  FROM tf
+  JOIN dfs USING (token)
+  JOIN qdl ON tf.doc_id = qdl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT doc_id::BIGINT AS doc_id, round(raw, 4) AS score
+FROM scored WHERE raw > 0
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def corpus_stats_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    return f"""
+WITH {_tok_cte(table, id_col, text_col)}
+SELECT count(*)::BIGINT AS n_docs,
+       sum(doc_len)::BIGINT AS sum_dl,
+       round(sum(doc_len)::DOUBLE / count(*), 4) AS avgdl
+FROM dl
+"""
+
+
+def term_df_sql(
+    limit: int = 50,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    return f"""
+WITH {_tok_cte(table, id_col, text_col)}
+SELECT token, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf GROUP BY 1
+ORDER BY df DESC, token ASC LIMIT {limit}
+"""
+
+
+def doc_fieldnorm_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    return f"""
+WITH {_tok_cte(table, id_col, text_col)},
+fn(lo, hi, qdl) AS (VALUES {fieldnorm_values_sql()})
+SELECT dl.doc_id::BIGINT AS doc_id, dl.doc_len AS doc_len, fn.qdl AS qdl
+FROM dl JOIN fn ON dl.doc_len >= fn.lo AND dl.doc_len < fn.hi
+ORDER BY doc_id
+"""

@@ -1,0 +1,193 @@
+"""Unit tests for the pure-NumPy core: fieldnorm table, intern,
+packing roundtrips, scoring goldens. Mirrors the reference's unit
+layer (SURVEY.md §5): score roundtrips + simd compress/decompress
+property tests."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bm25spark import packing as P
+from bm25spark.analyze import (
+    analyze_document,
+    analyze_query,
+    intern,
+    tokenize_code,
+    tokenize_english,
+    tokenize_simple,
+)
+from bm25spark.config import Bm25Config, derive_seed
+from bm25spark.fieldnorm import (
+    FIELDNORM_TO_LENGTH,
+    fieldnorm_to_length,
+    length_to_fieldnorm,
+)
+from bm25spark.scoring import Cache, idf, tf_score, wand_max
+
+
+class TestFieldnorm:
+    def test_golden_values(self):
+        # hand-copied from /root/reference/crates/bm25/src/bm25.rs:15-283
+        golden = {0: 0, 40: 40, 41: 42, 48: 56, 49: 60, 56: 88, 57: 96,
+                  64: 152, 65: 168, 128: 32792, 255: 2013265944}
+        for i, v in golden.items():
+            assert FIELDNORM_TO_LENGTH[i] == v
+
+    def test_full_table_matches_reference_source(self):
+        src = open("/root/reference/crates/bm25/src/bm25.rs").read()
+        body = src[src.index("["): src.index("];")]
+        vals = [int(x.replace("_", "")) for x in re.findall(r"(\d[\d_]*),", body)]
+        assert len(vals) == 256
+        assert (np.array(vals) == FIELDNORM_TO_LENGTH).all()
+
+    def test_round_down(self):
+        assert length_to_fieldnorm(41) == 40  # rounds down to 40
+        assert length_to_fieldnorm(42) == 41
+        assert length_to_fieldnorm(43) == 41
+        assert fieldnorm_to_length(length_to_fieldnorm(100)) <= 100
+
+    @given(st.integers(min_value=0, max_value=2**31))
+    def test_roundtrip_property(self, n):
+        fn = int(length_to_fieldnorm(n))
+        lo = int(fieldnorm_to_length(fn))
+        assert lo <= n
+        if fn < 255:
+            assert n < int(fieldnorm_to_length(fn + 1))
+
+
+class TestIntern:
+    SEED = derive_seed("test-index")
+
+    def test_short_raw_zero_padded(self):
+        # byte-identical to reference vector.rs:21-24
+        assert intern(self.SEED, b"spark") == b"spark" + b"\x00" * 11
+        assert intern(self.SEED, b"a" * 15) == b"a" * 15 + b"\x00"
+
+    def test_long_hashed_16_bytes_nonzero_tail(self):
+        key = intern(self.SEED, b"a" * 16)
+        assert len(key) == 16 and key[-1] != 0
+        assert key != intern(derive_seed("other"), b"a" * 16)
+
+    def test_nul_forces_hash_path(self):
+        key = intern(self.SEED, b"a\x00b")
+        assert len(key) == 16 and key != b"a\x00b".ljust(16, b"\x00")
+
+    def test_deterministic(self):
+        assert intern(self.SEED, b"x" * 40) == intern(self.SEED, b"x" * 40)
+
+
+class TestPacking:
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=128),
+        st.integers(min_value=0, max_value=2**31),
+        st.randoms(use_true_random=False),
+    )
+    def test_doc_id_roundtrip(self, n, base, rnd):
+        gaps = np.array([rnd.randint(0, 2**20) for _ in range(n)], dtype=np.uint64)
+        ids = (np.cumsum(gaps + 1) + base).astype(np.uint32)
+        m, d = P.compress_document_ids(int(ids.min()), ids)
+        out = P.decompress_document_ids(int(ids.min()), m, d)[: len(ids)]
+        assert (out == ids).all()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=128),
+        st.randoms(use_true_random=False),
+    )
+    def test_tf_roundtrip(self, n, rnd):
+        tfs = np.array(
+            [rnd.randint(1, 2 ** rnd.randint(1, 31)) for _ in range(n)],
+            dtype=np.uint32,
+        )
+        m, d = P.compress_term_frequencies(tfs)
+        out = P.decompress_term_frequencies(m, d)[: len(tfs)]
+        assert (out == tfs).all()
+
+    def test_size_parity_with_reference_formula(self):
+        # full block, bitwidth w -> 128*w/8 bytes; metadata (0<<7)|w
+        ids = np.arange(128, dtype=np.uint32) * 5 + 7
+        m, d = P.compress_document_ids(7, ids)
+        assert m == 3 and len(d) == 128 * 3 // 8
+        # tail block, bytewidth max(1, ceil(bits/8)); metadata (1<<7)|bw
+        ids = np.array([100, 101], dtype=np.uint32)
+        m, d = P.compress_document_ids(100, ids)
+        assert m == (1 << 7) | 1 and len(d) == 2
+
+    def test_constant_block_zero_width(self):
+        ids = np.full(128, 42, dtype=np.uint32)
+        m, d = P.compress_document_ids(42, ids)
+        assert m == 0 and d == b""
+        out = P.decompress_document_ids(42, m, d)
+        assert (out == 42).all()
+
+
+class TestScoring:
+    def test_idf_golden(self):
+        # ln((N+1)/(df+0.5)), reference bm25.rs:285-289
+        assert idf(10, 6) == pytest.approx(math.log(11.0 / 6.5), abs=0)
+        assert idf(1, 1) == pytest.approx(math.log(2.0 / 1.5), abs=0)
+        assert float(idf(10, 10)) > 0  # never negative for df <= N
+
+    def test_tf_uses_quantized_length(self):
+        # dl=41 quantizes to 40: same score as dl=40
+        fn41 = int(length_to_fieldnorm(41))
+        fn40 = int(length_to_fieldnorm(40))
+        s41 = tf_score(fn41, 3, 1.2, 0.75, 50.0)
+        s40 = tf_score(fn40, 3, 1.2, 0.75, 50.0)
+        assert s41 == s40
+
+    def test_cache_equals_direct_formula(self):
+        cache = Cache(1000, 37, 1.2, 0.75, 120.0)
+        for fn in (0, 17, 99, 255):
+            for tf in (1, 2, 50):
+                direct = float(idf(1000, 37)) * float(
+                    tf_score(fn, tf, 1.2, 0.75, 120.0)
+                )
+                assert float(cache.evaluate(fn, tf)) == pytest.approx(
+                    direct, rel=1e-15
+                )
+
+    def test_wand_max_first_argmax(self):
+        fns = np.array([10, 5, 10], dtype=np.uint8)
+        tfs = np.array([3, 3, 3], dtype=np.uint32)
+        fn, tf = wand_max(fns, tfs, 1.2, 0.75, 100.0)
+        assert (fn, tf) == (5, 3)  # smaller dl -> higher score
+
+
+class TestAnalyzers:
+    SEED = derive_seed("t")
+
+    def test_simple(self):
+        assert tokenize_simple("Hello, World-42!") == ["hello", "world", "42"]
+
+    def test_code_splits_identifiers(self):
+        toks = tokenize_code("getUserByID snake_case_name HTTPServer v2")
+        assert "get" in toks and "user" in toks and "by" in toks and "id" in toks
+        assert "snake" in toks and "case" in toks and "name" in toks
+        assert "http" in toks and "server" in toks
+        assert "v2" in toks or ("v" in toks and "2" in toks)
+
+    def test_english_stopwords_and_stem(self):
+        toks = tokenize_english("The searching of databases is ranking")
+        assert "the" not in toks and "of" not in toks and "is" not in toks
+        assert "search" in toks and "databas" in toks and "rank" in toks
+
+    def test_analyze_document_merges_and_sorts(self):
+        items, length = analyze_document(
+            "b a b c a b", lambda s: s.split(), self.SEED
+        )
+        keys = [k for k, _ in items]
+        assert keys == sorted(keys)
+        assert dict(items)[intern(self.SEED, b"b")] == 3
+        assert length == 6
+
+    def test_analyze_query_dedup_sorted(self):
+        keys = analyze_query("b a b a", lambda s: s.split(), self.SEED)
+        assert keys == sorted(set(keys)) and len(keys) == 2

@@ -1,0 +1,123 @@
+"""End-to-end exact scorer tests: the reference's own sqllogictest
+golden orderings (SURVEY.md §5) and a DuckDB differential oracle on
+the driver-provided documents table."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from bm25spark.config import Bm25Config
+from bm25spark.oracle import bm25_topk_sql, corpus_stats_sql, term_df_sql
+from bm25spark.query import exact_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def duck(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    return con.execute(sql).fetchall()
+
+
+class TestGoldenPassages:
+    """Golden orderings from /root/reference/tests/sqllogictest/
+    indexing.slt:30-41 — query 'PostgreSQL', english analyzer,
+    top-k ids must be [8, 9, 4, 1, 7, 2]."""
+
+    CFG = Bm25Config(analyzer="english")
+
+    def test_indexing_slt_order(self, spark, passages_df):
+        res = exact_topk(
+            spark, passages_df, "passage", "doc_id", "PostgreSQL", 10,
+            cfg=self.CFG, round_score=None,
+        ).collect()
+        assert [r.doc_id for r in res] == [8, 9, 4, 1, 7, 2]
+
+    def test_partial_even_odd(self, spark, passages_df):
+        # bm25query.slt:55-81 partial-index variants
+        even = passages_df.filter("doc_id % 2 = 0")
+        res = exact_topk(
+            spark, even, "passage", "doc_id", "PostgreSQL", 10,
+            cfg=self.CFG, round_score=None,
+        ).collect()
+        assert [r.doc_id for r in res] == [8, 4, 2]
+        odd = passages_df.filter("doc_id % 2 = 1")
+        res = exact_topk(
+            spark, odd, "passage", "doc_id", "PostgreSQL", 10,
+            cfg=self.CFG, round_score=None,
+        ).collect()
+        assert [r.doc_id for r in res] == [9, 1, 7]
+
+    def test_prefilter_semantics(self, spark, passages_df):
+        """prefilter.slt:28-60: limit=3, predicate 'even id'.
+        Post-filter: top-3 then filter -> 2 rows. Prefilter: filter
+        inside the k-loop -> 3 rows."""
+        top3 = exact_topk(
+            spark, passages_df, "passage", "doc_id", "PostgreSQL", 3,
+            cfg=self.CFG, round_score=None,
+        ).collect()
+        post = [r.doc_id for r in top3 if r.doc_id % 2 == 0]
+        assert len(post) == 2
+
+        allowed = passages_df.filter("doc_id % 2 = 0").select("doc_id")
+        pre = exact_topk(
+            spark, passages_df, "passage", "doc_id", "PostgreSQL", 3,
+            cfg=self.CFG, round_score=None, prefilter=allowed,
+        ).collect()
+        assert len(pre) == 3
+        assert [r.doc_id for r in pre] == [8, 4, 2]
+
+    def test_limit_fallback(self, spark, passages_df):
+        # fallback_parameter.slt:24-71: k=2 -> [8,9]; k=3 -> [8,9,4]
+        res = exact_topk(
+            spark, passages_df, "passage", "doc_id", "PostgreSQL", 2,
+            cfg=self.CFG, round_score=None,
+        ).collect()
+        assert [r.doc_id for r in res] == [8, 9]
+        res = exact_topk(
+            spark, passages_df, "passage", "doc_id", "PostgreSQL", 3,
+            cfg=self.CFG, round_score=None,
+        ).collect()
+        assert [r.doc_id for r in res] == [8, 9, 4]
+
+
+class TestDuckDBOracle:
+    def test_topk_matches(self, spark, docs):
+        tokens = ["merge", "spark", "window"]
+        got = exact_topk(
+            spark, docs, "text", "doc_id", " ".join(tokens), 20
+        ).collect()
+        want = duck(bm25_topk_sql(tokens, 20))
+        assert [(r.doc_id, r.score) for r in got] == [
+            (d, s) for d, s in want
+        ]
+
+    def test_missing_term_skipped(self, spark, docs):
+        got = exact_topk(
+            spark, docs, "text", "doc_id", "merge zzznotaterm", 5
+        ).collect()
+        want = duck(bm25_topk_sql(["merge", "zzznotaterm"], 5))
+        assert [(r.doc_id, r.score) for r in got] == [(d, s) for d, s in want]
+
+    def test_all_missing_empty(self, spark, docs):
+        got = exact_topk(spark, docs, "text", "doc_id", "zzz qqq", 5).collect()
+        assert got == []
+
+    def test_stats(self, spark, docs):
+        from bm25spark.stats import corpus_stats, term_df
+
+        got = corpus_stats(spark, docs).collect()[0]
+        want = duck(corpus_stats_sql())[0]
+        assert (got.n_docs, got.sum_dl, got.avgdl) == want
+
+        got = [(r.token, r.df, r.cf) for r in term_df(spark, docs, 20).collect()]
+        want = duck(term_df_sql(20))
+        assert got == want
