@@ -56,7 +56,12 @@ def _wand_q(tokens: list[str], k: int):
         from bm25spark.api import wand_topk_df
 
         return wand_topk_df(
-            spark, _docs(spark, sf_dir), "text", "doc_id", " ".join(tokens), k
+            spark,
+            f"{sf_dir}/documents.parquet",
+            "text",
+            "doc_id",
+            " ".join(tokens),
+            k,
         )
 
     return run

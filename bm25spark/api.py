@@ -1,0 +1,82 @@
+"""High-level convenience API used by __spark_entry__ and bench.
+
+``index_for_parquet`` memoizes built indexes per (table path, config)
+under a cache dir so repeated queries against the same corpus reuse
+one build — mirroring how a real deployment queries one long-lived
+index artifact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .build import build_index
+from .config import Bm25Config
+from .index import Bm25Index
+
+CACHE_BASE = os.environ.get("BM25SPARK_INDEX_CACHE", "/tmp/bm25spark-indexes")
+
+
+def index_for_parquet(
+    spark: SparkSession,
+    parquet_path: str,
+    text_col: str = "text",
+    order_cols: list[str] | None = None,
+    cfg: Bm25Config | None = None,
+    base_dir: str | None = None,
+) -> Bm25Index:
+    cfg = cfg or Bm25Config()
+    order_cols = order_cols or ["doc_id"]
+    key = hashlib.sha256(
+        "|".join(
+            [
+                os.path.abspath(parquet_path),
+                text_col,
+                ",".join(order_cols),
+                cfg.analyzer,
+                str(cfg.k1),
+                str(cfg.b),
+                cfg.seed.hex(),
+                str(cfg.shard_size),
+            ]
+        ).encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(base_dir or CACHE_BASE, key)
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        docs = spark.read.parquet(parquet_path)
+        build_index(
+            spark, docs, index_dir, text_col, order_cols, cfg=cfg
+        )
+    return Bm25Index(spark, index_dir)
+
+
+def wand_topk_df(
+    spark: SparkSession,
+    docs_or_path: DataFrame | str,
+    text_col: str,
+    id_col: str,
+    query_text: str,
+    k: int,
+    cfg: Bm25Config | None = None,
+    mode: str = "taat",
+) -> DataFrame:
+    """Indexed top-k returning (doc_id, score) with the same rounding
+    and ordering convention as the exact scorer / DuckDB oracle."""
+    if isinstance(docs_or_path, str):
+        idx = index_for_parquet(
+            spark, docs_or_path, text_col=text_col, order_cols=[id_col], cfg=cfg
+        )
+    else:
+        raise TypeError(
+            "wand_topk_df needs a parquet path so the index build can be "
+            "cached; pass sf_dir/documents.parquet"
+        )
+    from pyspark.sql import functions as F
+
+    out = idx.search_df(query_text, k, mode=mode)
+    return out.select(
+        F.col(id_col).cast("bigint").alias("doc_id"), F.col("score")
+    )

@@ -1,0 +1,405 @@
+"""Distributed index build — the reference's `CREATE INDEX … USING
+bm25` lifecycle (SURVEY.md §3.1; /root/reference/crates/bm25/src/
+build.rs:22-71, src/index/bm25/am/am_build.rs:128-315) restated as a
+sequence of Spark jobs with checkpoint/resume at stage granularity and
+per-shard lineage rows.
+
+Pipeline (thread/node boundaries in the reference = shuffles here):
+
+1. ``docs``     scan source -> tokenize+intern (one fused Arrow UDF,
+                narrow) -> deterministic dense doc-id assignment
+                (global sort order by a caller-chosen unique key; ids
+                are identical at any parallelism — *stronger* than the
+                reference, which is single-machine-deterministic only)
+                -> docs artifact (id, fieldnorm, doc_len, payload,
+                content sha256) + mappings staging table.
+2. ``stats``    N, Σdl  (flush.rs:49-66) -> part of meta.
+3. ``postings`` mappings -> shard = id // shard_size -> shuffle on
+                (term_key, shard) -> per-group block construction
+                (128-posting chunks, delta bitpack, block-max WAND
+                metadata; flush.rs:78-125) -> postings artifact,
+                directory-partitioned by crc32(term_key) bucket.
+4. ``terms``    per-term df + WAND argmax merged across shards with
+                the Wand::extend monoid (bm25.rs:319-325) -> terms
+                artifact (the broadcast dictionary).
+5. ``meta``     meta.json written last = atomic publish
+                (build.rs:60-70 writes jump+meta last for the same
+                crash-atomicity).
+
+Scale notes (designed for ~10^12 docs / 1000 executors, tested on
+local[N]):
+- The only global-sequential step, doc-id assignment, is two passes:
+  per-partition counts (collect of P longs) + prefix-sum offsets
+  (mirrors the reference's per-segment offset re-basing, io.rs:244-282).
+- Skew: stop-word-like terms have postings far larger than one task.
+  Sharding on id ranges splits *every* term's postings at shard
+  boundaries (shard = doc-partitioned index, the standard distributed
+  IR layout), so the build group and the query task for a hot term are
+  both bounded by shard_size; block streams stay doc-id-ordered
+  because shards are contiguous id ranges, and per-term stats merge
+  monoidally (the north rule's "salted shuffle on skewed terms").
+- Posting doc-ids are stored shard-relative (u32), so a corpus may
+  exceed 2^32 docs even though each block stays in the reference's
+  u32 domain (the reference has the same cap per segment, io.rs:52-57).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import zlib
+from dataclasses import asdict
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from . import packing
+from .config import BLOCK_SIZE, FORMAT_MAGIC, FORMAT_VERSION, Bm25Config
+from .fieldnorm import length_to_fieldnorm
+from .scoring import tf_score
+from .udfs import with_doc_terms
+
+POSTINGS_SCHEMA = StructType(
+    [
+        StructField("term_key", BinaryType(), False),
+        StructField("bucket", IntegerType(), False),
+        StructField("shard", IntegerType(), False),
+        StructField("block_ord", IntegerType(), False),
+        StructField("min_doc", LongType(), False),
+        StructField("max_doc", LongType(), False),
+        StructField("count", IntegerType(), False),
+        StructField("wand_fn", IntegerType(), False),
+        StructField("wand_tf", IntegerType(), False),
+        StructField("block_ub", DoubleType(), False),
+        StructField("ids_meta", IntegerType(), False),
+        StructField("ids_bytes", BinaryType(), False),
+        StructField("tfs_meta", IntegerType(), False),
+        StructField("tfs_bytes", BinaryType(), False),
+    ]
+)
+
+
+def term_bucket(term_key: bytes, n_buckets: int) -> int:
+    """crc32-based bucket; zlib.crc32 == Spark's crc32 (both CRC-32/ISO),
+    so driver-side query routing and executor-side writes agree."""
+    return zlib.crc32(term_key) % n_buckets
+
+
+def _stage_done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _assign_doc_ids(
+    spark: SparkSession, df: DataFrame, order_cols: list[str], partitions: int
+) -> DataFrame:
+    """Dense deterministic ids 0..N-1 in the global sort order of
+    ``order_cols`` (which must be a unique key). Two passes: range
+    shuffle + per-partition counts, then offset + local rank — the
+    Spark form of the reference's sequential RecordsWriter doc-id
+    counter (io.rs:39-67) without the sequential bottleneck."""
+    parts = df.repartitionByRange(partitions, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    counts = (
+        parts.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .count()
+        .collect()
+    )
+    by_pid = {r._pid: r["count"] for r in counts}
+    offsets, acc = {}, 0
+    for pid in range(partitions):
+        offsets[pid] = acc
+        acc += by_pid.get(pid, 0)
+    boffsets = spark.sparkContext.broadcast(offsets)
+
+    schema = StructType(
+        parts.schema.fields + [StructField("_iid", LongType(), False)]
+    )
+
+    def assign(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = boffsets.value[pid]
+        seen = 0
+        for pdf in iterator:
+            pdf = pdf.copy()
+            pdf["_iid"] = np.arange(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return parts.mapInPandas(assign, schema)
+
+
+def _build_blocks_fn(cfg: Bm25Config, avgdl: float, n_buckets: int):
+    """applyInPandas per (term_key, shard): sort by local id, chunk
+    into 128-posting blocks, compress, compute block-max WAND
+    (flush.rs:78-125). All inner math is NumPy over the group."""
+    k1, b = cfg.k1, cfg.b
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term_key, shard = key
+        term_key = bytes(term_key)
+        order = np.argsort(pdf["local_id"].to_numpy(), kind="stable")
+        ids = pdf["local_id"].to_numpy()[order].astype(np.uint32)
+        tfs = pdf["tf"].to_numpy()[order].astype(np.uint32)
+        fns = pdf["fieldnorm"].to_numpy()[order].astype(np.uint8)
+        base = int(shard) * cfg.shard_size
+        bucket = term_bucket(term_key, n_buckets)
+
+        rows = []
+        for ord_, start in enumerate(range(0, len(ids), BLOCK_SIZE)):
+            bi = ids[start : start + BLOCK_SIZE]
+            bt = tfs[start : start + BLOCK_SIZE]
+            bf = fns[start : start + BLOCK_SIZE]
+            scores = tf_score(bf, bt, k1, b, avgdl)
+            am = int(np.argmax(scores))
+            ids_meta, ids_bytes = packing.compress_document_ids(int(bi[0]), bi)
+            tfs_meta, tfs_bytes = packing.compress_term_frequencies(bt)
+            rows.append(
+                (
+                    term_key,
+                    bucket,
+                    int(shard),
+                    ord_,
+                    base + int(bi[0]),
+                    base + int(bi[-1]),
+                    len(bi),
+                    int(bf[am]),
+                    int(bt[am]),
+                    float(scores[am]),
+                    ids_meta,
+                    ids_bytes,
+                    tfs_meta,
+                    tfs_bytes,
+                )
+            )
+        return pd.DataFrame(rows, columns=POSTINGS_SCHEMA.fieldNames())
+
+    return build
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    text_col: str,
+    order_cols: list[str],
+    payload_cols: list[str] | None = None,
+    cfg: Bm25Config | None = None,
+    resume: bool = False,
+    id_partitions: int | None = None,
+) -> str:
+    """Build the full index artifact set under ``index_dir``.
+
+    ``order_cols`` must be a unique key of ``docs``; it defines the
+    (deterministic) dense doc-id order. ``payload_cols`` are carried
+    into the docs artifact and returned by searches (default:
+    order_cols).
+    """
+    cfg = cfg or Bm25Config()
+    payload_cols = payload_cols or list(order_cols)
+
+    docs_path = os.path.join(index_dir, "docs")
+    maps_path = os.path.join(index_dir, "mappings")
+    postings_path = os.path.join(index_dir, "postings")
+    terms_path = os.path.join(index_dir, "terms")
+    lineage_path = os.path.join(index_dir, "lineage")
+    meta_path = os.path.join(index_dir, "meta.json")
+
+    if not resume and os.path.exists(index_dir):
+        shutil.rmtree(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+
+    # ---- stage 1: docs + mappings staging -------------------------------
+    if not (resume and _stage_done(docs_path) and _stage_done(maps_path)):
+        src = docs.filter(F.col(text_col).isNotNull())
+        keep = list(dict.fromkeys([*order_cols, *payload_cols, text_col]))
+        src = src.select(*keep)
+        # payloads are stored under p_<name> so they can never collide
+        # with the engine's internal doc_id column
+        for c in payload_cols:
+            src = src.withColumn(f"p_{c}", F.col(c))
+        prepared = with_doc_terms(src, text_col, cfg.analyzer, cfg.seed)
+        n_rows_hint = id_partitions or max(
+            spark.sparkContext.defaultParallelism, 32
+        )
+        with_ids = _assign_doc_ids(spark, prepared, order_cols, n_rows_hint)
+        with_ids = (
+            with_ids.withColumn(
+                "shard", (F.col("_iid") / cfg.shard_size).cast("int")
+            )
+            .withColumn(
+                "local_id",
+                (F.col("_iid") % cfg.shard_size).cast("long"),
+            )
+            .withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+        )
+        with_ids.persist()
+
+        fn_expr = _fieldnorm_expr()
+        (
+            with_ids.select(
+                F.col("_iid").alias("doc_id"),
+                "shard",
+                "local_id",
+                F.col("doc_len").cast("long").alias("doc_len"),
+                fn_expr.alias("fieldnorm"),
+                "content_sha256",
+                *[f"p_{c}" for c in payload_cols],
+            )
+            .repartitionByRange(max(1, n_rows_hint // 4), "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(docs_path)
+        )
+        (
+            with_ids.select(
+                F.explode("terms").alias("t"),
+                "shard",
+                "local_id",
+                fn_expr.alias("fieldnorm"),
+            )
+            .select(
+                F.col("t.key").alias("term_key"),
+                "shard",
+                "local_id",
+                F.col("t.tf").alias("tf"),
+                "fieldnorm",
+            )
+            .write.mode("overwrite")
+            .parquet(maps_path)
+        )
+        with_ids.unpersist()
+
+    # ---- stage 2: corpus stats ------------------------------------------
+    docs_art = spark.read.parquet(docs_path)
+    n_docs, sum_dl = docs_art.agg(
+        F.count("*"), F.sum("doc_len")
+    ).first()
+    n_docs = int(n_docs)
+    sum_dl = int(sum_dl or 0)
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+
+    # ---- stage 3: postings ----------------------------------------------
+    if not (resume and _stage_done(postings_path)):
+        mappings = spark.read.parquet(maps_path)
+        blocks = mappings.groupBy("term_key", "shard").applyInPandas(
+            _build_blocks_fn(cfg, avgdl, cfg.term_buckets), POSTINGS_SCHEMA
+        )
+        (
+            blocks.repartition("bucket")
+            .sortWithinPartitions("term_key", "shard", "block_ord")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(postings_path)
+        )
+
+    # ---- stage 4: terms dictionary --------------------------------------
+    postings = spark.read.parquet(postings_path)
+    if not (resume and _stage_done(terms_path)):
+        terms = postings.groupBy("term_key").agg(
+            F.first("bucket").alias("bucket"),
+            F.sum("count").cast("long").alias("df"),
+            F.max_by(
+                F.struct("wand_fn", "wand_tf"), F.struct("block_ub", F.col("block_ord") * -1)
+            ).alias("w"),
+            F.max("block_ub").alias("token_ub"),
+        )
+        (
+            terms.select(
+                "term_key",
+                "bucket",
+                "df",
+                F.col("w.wand_fn").alias("wand_fn"),
+                F.col("w.wand_tf").alias("wand_tf"),
+                "token_ub",
+            )
+            .repartition(1)
+            .sortWithinPartitions("term_key")
+            .write.mode("overwrite")
+            .parquet(terms_path)
+        )
+
+    # ---- lineage: per-shard rows ----------------------------------------
+    if not (resume and _stage_done(lineage_path)):
+        lineage = postings.groupBy("shard").agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("count").cast("long").alias("n_postings"),
+            (
+                F.sum(F.length("ids_bytes")) + F.sum(F.length("tfs_bytes"))
+            ).alias("packed_bytes"),
+            F.count_distinct("term_key").alias("n_terms"),
+        )
+        shard_docs = docs_art.groupBy("shard").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_len").cast("long").alias("sum_dl"),
+            F.expr("bit_xor(xxhash64(content_sha256))").alias("input_fingerprint"),
+        )
+        (
+            lineage.join(shard_docs, "shard", "full")
+            .orderBy("shard")
+            .write.mode("overwrite")
+            .parquet(lineage_path)
+        )
+
+    # ---- stage 5: meta (publish-last) ------------------------------------
+    n_terms = spark.read.parquet(terms_path).count()
+    meta = {
+        "magic": FORMAT_MAGIC,
+        "version": FORMAT_VERSION,
+        "k1": cfg.k1,
+        "b": cfg.b,
+        "seed": cfg.seed.hex(),
+        "analyzer": cfg.analyzer,
+        "shard_size": cfg.shard_size,
+        "term_buckets": cfg.term_buckets,
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "avgdl": avgdl,
+        "n_terms": int(n_terms),
+        "payload_cols": payload_cols,
+        "paths": {
+            "docs": "docs",
+            "postings": "postings",
+            "terms": "terms",
+            "lineage": "lineage",
+            "mappings": "mappings",
+        },
+    }
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2)
+    os.replace(tmp, meta_path)
+    return index_dir
+
+
+def _fieldnorm_expr():
+    """length_to_fieldnorm as a Catalyst expression: index of the last
+    table entry <= doc_len. The table is embedded as an array literal;
+    256 comparisons fold into one vectorized expression."""
+    from .fieldnorm import FIELDNORM_TO_LENGTH
+
+    arr = F.array(*[F.lit(int(v)) for v in FIELDNORM_TO_LENGTH])
+    # searchsorted(side=right)-1 == count of entries <= doc_len, minus 1
+    return (
+        F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, x: acc + F.when(x <= F.col("doc_len"), 1).otherwise(0),
+        )
+        - 1
+    ).cast("int")

@@ -1,0 +1,64 @@
+"""Training-data pipeline operators over the documents/embeddings
+tables: deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding cosine), similarity search, text analysis, and multimodal
+column plumbing.
+
+Every deterministic operator ships with a DuckDB oracle built from the
+same hash primitives (md5 — the one cryptographic hash both engines
+expose with identical semantics), so the driver's side-by-side
+correctness gate covers them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from . import dedup, similarity, textstats
+
+    return {
+        "dedup_exact_groups": lambda s, d: dedup.exact_dup_groups(_docs(s, d)),
+        "dedup_minhash_signatures": lambda s, d: dedup.minhash_signatures(
+            _docs(s, d)
+        ),
+        "dedup_minhash_pairs": lambda s, d: dedup.minhash_candidate_pairs(
+            _docs(s, d)
+        ),
+        "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
+        "dedup_ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
+            _docs(s, d)
+        ),
+        "ann_cosine_topk": lambda s, d: similarity.ann_cosine_topk(_emb(s, d)),
+        "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
+        "text_stats": lambda s, d: textstats.text_stats(_docs(s, d)),
+        "text_quality": lambda s, d: textstats.text_quality(_docs(s, d)),
+        "text_fingerprint": lambda s, d: textstats.text_fingerprint(_docs(s, d)),
+    }
+
+
+def oracle_registry() -> dict[str, str]:
+    from . import dedup, similarity, textstats
+
+    return {
+        "dedup_exact_groups": dedup.exact_dup_groups_sql(),
+        "dedup_minhash_signatures": dedup.minhash_signatures_sql(),
+        "dedup_minhash_pairs": dedup.minhash_candidate_pairs_sql(),
+        "dedup_simhash": dedup.simhash_sql(),
+        "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
+        "ann_cosine_topk": similarity.ann_cosine_topk_sql(),
+        # ann_lsh_topk is approximate -> rows-only check (no oracle)
+        "text_stats": textstats.text_stats_sql(),
+        "text_quality": textstats.text_quality_sql(),
+        "text_fingerprint": textstats.text_fingerprint_sql(),
+    }

@@ -1,0 +1,150 @@
+"""Text analysis operators: token counting, language-ID heuristic,
+quality scoring, document fingerprinting. Pure built-in expressions
+with exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analyze import SNOWBALL_STOPWORDS
+
+_STOP = sorted(SNOWBALL_STOPWORDS)
+
+
+def _tok():
+    return F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda s: s != "")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token/char statistics: whitespace token count, simple
+    token count, char count, digit ratio, punctuation-ish ratio,
+    stopword ratio, mean token length."""
+    toks = _tok()
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOP])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_char = F.length("text")
+    n_digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", ""))
+    sum_tok_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    ws_count = F.size(F.filter(F.split(F.col("text"), "\\s+"), lambda s: s != ""))
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            ws_count.cast("bigint").alias("n_ws_tokens"),
+            n_tok.cast("bigint").alias("n_tokens"),
+            n_char.cast("bigint").alias("n_chars"),
+            F.round(n_digit / F.greatest(n_char, F.lit(1)), 4).alias("digit_ratio"),
+            F.round(n_punct / F.greatest(n_char, F.lit(1)), 4).alias("punct_ratio"),
+            F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4).alias("stop_ratio"),
+            F.round(sum_tok_len / F.greatest(n_tok, F.lit(1)), 4).alias(
+                "mean_tok_len"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_stats_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in _STOP)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tok,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS wtok
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id::BIGINT AS doc_id,
+       len(wtok)::BIGINT AS n_ws_tokens,
+       len(tok)::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+             / greatest(length(text), 1), 4) AS digit_ratio,
+       round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+             / greatest(length(text), 1), 4) AS punct_ratio,
+       round(len(list_filter(tok, t -> t IN ({stop_list})))
+             / greatest(len(tok), 1), 4) AS stop_ratio,
+       round(list_sum(list_transform(tok, t -> length(t)))
+             / greatest(len(tok), 1), 4) AS mean_tok_len
+FROM base ORDER BY doc_id
+"""
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """Heuristic quality score in [0,1] + language guess.
+
+    score = 0.4 * min(n_tokens, 200)/200
+          + 0.3 * (1 - digit_ratio)
+          + 0.3 * min(stop_ratio * 4, 1)   (fluent text has stopwords)
+    lang_guess = 'en' when stop_ratio >= 0.05 else 'other'
+    (an n-gram/stopword-ratio heuristic; the synthetic corpus carries
+    its true lang column for comparison downstream).
+    """
+    s = text_stats(docs)
+    score = (
+        F.lit(0.4) * F.least(F.col("n_tokens"), F.lit(200)) / 200.0
+        + F.lit(0.3) * (F.lit(1.0) - F.col("digit_ratio"))
+        + F.lit(0.3) * F.least(F.col("stop_ratio") * 4.0, F.lit(1.0))
+    )
+    return s.select(
+        "doc_id",
+        F.round(score, 4).alias("quality"),
+        F.when(F.col("stop_ratio") >= 0.05, "en").otherwise("other").alias(
+            "lang_guess"
+        ),
+    ).orderBy("doc_id")
+
+
+def text_quality_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in _STOP)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+feat AS (
+  SELECT doc_id,
+         len(tok) AS n_tokens,
+         round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+               / greatest(length(text), 1), 4) AS digit_ratio,
+         round(len(list_filter(tok, t -> t IN ({stop_list})))
+               / greatest(len(tok), 1), 4) AS stop_ratio
+  FROM base
+)
+SELECT doc_id::BIGINT AS doc_id,
+       round(0.4 * least(n_tokens, 200) / 200.0
+             + 0.3 * (1.0 - digit_ratio)
+             + 0.3 * least(stop_ratio * 4.0, 1.0), 4) AS quality,
+       CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'other' END AS lang_guess
+FROM feat ORDER BY doc_id
+"""
+
+
+def text_fingerprint(docs: DataFrame) -> DataFrame:
+    """Normalized-content fingerprint: md5 of lowercase text with
+    whitespace runs collapsed — catches trivially-reformatted dups."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.md5(norm).alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_fingerprint_sql() -> str:
+    return """
+SELECT doc_id::BIGINT AS doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents WHERE text IS NOT NULL ORDER BY doc_id
+"""

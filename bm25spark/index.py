@@ -1,0 +1,230 @@
+"""Bm25Index — loader + search front-end over the build artifacts.
+
+Query lifecycle (reference entry point 2, SURVEY.md §3.2): analyze the
+query text with the index's analyzer+seed -> look up per-term stats in
+the terms dictionary (broadcast-sized read, J1) -> load only those
+terms' posting blocks (Parquet directory pruning on ``bucket`` +
+row-group predicate pushdown on ``term_key`` — the Spark form of the
+reference's token B-tree descent, address_tokens.rs:61-98) -> run a
+kernel from :mod:`bm25spark.wand` -> map internal doc ids back to
+payload columns (J3; a join on the dense id, address_documents.rs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analyze import analyze_query, get_analyzer
+from .build import term_bucket
+from .config import Bm25Config
+from .scoring import Cache
+from .wand import TermPostings, bmw_topk, taat_topk
+
+
+class Bm25Index:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        if self.meta.get("magic") != "bm25spark":
+            raise ValueError(f"not a bm25spark index: {index_dir}")
+        self.k1 = float(self.meta["k1"])
+        self.b = float(self.meta["b"])
+        self.seed = bytes.fromhex(self.meta["seed"])
+        self.analyzer = get_analyzer(self.meta["analyzer"])
+        self.n_docs = int(self.meta["n_docs"])
+        self.avgdl = float(self.meta["avgdl"]) if self.n_docs else 0.0
+        self.shard_size = int(self.meta["shard_size"])
+        self.payload_cols = list(self.meta["payload_cols"])
+        self._fieldnorms: np.ndarray | None = None
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.index_dir, self.meta["paths"][name])
+
+    # ---- artifact access -------------------------------------------------
+
+    def docs_df(self) -> DataFrame:
+        return self.spark.read.parquet(self._path("docs"))
+
+    def postings_df(self) -> DataFrame:
+        return self.spark.read.parquet(self._path("postings"))
+
+    def terms_df(self) -> DataFrame:
+        return self.spark.read.parquet(self._path("terms"))
+
+    def lineage_df(self) -> DataFrame:
+        return self.spark.read.parquet(self._path("lineage"))
+
+    def query_keys(self, query_text: str) -> list[bytes]:
+        return analyze_query(query_text, self.analyzer, self.seed)
+
+    def term_stats(self, keys: list[bytes]) -> dict[bytes, dict]:
+        """J1: dictionary lookup for the query's keys. Bucket filter
+        prunes parquet directories before the key filter."""
+        if not keys:
+            return {}
+        buckets = sorted({term_bucket(k, self.meta["term_buckets"]) for k in keys})
+        rows = (
+            self.terms_df()
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term_key").isin([bytearray(k) for k in keys]))
+            .collect()
+        )
+        return {
+            bytes(r.term_key): {
+                "df": int(r.df),
+                "wand_fn": int(r.wand_fn),
+                "wand_tf": int(r.wand_tf),
+            }
+            for r in rows
+        }
+
+    def postings_for(self, keys: list[bytes]) -> dict[bytes, dict]:
+        """Collect the query terms' block metadata+payload to the
+        driver, grouped per key, ordered by (shard, block_ord)."""
+        if not keys:
+            return {}
+        buckets = sorted({term_bucket(k, self.meta["term_buckets"]) for k in keys})
+        rows = (
+            self.postings_df()
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term_key").isin([bytearray(k) for k in keys]))
+            .collect()
+        )
+        grouped: dict[bytes, list] = {}
+        for r in rows:
+            grouped.setdefault(bytes(r.term_key), []).append(r)
+        out = {}
+        for key, rs in grouped.items():
+            rs.sort(key=lambda r: (r.shard, r.block_ord))
+            out[key] = {
+                "min_doc": np.array([r.min_doc for r in rs], dtype=np.int64),
+                "max_doc": np.array([r.max_doc for r in rs], dtype=np.int64),
+                "count": np.array([r["count"] for r in rs], dtype=np.int64),
+                "block_fn": np.array([r.wand_fn for r in rs], dtype=np.int64),
+                "block_tf": np.array([r.wand_tf for r in rs], dtype=np.int64),
+                "ids_meta": [r.ids_meta for r in rs],
+                "ids_bytes": [bytes(r.ids_bytes) for r in rs],
+                "tfs_meta": [r.tfs_meta for r in rs],
+                "tfs_bytes": [bytes(r.tfs_bytes) for r in rs],
+                "shard_base": np.array(
+                    [r.shard * self.shard_size for r in rs], dtype=np.int64
+                ),
+            }
+        return out
+
+    def fieldnorms(self) -> np.ndarray:
+        """Dense uint8 fieldnorm array indexed by internal doc id.
+
+        Driver-resident here (fine through bench scale); the
+        distributed query path slices this per shard instead — each
+        task reads only its shard's rows (docs artifact is sorted by
+        doc_id, so the read prunes row groups).
+        """
+        if self._fieldnorms is None:
+            rows = self.docs_df().select("doc_id", "fieldnorm").toPandas()
+            arr = np.zeros(self.n_docs, dtype=np.uint8)
+            arr[rows["doc_id"].to_numpy()] = rows["fieldnorm"].to_numpy()
+            self._fieldnorms = arr
+        return self._fieldnorms
+
+    # ---- search ------------------------------------------------------------
+
+    def term_postings(self, query_text: str) -> list[TermPostings]:
+        keys = self.query_keys(query_text)
+        stats = self.term_stats(keys)
+        present = [k for k in keys if k in stats]  # absent terms skipped
+        postings = self.postings_for(present)
+        out = []
+        for k in present:
+            s, p = stats[k], postings[k]
+            out.append(
+                TermPostings(
+                    cache=Cache(self.n_docs, s["df"], self.k1, self.b, self.avgdl),
+                    wand_fn=s["wand_fn"],
+                    wand_tf=s["wand_tf"],
+                    **p,
+                )
+            )
+        return out
+
+    def search(
+        self,
+        query_text: str,
+        k: int = 100,
+        mode: str = "taat",
+        allowed_mask: np.ndarray | None = None,
+    ) -> list[tuple[int, float]]:
+        """-> [(internal doc_id, score)] best-first, doc-id tiebreak."""
+        terms = self.term_postings(query_text)
+        if not terms:
+            return []
+        fns = self.fieldnorms()
+        if mode == "taat":
+            return taat_topk(terms, fns, k, allowed_mask=allowed_mask)
+        if mode == "bmw":
+            allowed = None
+            if allowed_mask is not None:
+                allowed = lambda d: bool(allowed_mask[d])  # noqa: E731
+            return bmw_topk(terms, fns, k, allowed=allowed)
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def search_df(
+        self,
+        query_text: str,
+        k: int = 100,
+        mode: str = "taat",
+        round_score: int | None = 4,
+        slack: int = 128,
+    ) -> DataFrame:
+        """Search returning a DataFrame of payload columns + score.
+
+        With ``round_score`` set, candidates are over-fetched by
+        ``slack`` and re-ranked by (rounded score, doc_id) so output
+        ordering is reproducible across engines/float libraries.
+        """
+        hits = self.search(query_text, k + (slack if round_score else 0), mode=mode)
+        if round_score is not None:
+            hits = [(d, round(s, round_score)) for d, s in hits]
+            hits.sort(key=lambda t: (-t[1], t[0]))
+        hits = hits[:k]
+        if not hits:
+            schema = ", ".join(
+                ["doc_id BIGINT"]
+                + [f"{c}_payload STRING" for c in self.payload_cols]
+            )
+            return self.spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
+        ids = [d for d, _ in hits]
+        scores = {d: s for d, s in hits}
+        pay = (
+            self.docs_df()
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", *[f"p_{c}" for c in self.payload_cols])
+            .collect()
+        )
+        data = []
+        for r in pay:
+            row = {c: r[f"p_{c}"] for c in self.payload_cols}
+            row["_internal"] = r.doc_id
+            row["score"] = float(scores[r.doc_id])
+            data.append(row)
+        data.sort(key=lambda r: (-r["score"], r["_internal"]))
+        pdf_rows = [
+            tuple(r[c] for c in self.payload_cols) + (r["score"],) for r in data
+        ]
+        src_schema = self.docs_df().select(
+            *[F.col(f"p_{c}").alias(c) for c in self.payload_cols]
+        ).schema
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        schema = StructType(
+            list(src_schema.fields) + [StructField("score", DoubleType())]
+        )
+        return self.spark.createDataFrame(pdf_rows, schema)

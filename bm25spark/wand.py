@@ -1,0 +1,341 @@
+"""Top-k retrieval kernels over block-compressed posting lists.
+
+Two kernels, both exact (identical result sets), no Spark imports so
+they run on the driver or inside executor tasks:
+
+- :func:`bmw_topk` — a faithful restatement of the reference's
+  Block-Max WAND search loop (/root/reference/crates/bm25/src/
+  search.rs:28-282 and the Cursor at :316-518): min-heap of per-term
+  cursors keyed by current doc-id, term-upper-bound pivot selection,
+  block-level alignment before full alignment, lazy block
+  decompression, skip to 1 + min(block-max doc id) on block-bound
+  failure. Demonstrates operator parity; per-pivot work is Python.
+
+- :func:`taat_topk` — the fast path: vectorized term-at-a-time exact
+  scoring. All query-term blocks are decoded with NumPy (decode is
+  the cheap part), candidate docs are the union of posting ids, and
+  contributions accumulate via searchsorted scatter-adds. NumPy is
+  this engine's SIMD; for typical queries this beats a per-document
+  Python loop by orders of magnitude, and the distributed form runs
+  it per doc-shard (bounded work per task) with a global top-k merge.
+
+Both honor the reference's semantics: threshold comparisons are
+strict (search.rs:161,203: candidates must *beat* the running k-th
+score; docs scoring 0 never surface), absent query terms are skipped
+(search.rs:55-62), and ties are broken by ascending doc id
+(deterministic — stronger than the reference's unspecified heap order
+on ties, crates/always_equal/src/lib.rs).
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import packing
+from .scoring import Cache
+
+U64_MAX = np.iinfo(np.int64).max
+
+
+@dataclass
+class TermPostings:
+    """All blocks of one query term, in ascending doc-id order
+    (ascending (shard, block_ord))."""
+
+    cache: Cache  # per-term score cache (s0/s1)
+    wand_fn: int
+    wand_tf: int
+    min_doc: np.ndarray  # int64, global ids
+    max_doc: np.ndarray  # int64
+    count: np.ndarray  # int32
+    block_fn: np.ndarray  # uint8/int
+    block_tf: np.ndarray  # int64
+    ids_meta: list[int]
+    ids_bytes: list[bytes]
+    tfs_meta: list[int]
+    tfs_bytes: list[bytes]
+    shard_base: np.ndarray  # int64 global base of each block's shard
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.min_doc)
+
+    def token_upper_bound(self) -> float:
+        return float(self.cache.evaluate(self.wand_fn, self.wand_tf))
+
+    def block_upper_bound(self, i: int) -> float:
+        return float(self.cache.evaluate(int(self.block_fn[i]), int(self.block_tf[i])))
+
+    def decode(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """-> (global doc ids int64, tfs int64) of block i."""
+        n = int(self.count[i])
+        local_min = int(self.min_doc[i] - self.shard_base[i])
+        ids = packing.decompress_document_ids(
+            local_min, int(self.ids_meta[i]), self.ids_bytes[i]
+        )[:n]
+        tfs = packing.decompress_term_frequencies(
+            int(self.tfs_meta[i]), self.tfs_bytes[i]
+        )[:n]
+        return (
+            ids.astype(np.int64) + int(self.shard_base[i]),
+            tfs.astype(np.int64),
+        )
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        if not self.n_blocks:
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        parts = [self.decode(i) for i in range(self.n_blocks)]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+
+
+class _Results:
+    """Bounded min-heap of (score, doc) with strict threshold —
+    reference Results (search.rs:284-314) plus deterministic tie
+    handling: among equal scores larger doc ids are evicted first, so
+    the kept set matches ORDER BY score DESC, doc_id ASC."""
+
+    __slots__ = ("k", "heap", "threshold")
+
+    def __init__(self, k: int):
+        self.k = k
+        self.heap: list[tuple[float, int]] = []  # (score, -doc_id)
+        self.threshold = 0.0
+
+    def push(self, score: float, doc: int) -> None:
+        heapq.heappush(self.heap, (score, -doc))
+        if len(self.heap) > self.k:
+            heapq.heappop(self.heap)
+        if len(self.heap) == self.k:
+            self.threshold = max(self.threshold, self.heap[0][0])
+
+    def sorted(self) -> list[tuple[int, float]]:
+        return [
+            (-nd, s) for s, nd in sorted(self.heap, key=lambda t: (-t[0], -t[1]))
+        ]
+
+
+class _Cursor:
+    """Port of the reference Cursor (search.rs:316-518) over in-memory
+    block arrays. document_id == U64_MAX means exhausted."""
+
+    __slots__ = (
+        "tp", "bi", "document_id", "pos", "ids", "tfs", "filled", "block_ub", "ord",
+    )
+
+    def __init__(self, tp: TermPostings, ord: int = 0):
+        self.ord = ord
+        self.tp = tp
+        self.bi = 0
+        self.filled = False
+        self.ids: np.ndarray | None = None
+        self.tfs: np.ndarray | None = None
+        self.pos = 0
+        self.document_id = int(tp.min_doc[0]) if tp.n_blocks else U64_MAX
+        self.block_ub = tp.block_upper_bound(0) if tp.n_blocks else 0.0
+
+    def token_upper_bound(self) -> float:
+        return self.tp.token_upper_bound()
+
+    def block_max_document_id(self) -> int:
+        return int(self.tp.max_doc[self.bi]) if self.bi < self.tp.n_blocks else U64_MAX
+
+    def seek_block(self, target: int) -> None:
+        if self.document_id == U64_MAX or target <= self.block_max_document_id():
+            return
+        nxt = int(np.searchsorted(self.tp.max_doc, target, side="left"))
+        if nxt >= self.tp.n_blocks:
+            self.document_id = U64_MAX
+            self.block_ub = 0.0
+            return
+        self.bi = nxt
+        self.document_id = int(self.tp.min_doc[nxt])
+        self.pos = 0
+        self.filled = False
+        self.block_ub = self.tp.block_upper_bound(nxt)
+
+    def _fill(self) -> None:
+        if not self.filled:
+            self.ids, self.tfs = self.tp.decode(self.bi)
+            self.filled = True
+
+    def seek(self, target: int) -> None:
+        self.seek_block(target)
+        if self.document_id == U64_MAX or target <= self.document_id:
+            return
+        if target == int(self.tp.max_doc[self.bi]):
+            # block-boundary fast path (search.rs:440-444)
+            self.document_id = target
+            self.pos = int(self.tp.count[self.bi]) - 1
+            return
+        self._fill()
+        assert self.ids is not None
+        if target == self.document_id + 1:
+            i = self.pos + 1
+        else:
+            i = self.pos + 1 + int(
+                np.searchsorted(self.ids[self.pos + 1 :], target, side="left")
+            )
+        self.pos = i
+        self.document_id = int(self.ids[i])
+
+    def get_tf(self) -> int:
+        self._fill()
+        assert self.tfs is not None
+        return int(self.tfs[self.pos])
+
+
+def bmw_topk(
+    terms: list[TermPostings],
+    fieldnorms: np.ndarray,
+    k: int,
+    allowed=None,
+) -> list[tuple[int, float]]:
+    """Block-Max WAND top-k (reference search.rs:151-280).
+
+    ``fieldnorms``: uint8 array indexed by global doc id (per-shard
+    slices at scale). ``allowed``: optional callable doc_id -> bool
+    evaluated *before* a candidate counts toward k (the reference's
+    prefilter, scanners/default.rs:117-129, fetcher.rs:180-216).
+    """
+    results = _Results(k)
+    if k <= 0:
+        return []
+    cursors = [_Cursor(t, i) for i, t in enumerate(terms) if t.n_blocks]
+    seq = iter(range(1 << 60))  # keeps heap comparisons total
+    head = [(c.document_id, next(seq), c) for c in cursors]
+    heapq.heapify(head)
+    tail: list[_Cursor] = []
+
+    def push_head(c: _Cursor) -> None:
+        heapq.heappush(head, (c.document_id, next(seq), c))
+
+    while True:
+        # --- pivot selection (search.rs:152-169) ---
+        s = sum(c.token_upper_bound() for c in tail)
+        pivot = None
+        exhausted = False
+        while head:
+            _, _, c = heapq.heappop(head)
+            if c.document_id == U64_MAX:
+                exhausted = True
+                break
+            if results.threshold < s + c.token_upper_bound():
+                pivot = c
+                break
+            s += c.token_upper_bound()
+            tail.append(c)
+        if pivot is None or exhausted:
+            break
+        document_id = pivot.document_id
+        lead = [pivot]
+        while head and head[0][0] == document_id:
+            lead.append(heapq.heappop(head)[2])
+
+        # --- block-align the tail (search.rs:177-192) ---
+        kept_tail, failures = [], []
+        for c in tail:
+            c.seek_block(document_id)
+            (failures if document_id < c.document_id else kept_tail).append(c)
+        tail = kept_tail
+        if failures:
+            for c in lead:
+                push_head(c)
+            for c in failures:
+                push_head(c)
+            continue
+
+        sum_block_ub = sum(c.block_ub for c in tail) + sum(c.block_ub for c in lead)
+        if results.threshold < sum_block_ub:
+            # --- full alignment + scoring (search.rs:204-242) ---
+            kept_tail, failures = [], []
+            for c in tail:
+                c.seek(document_id)
+                (failures if document_id < c.document_id else kept_tail).append(c)
+            tail = kept_tail
+            if failures:
+                for c in lead:
+                    push_head(c)
+                for c in failures:
+                    push_head(c)
+                continue
+            if allowed is None or allowed(document_id):
+                fn = int(fieldnorms[document_id])
+                score = 0.0
+                # accumulate in term order so float addition order is
+                # deterministic and matches taat_topk bit-for-bit
+                for c in sorted(tail + lead, key=lambda c: c.ord):
+                    score += float(c.tp.cache.evaluate(fn, c.get_tf()))
+                if results.threshold < score:
+                    results.push(score, document_id)
+            for c in tail + lead:
+                c.seek(document_id + 1)
+                push_head(c)
+            tail = []
+        else:
+            # --- block-max skip (search.rs:243-279) ---
+            min_bmax = min(
+                c.block_max_document_id() for c in lead + tail
+            )
+            next_head = head[0][0] if head else U64_MAX
+            seek_to = min(min_bmax + 1, next_head)
+            pool = lead + tail
+            arg = max(range(len(pool)), key=lambda i: pool[i].token_upper_bound())
+            mover = pool[arg]
+            mover.seek(seek_to)
+            push_head(mover)
+            n_lead = len(lead)
+            for i in range(n_lead):
+                if i != arg:
+                    push_head(pool[i])
+            tail = [pool[i] for i in range(n_lead, len(pool)) if i != arg]
+    return results.sorted()
+
+
+def taat_topk(
+    terms: list[TermPostings],
+    fieldnorms: np.ndarray,
+    k: int,
+    allowed_mask: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """Vectorized exact top-k (term-at-a-time, decode-all).
+
+    candidates = union of query-term posting ids; per-term
+    contributions accumulate with searchsorted index math; top-k by
+    argsort on (-score, doc_id). Equivalent to the exact DataFrame
+    scorer, ~100% NumPy.
+    """
+    if k <= 0:
+        return []
+    terms = [t for t in terms if t.n_blocks]
+    if not terms:
+        return []
+    decoded = [t.decode_all() for t in terms]
+    candidates = np.unique(np.concatenate([ids for ids, _ in decoded]))
+    if allowed_mask is not None and len(candidates):
+        candidates = candidates[allowed_mask[candidates]]
+    if not len(candidates):
+        return []
+    scores = np.zeros(len(candidates), dtype=np.float64)
+    fns = fieldnorms[candidates]
+    for t, (ids, tfs) in zip(terms, decoded):
+        pos = np.searchsorted(candidates, ids)
+        pos = pos[(pos < len(candidates))]
+        m = candidates[np.searchsorted(candidates, ids).clip(0, len(candidates) - 1)] == ids
+        if m.any():
+            idx = np.searchsorted(candidates, ids[m])
+            scores[idx] += t.cache.evaluate(fns[idx], tfs[m])
+    keep = scores > 0.0
+    candidates, scores = candidates[keep], scores[keep]
+    if not len(candidates):
+        return []
+    kk = min(k, len(candidates))
+    # top-k by (-score, doc_id): lexsort keys are applied last-first
+    order = np.lexsort((candidates, -scores))[:kk]
+    return [(int(candidates[i]), float(scores[i])) for i in order]

@@ -1,0 +1,219 @@
+"""Index build + WAND query tests: the reference's differential fuzz
+oracle (tests/fuzz:43-59,217-303 — indexed search vs exact scorer),
+golden .slt orderings through the real index, build determinism across
+parallelism, stage resume, and lineage integrity."""
+
+from __future__ import annotations
+
+import random
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bm25spark.build import build_index
+from bm25spark.config import Bm25Config
+from bm25spark.index import Bm25Index
+from bm25spark.query import exact_topk
+
+VOCAB = 2000
+DOC_LEN = 60
+N_DOCS = 800
+
+
+def _fuzz_rows(n=N_DOCS, seed=42):
+    rnd = random.Random(seed)
+    return [
+        (i, " ".join(f"t{rnd.randrange(VOCAB)}" for _ in range(DOC_LEN)))
+        for i in range(n)
+    ]
+
+
+def canon(hits, nd=9):
+    """Canonicalize a ranking for comparison: float-tie groups at 1e-9
+    are ordered by doc id. The reference fuzz harness tolerates tie
+    reordering the same way (edit distance <= 10, tests/fuzz:287)."""
+    return sorted(((round(s, nd), d) for d, s in hits), key=lambda t: (-t[0], t[1]))
+
+
+@pytest.fixture(scope="module")
+def fuzz_docs(spark):
+    return spark.createDataFrame(_fuzz_rows(), "doc_id INT, text STRING")
+
+
+@pytest.fixture(scope="module")
+def fuzz_index(spark, fuzz_docs, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx") / "fuzz")
+    cfg = Bm25Config(shard_size=256)  # multiple shards + tail blocks
+    build_index(spark, fuzz_docs, d, "text", ["doc_id"], cfg=cfg)
+    return Bm25Index(spark, d)
+
+
+def _py_exact(rows, qtokens, k, k1=1.2, b=0.75):
+    """Independent pure-Python exact BM25 oracle."""
+    from collections import Counter
+
+    from bm25spark.fieldnorm import length_to_fieldnorm
+    from bm25spark.scoring import idf, tf_score
+
+    tfs = {i: Counter(t.split()) for i, t in rows}
+    dls = {i: sum(c.values()) for i, c in tfs.items()}
+    n = len(rows)
+    avgdl = sum(dls.values()) / n
+    out = []
+    for i in tfs:
+        s = 0.0
+        for t in sorted(set(qtokens)):
+            if tfs[i][t]:
+                df = sum(1 for j in tfs if tfs[j][t])
+                fn = int(length_to_fieldnorm(dls[i]))
+                s += float(idf(n, df)) * float(tf_score(fn, tfs[i][t], k1, b, avgdl))
+        if s > 0:
+            out.append((i, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+class TestFuzzDifferential:
+    def test_rank_identity_vs_python_oracle(self, fuzz_index):
+        rows = _fuzz_rows()
+        rnd = random.Random(7)
+        for _ in range(25):
+            nq = rnd.randint(1, 5)
+            qtokens = [f"t{rnd.randrange(VOCAB)}" for _ in range(nq)]
+            if rnd.random() < 0.3:
+                qtokens.append("zz_absent")
+            q = " ".join(qtokens)
+            want = canon(_py_exact(rows, qtokens, 100))
+            taat = fuzz_index.search(q, 100, mode="taat")
+            bmw = fuzz_index.search(q, 100, mode="bmw")
+            assert taat == bmw, q  # bit-identical kernels
+            assert canon(taat) == want, q
+
+    def test_rank_identity_vs_spark_exact(self, spark, fuzz_docs, fuzz_index):
+        for q in ("t3 t55 t999", "t0", "t1 zz_absent"):
+            want = [
+                (r.doc_id, r.score)
+                for r in exact_topk(
+                    spark, fuzz_docs, "text", "doc_id", q, 100, round_score=None
+                ).collect()
+            ]
+            got = fuzz_index.search(q, 100, mode="taat")
+            assert canon(got) == canon(want), q
+
+    def test_all_absent_empty(self, fuzz_index):
+        assert fuzz_index.search("zz qq", 10) == []
+        assert fuzz_index.search("zz qq", 10, mode="bmw") == []
+
+    def test_k_larger_than_hits(self, fuzz_index):
+        hits = fuzz_index.search("t17", N_DOCS * 2)
+        bmw = fuzz_index.search("t17", N_DOCS * 2, mode="bmw")
+        assert hits == bmw and 0 < len(hits) < N_DOCS
+
+    def test_prefilter_mask(self, fuzz_index):
+        mask = np.zeros(fuzz_index.n_docs, dtype=bool)
+        mask[::2] = True  # even internal ids only
+        got = fuzz_index.search("t3 t55", 50, mode="taat", allowed_mask=mask)
+        assert all(d % 2 == 0 for d, _ in got)
+        bmw = fuzz_index.search(
+            "t3 t55", 50, mode="bmw", allowed_mask=mask
+        )
+        assert got == bmw
+        unfiltered = [d for d, _ in fuzz_index.search("t3 t55", 50)]
+        assert [d for d, _ in got] != unfiltered
+
+
+class TestGoldenThroughIndex:
+    def test_slt_ordering_via_wand(self, spark, passages_df, tmp_path):
+        cfg = Bm25Config(analyzer="english")
+        d = str(tmp_path / "slt")
+        build_index(spark, passages_df, d, "passage", ["doc_id"], cfg=cfg)
+        idx = Bm25Index(spark, d)
+        for mode in ("taat", "bmw"):
+            hits = idx.search("PostgreSQL", 10, mode=mode)
+            assert [d_ for d_, _ in hits] == [7, 8, 3, 0, 6, 1]  # internal ids
+        out = idx.search_df("PostgreSQL", 10).collect()
+        assert [r.doc_id for r in out] == [8, 9, 4, 1, 7, 2]  # payload ids
+
+
+class TestBuildProperties:
+    def test_determinism_across_parallelism(self, spark, fuzz_docs, tmp_path):
+        """North-rule scaling precondition: identical artifacts at any
+        partitioning of the id-assignment shuffle."""
+        cfg = Bm25Config(shard_size=256)
+        a, b_ = str(tmp_path / "a"), str(tmp_path / "b")
+        build_index(spark, fuzz_docs, a, "text", ["doc_id"], cfg=cfg, id_partitions=3)
+        build_index(spark, fuzz_docs, b_, "text", ["doc_id"], cfg=cfg, id_partitions=17)
+        ia, ib = Bm25Index(spark, a), Bm25Index(spark, b_)
+        assert ia.meta["n_docs"] == ib.meta["n_docs"]
+        assert ia.meta["sum_dl"] == ib.meta["sum_dl"]
+
+        cols = ["term_key", "shard", "block_ord", "min_doc", "max_doc",
+                "count", "wand_fn", "wand_tf", "ids_meta", "ids_bytes",
+                "tfs_meta", "tfs_bytes"]
+        pa = sorted(map(tuple, ia.postings_df().select(cols).collect()))
+        pb = sorted(map(tuple, ib.postings_df().select(cols).collect()))
+        assert pa == pb
+
+        da = sorted(map(tuple, ia.docs_df().select("doc_id", "p_doc_id", "fieldnorm").collect()))
+        db = sorted(map(tuple, ib.docs_df().select("doc_id", "p_doc_id", "fieldnorm").collect()))
+        assert da == db
+
+    def test_resume_skips_completed_stages(self, spark, fuzz_docs, tmp_path):
+        import os
+
+        cfg = Bm25Config(shard_size=256)
+        d = str(tmp_path / "resume")
+        build_index(spark, fuzz_docs, d, "text", ["doc_id"], cfg=cfg)
+        idx1 = Bm25Index(spark, d)
+        t1 = idx1.search("t3 t55", 10)
+        # simulate crash after postings stage: drop terms + meta
+        shutil.rmtree(os.path.join(d, "terms"))
+        os.remove(os.path.join(d, "meta.json"))
+        docs_mtime = os.path.getmtime(os.path.join(d, "docs", "_SUCCESS"))
+        build_index(spark, fuzz_docs, d, "text", ["doc_id"], cfg=cfg, resume=True)
+        assert os.path.getmtime(os.path.join(d, "docs", "_SUCCESS")) == docs_mtime
+        idx2 = Bm25Index(spark, d)
+        assert idx2.search("t3 t55", 10) == t1
+
+    def test_lineage_and_content_sha(self, spark, fuzz_docs, fuzz_index):
+        lin = fuzz_index.lineage_df().collect()
+        assert len(lin) == (N_DOCS + 255) // 256  # one row per shard
+        assert sum(r.n_docs for r in lin) == N_DOCS
+        assert all(r.n_blocks > 0 and r.packed_bytes > 0 for r in lin)
+        # per-row invariant: content sha256 carried unmutated
+        joined = (
+            fuzz_index.docs_df()
+            .select("p_doc_id", "content_sha256")
+            .join(
+                fuzz_docs.select(
+                    F.col("doc_id").alias("p_doc_id"),
+                    F.sha2(F.col("text"), 256).alias("src_sha"),
+                ),
+                "p_doc_id",
+            )
+            .filter(F.col("content_sha256") != F.col("src_sha"))
+            .count()
+        )
+        assert joined == 0
+
+    def test_block_invariants(self, fuzz_index):
+        rows = fuzz_index.postings_df().collect()
+        from bm25spark.config import BLOCK_SIZE
+
+        by_ts = {}
+        for r in rows:
+            assert 1 <= r["count"] <= BLOCK_SIZE
+            assert r.min_doc <= r.max_doc
+            assert r.min_doc // fuzz_index.shard_size == r.shard
+            assert r.max_doc // fuzz_index.shard_size == r.shard
+            by_ts.setdefault((bytes(r.term_key), r.shard), []).append(r)
+        for (_, _), blocks in by_ts.items():
+            blocks.sort(key=lambda r: r.block_ord)
+            # only the last block of a (term, shard) chain may be partial
+            for bl in blocks[:-1]:
+                assert bl["count"] == BLOCK_SIZE
+            # ascending non-overlapping doc ranges
+            for x, y in zip(blocks, blocks[1:]):
+                assert x.max_doc < y.min_doc
