@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., extras...}
+
+Workloads:
+- index_build          build over $SPARK_GRAFT_SF_DIR/documents.parquet
+- synth_build          build over a deterministic synthetic source-code
+                       corpus (Zipf vocab, skewed terms) — the
+                       scaling-relevant throughput number
+- wand_q_*             indexed top-k latency (driver kernel) per query
+- exact_q_multi        full exact-scorer Catalyst plan
+- dedup_minhash_pairs / ann_cosine_topk / text_stats
+                       training-data pipeline operators
+
+Environment: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), BM25SPARK_BENCH_SYNTH (synthetic corpus
+rows, default 20000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    synth_n = int(os.environ.get("BM25SPARK_BENCH_SYNTH", "20000"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bm25spark.build import build_index
+    from bm25spark.config import Bm25Config
+    from bm25spark.datapipe import dedup, similarity, textstats
+    from bm25spark.fixtures import synth_corpus
+    from bm25spark.index import Bm25Index
+    from bm25spark.query import exact_topk
+    from bm25spark.session import get_spark
+
+    spark = get_spark("bm25spark-bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(docs_path)
+    n_docs = docs.count()
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    work = "/tmp/bm25spark-bench"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+
+    # ---- index build over the sf documents table ----
+    t0 = time.perf_counter()
+    build_index(spark, docs, f"{work}/idx_docs", "text", ["doc_id"])
+    queries["index_build"] = round(time.perf_counter() - t0, 3)
+    extras["index_build_docs_per_sec"] = round(n_docs / queries["index_build"], 1)
+
+    # ---- synthetic source-code corpus build (scaling headline) ----
+    corpus_path = f"{work}/corpus.parquet"
+    synth_corpus(spark, synth_n, partitions=cpus * 2).write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    t0 = time.perf_counter()
+    build_index(
+        spark,
+        corpus,
+        f"{work}/idx_synth",
+        "content",
+        ["repo", "path", "commit"],
+        cfg=Bm25Config(analyzer="code", shard_size=1 << 14),
+    )
+    queries["synth_build"] = round(time.perf_counter() - t0, 3)
+    extras["synth_build_docs_per_sec"] = round(synth_n / queries["synth_build"], 1)
+
+    # ---- indexed top-k latency (driver kernel over parquet postings) ----
+    idx = Bm25Index(spark, f"{work}/idx_docs")
+    idx.fieldnorms()  # warm the docs artifact once, like a resident server
+    wand_queries = {
+        "wand_q_multi": "merge spark window",
+        "wand_q_hot": "the",
+        "wand_q_rare": "vector",
+        "wand_q_4term": "data table query batch",
+    }
+    idx.search("warm up", 10)
+    lat = []
+    for name, q in wand_queries.items():
+        t0 = time.perf_counter()
+        idx.search(q, 10, mode="taat")
+        dt = time.perf_counter() - t0
+        queries[name] = round(dt, 4)
+        lat.append(dt)
+    lat.sort()
+    extras["wand_p50_sec"] = round(lat[len(lat) // 2], 4)
+    extras["wand_qps"] = round(1.0 / extras["wand_p50_sec"], 1)
+
+    t0 = time.perf_counter()
+    exact_topk(spark, docs, "text", "doc_id", "merge spark window", 10).collect()
+    queries["exact_q_multi"] = round(time.perf_counter() - t0, 3)
+
+    # ---- training-data pipeline operators ----
+    t0 = time.perf_counter()
+    dedup.minhash_candidate_pairs(docs).collect()
+    queries["dedup_minhash_pairs"] = round(time.perf_counter() - t0, 3)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.perf_counter()
+    similarity.ann_cosine_topk(emb).collect()
+    queries["ann_cosine_topk"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    textstats.text_stats(docs).collect()
+    queries["text_stats"] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "bm25 index build + top-k query + datapipe wall time",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "synth_docs": synth_n,
+        **extras,
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

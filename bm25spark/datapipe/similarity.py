@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 
 PROBES = list(range(10))
 K = 10
-LSH_BITS = 8
+# 4 hyperplanes -> 16 buckets; with Hamming-1 multiprobe a query scans
+# ~5/16 of the corpus. Recall on *clustered* data is far higher than
+# the scanned fraction; on isotropic random vectors (the synthetic
+# table) it approaches it — the pytest recall bound reflects that
+# worst case.
+LSH_BITS = 4
 
 
 def _as_double(col):

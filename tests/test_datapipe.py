@@ -1,0 +1,164 @@
+"""Training-data pipeline operator tests: DuckDB oracle equivalence
+for the deterministic ops, recall for the approximate ANN, and the
+multimodal Arrow plumbing."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bm25spark.datapipe import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def duck(sql: str):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    return con.execute(sql).fetchall()
+
+
+def assert_matches(df, sql):
+    got = sorted(map(repr, (tuple(r) for r in df.collect())))
+    want = sorted(map(repr, (tuple(r) for r in duck(sql))))
+    assert got == want, f"{len(got)} vs {len(want)}: {got[:2]} | {want[:2]}"
+
+
+class TestDedup:
+    def test_exact_groups(self, docs):
+        assert_matches(dedup.exact_dup_groups(docs), dedup.exact_dup_groups_sql())
+
+    def test_exact_detects_planted_dup(self, spark):
+        rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta")]
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        out = {
+            r.content_hash: (r.n_dups, r.keeper_id)
+            for r in dedup.exact_dup_groups(df).collect()
+        }
+        assert (2, 1) in out.values() and (1, 3) in out.values()
+
+    def test_minhash_signatures(self, docs):
+        assert_matches(
+            dedup.minhash_signatures(docs), dedup.minhash_signatures_sql()
+        )
+
+    def test_minhash_pairs(self, docs):
+        assert_matches(
+            dedup.minhash_candidate_pairs(docs), dedup.minhash_candidate_pairs_sql()
+        )
+
+    def test_minhash_finds_near_dup(self, spark):
+        base = " ".join(f"w{i}" for i in range(60))
+        near = " ".join(f"w{i}" for i in range(59)) + " zz"
+        rows = [(1, base), (2, near)] + [
+            (i, " ".join(f"u{i}_{j}" for j in range(60))) for i in range(3, 40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        pairs = dedup.minhash_candidate_pairs(df).collect()
+        assert any(r.doc_a == 1 and r.doc_b == 2 and r.est_jaccard > 0.5 for r in pairs)
+
+    def test_simhash(self, docs):
+        assert_matches(dedup.simhash(docs), dedup.simhash_sql())
+
+    def test_ngram_jaccard(self, docs):
+        assert_matches(
+            dedup.ngram_jaccard_pairs(docs), dedup.ngram_jaccard_pairs_sql()
+        )
+
+
+class TestTextStats:
+    def test_stats(self, docs):
+        assert_matches(textstats.text_stats(docs), textstats.text_stats_sql())
+
+    def test_quality(self, docs):
+        assert_matches(textstats.text_quality(docs), textstats.text_quality_sql())
+
+    def test_fingerprint(self, docs):
+        assert_matches(
+            textstats.text_fingerprint(docs), textstats.text_fingerprint_sql()
+        )
+
+    def test_fingerprint_collapses_whitespace(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello  world"), (2, "hello world"), (3, "other")],
+            "doc_id INT, text STRING",
+        )
+        fps = {r.doc_id: r.fingerprint for r in textstats.text_fingerprint(df).collect()}
+        assert fps[1] == fps[2] != fps[3]
+
+
+class TestSimilarity:
+    def test_bruteforce_matches_oracle(self, emb):
+        assert_matches(
+            similarity.ann_cosine_topk(emb), similarity.ann_cosine_topk_sql()
+        )
+
+    def test_lsh_recall(self, emb):
+        exact = similarity.ann_cosine_topk(emb).collect()
+        approx = similarity.ann_lsh_topk(emb).collect()
+        by_probe_exact = {}
+        for r in exact:
+            by_probe_exact.setdefault(r.probe_id, []).append(r.vec_id)
+        by_probe_approx = {}
+        for r in approx:
+            by_probe_approx.setdefault(r.probe_id, []).append(r.vec_id)
+        recalls = []
+        for p, want in by_probe_exact.items():
+            got = set(by_probe_approx.get(p, []))
+            recalls.append(len(got & set(want)) / len(want))
+        # probe itself always lands in its own bucket
+        assert all(p in by_probe_approx.get(p, []) for p in by_probe_exact)
+        assert float(np.mean(recalls)) >= 0.25, recalls
+
+    def test_lsh_scores_are_exact_cosine(self, emb):
+        exact = {
+            (r.probe_id, r.vec_id): r.cos
+            for r in similarity.ann_cosine_topk(emb, k=500).collect()
+        }
+        for r in similarity.ann_lsh_topk(emb).collect():
+            assert exact[(r.probe_id, r.vec_id)] == r.cos
+
+
+class TestMultimodal:
+    def test_decode_stub(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG")
+
+    def test_media_schema_and_features(self, spark, docs):
+        media = multimodal.attach_fake_media(docs.limit(50))
+        assert [(f.name, f.dataType) for f in media.schema.fields] == [
+            (f.name, f.dataType) for f in multimodal.MEDIA_SCHEMA.fields
+        ]
+        feats = multimodal.extract_features(media).collect()
+        assert len(feats) == 50
+        for r in feats:
+            assert r.n_bytes == 64  # 2x sha256 decoded from hex
+            assert len(r.histogram16) == 16
+            assert abs(sum(r.histogram16) - 1.0) < 1e-6
+            assert 0.0 < r.byte_entropy <= 4.0
+
+    def test_features_deterministic(self, spark, docs):
+        media = multimodal.attach_fake_media(docs.limit(20))
+        a = sorted(map(repr, multimodal.extract_features(media).collect()))
+        b = sorted(map(repr, multimodal.extract_features(media).collect()))
+        assert a == b
+
+    def test_frame_sample_plan(self, spark, docs):
+        media = multimodal.attach_fake_media(docs.limit(30))
+        plan = multimodal.frame_sample_plan(media, every_n=1).collect()
+        vids = {r.doc_id for r in media.filter("media_type = 'video/mp4'").collect()}
+        assert {r.doc_id for r in plan} == vids
+        assert all(r.frame_no == 0 for r in plan)  # 64B media -> 1 frame
