@@ -84,6 +84,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if have_wand:
             out[f"bm25_wand_{name}"] = _wand_q(tokens, k)
 
+    if have_wand:
+
+        def _dist_q(tokens: list[str], k: int):
+            def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+                from pyspark.sql import functions as F
+
+                from bm25spark.api import index_for_parquet
+                from bm25spark.distributed import search_distributed
+
+                idx = index_for_parquet(
+                    spark, f"{sf_dir}/documents.parquet", "text", ["doc_id"]
+                )
+                return search_distributed(
+                    spark, idx.index_dir, " ".join(tokens), k
+                ).select(F.col("doc_id").cast("bigint").alias("doc_id"), "score")
+
+            return run
+
+        toks, kk = _QUERY_SETS["q_multi"]
+        out["bm25_dist_q_multi"] = _dist_q(toks, kk)
+
     out["corpus_stats"] = lambda spark, sf: stats.corpus_stats(spark, _docs(spark, sf))
     out["term_df_top50"] = lambda spark, sf: stats.term_df(spark, _docs(spark, sf), 50)
     out["doc_fieldnorms"] = lambda spark, sf: stats.doc_fieldnorms(
@@ -115,6 +136,10 @@ def oracle_sql() -> dict[str, str]:
         out[f"bm25_exact_{name}"] = sql
         if have_wand:
             out[f"bm25_wand_{name}"] = sql
+
+    if have_wand:
+        toks, kk = _QUERY_SETS["q_multi"]
+        out["bm25_dist_q_multi"] = oracle.bm25_topk_sql(toks, kk)
 
     out["corpus_stats"] = oracle.corpus_stats_sql()
     out["term_df_top50"] = oracle.term_df_sql(50)

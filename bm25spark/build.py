@@ -108,7 +108,12 @@ def _assign_doc_ids(
     ``order_cols`` (which must be a unique key). Two passes: range
     shuffle + per-partition counts, then offset + local rank — the
     Spark form of the reference's sequential RecordsWriter doc-id
-    counter (io.rs:39-67) without the sequential bottleneck."""
+    counter (io.rs:39-67) without the sequential bottleneck.
+
+    The result is eagerly local-checkpointed: the per-partition rank
+    is only meaningful while tasks compute exactly the range-shuffle
+    output partitions, so the frame must be pinned before any plan
+    (e.g. a union in vacuum) can merge it into a wider stage."""
     parts = df.repartitionByRange(partitions, *order_cols).sortWithinPartitions(
         *order_cols
     )
@@ -141,7 +146,7 @@ def _assign_doc_ids(
             seen += len(pdf)
             yield pdf
 
-    return parts.mapInPandas(assign, schema)
+    return parts.mapInPandas(assign, schema).localCheckpoint(eager=True)
 
 
 def _build_blocks_fn(cfg: Bm25Config, avgdl: float, n_buckets: int):
@@ -233,11 +238,14 @@ def build_index(
         # with the engine's internal doc_id column
         for c in payload_cols:
             src = src.withColumn(f"p_{c}", F.col(c))
-        prepared = with_doc_terms(src, text_col, cfg.analyzer, cfg.seed)
         n_rows_hint = id_partitions or max(
             spark.sparkContext.defaultParallelism, 32
         )
-        with_ids = _assign_doc_ids(spark, prepared, order_cols, n_rows_hint)
+        # ids are a function of order_cols only — assign them *before*
+        # tokenizing so the counts pass doesn't run the analyzer UDF
+        # (tokenization then happens exactly once, under the persist)
+        assigned = _assign_doc_ids(spark, src, order_cols, n_rows_hint)
+        with_ids = with_doc_terms(assigned, text_col, cfg.analyzer, cfg.seed)
         with_ids = (
             with_ids.withColumn(
                 "shard", (F.col("_iid") / cfg.shard_size).cast("int")
@@ -284,6 +292,29 @@ def build_index(
             .parquet(maps_path)
         )
         with_ids.unpersist()
+
+    return finalize_index(spark, index_dir, cfg, payload_cols, resume=resume)
+
+
+def finalize_index(
+    spark: SparkSession,
+    index_dir: str,
+    cfg: Bm25Config,
+    payload_cols: list[str],
+    resume: bool = False,
+) -> str:
+    """Stages 2-5 over already-written docs/mappings artifacts.
+
+    Shared by the initial build and by vacuum compaction (which writes
+    relabeled docs/mappings artifacts itself — the reference's maintain
+    re-runs exactly the sort+flush stages on the merged stream,
+    maintain.rs:27-311)."""
+    docs_path = os.path.join(index_dir, "docs")
+    maps_path = os.path.join(index_dir, "mappings")
+    postings_path = os.path.join(index_dir, "postings")
+    terms_path = os.path.join(index_dir, "terms")
+    lineage_path = os.path.join(index_dir, "lineage")
+    meta_path = os.path.join(index_dir, "meta.json")
 
     # ---- stage 2: corpus stats ------------------------------------------
     docs_art = spark.read.parquet(docs_path)

@@ -1,0 +1,144 @@
+"""Distributed top-k: one kernel task per doc-shard, global merge.
+
+The scale form of the query path (SURVEY.md §2.7 Q1 "distributed
+form"): term statistics broadcast from the driver (they are global —
+idf/avgdl must not vary per task), posting blocks of the query terms
+grouped by shard, the vectorized taat kernel run inside each task over
+its shard's blocks + fieldnorm slice, per-shard top-k unioned and cut
+to the global top-k by Spark's TakeOrderedAndProject. Per-shard
+thresholds start at 0 so the union provably contains the global top-k.
+
+Work per task is bounded by shard_size regardless of term skew — the
+same property the build's (term, shard) grouping gives — so a 1000-
+executor cluster serves a hot-term query by fanning exactly the hot
+term's shards out, not by melting one task.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index import Bm25Index
+from .scoring import Cache
+from .wand import TermPostings, taat_topk
+
+
+class _OffsetFieldnorms:
+    """Global-id-indexable view over one shard's fieldnorm slice."""
+
+    __slots__ = ("base", "arr")
+
+    def __init__(self, base: int, arr: np.ndarray):
+        self.base = base
+        self.arr = arr
+
+    def __getitem__(self, idx):
+        return self.arr[np.asarray(idx) - self.base]
+
+
+def search_distributed(
+    spark: SparkSession,
+    index_dir: str,
+    query_text: str,
+    k: int,
+    round_score: int | None = 4,
+) -> DataFrame:
+    """-> DataFrame (payload cols..., score), best-first."""
+    idx = Bm25Index(spark, index_dir)
+    keys = idx.query_keys(query_text)
+    stats = idx.term_stats(keys)
+    present = sorted(key for key in keys if key in stats)
+    empty = spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
+    if not present:
+        return empty
+
+    n_docs, avgdl, k1, b = idx.n_docs, idx.avgdl, idx.k1, idx.b
+    shard_size = idx.shard_size
+    docs_path = idx._path("docs")
+    term_info = {
+        key: (i, stats[key]["df"], stats[key]["wand_fn"], stats[key]["wand_tf"])
+        for i, key in enumerate(present)
+    }
+    binfo = spark.sparkContext.broadcast(
+        (term_info, n_docs, avgdl, k1, b, shard_size, docs_path, k)
+    )
+
+    buckets = idx._buckets(present)
+    blocks = (
+        idx.postings_df()
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term_key").isin([bytearray(x) for x in present]))
+        .select(
+            "term_key", "shard", "block_ord", "min_doc", "max_doc", "count",
+            "wand_fn", "wand_tf", "ids_meta", "ids_bytes", "tfs_meta", "tfs_bytes",
+        )
+    )
+
+    def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        (term_info, n_docs, avgdl, k1, b, shard_size, docs_path, k) = binfo.value
+        shard = int(key[0])
+        base = shard * shard_size
+        d = ds.dataset(docs_path, format="parquet")
+        t = d.to_table(
+            columns=["doc_id", "fieldnorm"], filter=pc.field("shard") == shard
+        )
+        ids = np.asarray(t["doc_id"])
+        arr = np.zeros(shard_size, dtype=np.uint8)
+        arr[ids - base] = np.asarray(t["fieldnorm"]).astype(np.uint8)
+        fns = _OffsetFieldnorms(base, arr)
+
+        pdf = pdf.sort_values(["term_key", "block_ord"], kind="stable")
+        terms = []
+        for term_key, g in pdf.groupby("term_key", sort=True):
+            _, df_, wfn, wtf = term_info[bytes(term_key)]
+            terms.append(
+                TermPostings(
+                    cache=Cache(n_docs, df_, k1, b, avgdl),
+                    wand_fn=int(wfn),
+                    wand_tf=int(wtf),
+                    min_doc=g["min_doc"].to_numpy(np.int64),
+                    max_doc=g["max_doc"].to_numpy(np.int64),
+                    count=g["count"].to_numpy(np.int64),
+                    block_fn=g["wand_fn"].to_numpy(np.int64),
+                    block_tf=g["wand_tf"].to_numpy(np.int64),
+                    ids_meta=g["ids_meta"].tolist(),
+                    ids_bytes=[bytes(x) for x in g["ids_bytes"]],
+                    tfs_meta=g["tfs_meta"].tolist(),
+                    tfs_bytes=[bytes(x) for x in g["tfs_bytes"]],
+                    shard_base=np.full(len(g), base, dtype=np.int64),
+                )
+            )
+        hits = taat_topk(terms, fns, k)
+        return pd.DataFrame(hits, columns=["doc_id", "score"])
+
+    per_shard = blocks.groupBy("shard").applyInPandas(
+        run_shard, "doc_id BIGINT, score DOUBLE"
+    )
+    score_col = (
+        F.round(F.col("score"), round_score) if round_score is not None else F.col("score")
+    )
+    topk = (
+        per_shard.select("doc_id", score_col.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    # J3: payload join on the dense id (internal id aliased so a
+    # payload column may itself be named doc_id)
+    docs = idx.docs_df().select(
+        F.col("doc_id").alias("_iid"),
+        *[F.col(f"p_{c}") for c in idx.payload_cols],
+    )
+    return (
+        topk.join(docs, topk["doc_id"] == docs["_iid"])
+        .select(
+            *[F.col(f"p_{c}").alias(c) for c in idx.payload_cols],
+            topk["score"],
+        )
+        .orderBy(F.desc("score"), *idx.payload_cols)
+    )

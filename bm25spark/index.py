@@ -20,6 +20,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import artifacts
 from .analyze import analyze_query, get_analyzer
 from .build import term_bucket
 from .config import Bm25Config
@@ -65,60 +66,26 @@ class Bm25Index:
     def query_keys(self, query_text: str) -> list[bytes]:
         return analyze_query(query_text, self.analyzer, self.seed)
 
+    def _buckets(self, keys: list[bytes]) -> list[int]:
+        return sorted({term_bucket(k, self.meta["term_buckets"]) for k in keys})
+
     def term_stats(self, keys: list[bytes]) -> dict[bytes, dict]:
-        """J1: dictionary lookup for the query's keys. Bucket filter
-        prunes parquet directories before the key filter."""
+        """J1: dictionary lookup for the query's keys — a direct Arrow
+        read with term_key pushdown (no Spark job), the analogue of the
+        reference's token B-tree descent (address_tokens.rs:61-98)."""
         if not keys:
             return {}
-        buckets = sorted({term_bucket(k, self.meta["term_buckets"]) for k in keys})
-        rows = (
-            self.terms_df()
-            .filter(F.col("bucket").isin(buckets))
-            .filter(F.col("term_key").isin([bytearray(k) for k in keys]))
-            .collect()
-        )
-        return {
-            bytes(r.term_key): {
-                "df": int(r.df),
-                "wand_fn": int(r.wand_fn),
-                "wand_tf": int(r.wand_tf),
-            }
-            for r in rows
-        }
+        return artifacts.read_terms(self._path("terms"), keys, self._buckets(keys))
 
     def postings_for(self, keys: list[bytes]) -> dict[bytes, dict]:
-        """Collect the query terms' block metadata+payload to the
-        driver, grouped per key, ordered by (shard, block_ord)."""
+        """Query terms' blocks, grouped per key, ordered by
+        (shard, block_ord) — Arrow read with hive bucket-directory
+        pruning + term_key row-group pushdown."""
         if not keys:
             return {}
-        buckets = sorted({term_bucket(k, self.meta["term_buckets"]) for k in keys})
-        rows = (
-            self.postings_df()
-            .filter(F.col("bucket").isin(buckets))
-            .filter(F.col("term_key").isin([bytearray(k) for k in keys]))
-            .collect()
+        return artifacts.read_postings(
+            self._path("postings"), keys, self._buckets(keys), self.shard_size
         )
-        grouped: dict[bytes, list] = {}
-        for r in rows:
-            grouped.setdefault(bytes(r.term_key), []).append(r)
-        out = {}
-        for key, rs in grouped.items():
-            rs.sort(key=lambda r: (r.shard, r.block_ord))
-            out[key] = {
-                "min_doc": np.array([r.min_doc for r in rs], dtype=np.int64),
-                "max_doc": np.array([r.max_doc for r in rs], dtype=np.int64),
-                "count": np.array([r["count"] for r in rs], dtype=np.int64),
-                "block_fn": np.array([r.wand_fn for r in rs], dtype=np.int64),
-                "block_tf": np.array([r.wand_tf for r in rs], dtype=np.int64),
-                "ids_meta": [r.ids_meta for r in rs],
-                "ids_bytes": [bytes(r.ids_bytes) for r in rs],
-                "tfs_meta": [r.tfs_meta for r in rs],
-                "tfs_bytes": [bytes(r.tfs_bytes) for r in rs],
-                "shard_base": np.array(
-                    [r.shard * self.shard_size for r in rs], dtype=np.int64
-                ),
-            }
-        return out
 
     def fieldnorms(self) -> np.ndarray:
         """Dense uint8 fieldnorm array indexed by internal doc id.
@@ -129,10 +96,9 @@ class Bm25Index:
         doc_id, so the read prunes row groups).
         """
         if self._fieldnorms is None:
-            rows = self.docs_df().select("doc_id", "fieldnorm").toPandas()
-            arr = np.zeros(self.n_docs, dtype=np.uint8)
-            arr[rows["doc_id"].to_numpy()] = rows["fieldnorm"].to_numpy()
-            self._fieldnorms = arr
+            self._fieldnorms = artifacts.read_fieldnorms(
+                self._path("docs"), self.n_docs
+            )
         return self._fieldnorms
 
     # ---- search ------------------------------------------------------------

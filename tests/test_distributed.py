@@ -1,0 +1,53 @@
+"""Distributed (per-shard) search path: must equal the driver kernel
+exactly — per-shard top-k union provably contains the global top-k."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from bm25spark.build import build_index
+from bm25spark.config import Bm25Config
+from bm25spark.distributed import search_distributed
+from bm25spark.index import Bm25Index
+
+
+@pytest.fixture(scope="module")
+def dist_index(spark, tmp_path_factory):
+    rnd = random.Random(5)
+    rows = [
+        (i * 3, " ".join(f"t{rnd.randrange(500)}" for _ in range(40)))
+        for i in range(600)
+    ]  # non-dense source ids: payload != internal id
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    d = str(tmp_path_factory.mktemp("dist") / "idx")
+    build_index(spark, df, d, "text", ["doc_id"], cfg=Bm25Config(shard_size=128))
+    return d, dict(rows)
+
+
+class TestDistributed:
+    def test_matches_driver_kernel(self, spark, dist_index):
+        d, _ = dist_index
+        idx = Bm25Index(spark, d)
+        pay = {
+            r.doc_id: r.p_doc_id
+            for r in idx.docs_df().select("doc_id", "p_doc_id").collect()
+        }
+        for q in ("t1 t22 t333", "t0", "t7 zz_absent", "zz qq"):
+            driver = [(pay[i], s) for i, s in idx.search(q, 25)]
+            dist = [
+                (r.doc_id, r.score)
+                for r in search_distributed(spark, d, q, 25, round_score=None).collect()
+            ]
+            assert [p for p, _ in dist] == [p for p, _ in driver], q
+            if driver:
+                assert np.allclose(
+                    [s for _, s in dist], [s for _, s in driver], rtol=1e-12
+                )
+
+    def test_payload_ids_returned(self, spark, dist_index):
+        d, rows = dist_index
+        out = search_distributed(spark, d, "t1", 10).collect()
+        assert out and all(r.doc_id % 3 == 0 for r in out)  # source ids

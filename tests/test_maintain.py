@@ -1,0 +1,180 @@
+"""Mutation lifecycle tests — the reference fuzz harness's operation
+mix (tests/fuzz:43-59: insert/select/delete/vacuum) with a pure-Python
+oracle that replicates the reference's *stale-statistics* semantics:
+between vacuums, N/avgdl/df come from the sealed segment only;
+tombstoned docs are skipped but still count in the statistics; delta
+docs are scored with sealed stats and sealed dictionary."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from bm25spark.build import build_index
+from bm25spark.config import Bm25Config
+from bm25spark.fieldnorm import length_to_fieldnorm
+from bm25spark.index import Bm25Index
+from bm25spark.maintain import delete, insert, search_with_delta, vacuum
+from bm25spark.scoring import idf, tf_score
+
+VOCAB = 300
+DOC_LEN = 30
+
+
+def _mkdoc(rnd, i):
+    return (i, " ".join(f"t{rnd.randrange(VOCAB)}" for _ in range(DOC_LEN)))
+
+
+class PyOracle:
+    """Sealed/delta/tombstone state machine with reference scoring."""
+
+    def __init__(self, rows):
+        self.sealed = dict(rows)  # id -> text (includes tombstoned)
+        self.tomb = set()
+        self.delta = {}  # id -> text
+
+    def insert(self, i, text):
+        self.delta[i] = text
+
+    def delete(self, i):
+        if i in self.sealed:
+            self.tomb.add(i)
+        self.delta.pop(i, None)
+
+    def vacuum(self):
+        live = {i: t for i, t in self.sealed.items() if i not in self.tomb}
+        live.update(self.delta)
+        self.sealed, self.delta, self.tomb = live, {}, set()
+
+    def search(self, qtokens, k, k1=1.2, b=0.75):
+        tf = {i: Counter(t.split()) for i, t in self.sealed.items()}
+        n = len(self.sealed)
+        if not n:
+            sealed_df = {}
+            avgdl = 0.0
+        else:
+            avgdl = sum(sum(c.values()) for c in tf.values()) / n
+            sealed_df = {
+                t: sum(1 for c in tf.values() if c[t]) for t in set(qtokens)
+            }
+        hits = []
+
+        def score(counts):
+            dl = sum(counts.values())
+            fn = int(length_to_fieldnorm(dl))
+            s = 0.0
+            for t in sorted(set(qtokens)):
+                df = sealed_df.get(t, 0)
+                if df and counts[t]:
+                    s += float(idf(n, df)) * float(
+                        tf_score(fn, counts[t], k1, b, avgdl)
+                    )
+            return s
+
+        for i, t in self.sealed.items():
+            if i in self.tomb:
+                continue
+            s = score(tf[i])
+            if s > 0:
+                hits.append((i, s))
+        for i, t in self.delta.items():
+            s = score(Counter(t.split()))
+            if s > 0:
+                hits.append((i, s))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:k]
+
+
+@pytest.fixture()
+def lifecycle(spark, tmp_path):
+    rnd = random.Random(11)
+    rows = [_mkdoc(rnd, i) for i in range(200)]
+    d = str(tmp_path / "idx")
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    build_index(spark, df, d, "text", ["doc_id"], cfg=Bm25Config(shard_size=128))
+    return d, PyOracle(rows), rnd
+
+
+def canon(hits, nd=9):
+    return sorted(((round(s, nd), i) for i, s in hits), key=lambda t: (-t[0], t[1]))
+
+
+def _check(spark, d, oracle, rnd, q, k=50):
+    got = search_with_delta(spark, d, q, k, "text")
+    got_ids = [(p[0], s) for p, s in got]
+    want = oracle.search(q.split(), k)
+    assert canon(got_ids) == canon(want), (q, got_ids[:5], want[:5])
+
+
+class TestLifecycle:
+    def test_fuzz_ops(self, spark, lifecycle):
+        d, oracle, rnd = lifecycle
+        next_id = 1000
+        ops = (["insert"] * 2 + ["select"] * 4 + ["delete"] * 3 + ["vacuum"]) * 3
+        rnd.shuffle(ops)
+        live_ids = list(range(200))
+        for op in ops:
+            if op == "insert":
+                i, text = _mkdoc(rnd, next_id)
+                next_id += 1
+                live_ids.append(i)
+                insert(
+                    spark,
+                    d,
+                    spark.createDataFrame([(i, text)], "doc_id INT, text STRING"),
+                    "text",
+                )
+                oracle.insert(i, text)
+            elif op == "delete" and live_ids:
+                i = live_ids.pop(rnd.randrange(len(live_ids)))
+                delete(
+                    spark, d, spark.createDataFrame([(i,)], "doc_id INT")
+                )
+                oracle.delete(i)
+            elif op == "select":
+                q = " ".join(f"t{rnd.randrange(VOCAB)}" for _ in range(rnd.randint(1, 3)))
+                _check(spark, d, oracle, rnd, q)
+            elif op == "vacuum":
+                vacuum(spark, d, "text")
+                oracle.vacuum()
+        # final vacuum + verify (the reference harness ends the same way)
+        vacuum(spark, d, "text")
+        oracle.vacuum()
+        _check(spark, d, oracle, rnd, "t1 t2 t3", k=100)
+
+    def test_insert_visible_before_vacuum(self, spark, lifecycle):
+        d, oracle, rnd = lifecycle
+        text = "t1 " * 20 + "zz_unique_term"
+        insert(spark, d, spark.createDataFrame([(999, text.strip())], "doc_id INT, text STRING"), "text")
+        oracle.insert(999, text.strip())
+        # t1 is in the sealed dictionary -> delta doc must surface
+        got = search_with_delta(spark, d, "t1", 300, "text")
+        assert any(p[0] == 999 for p, _ in got)
+        # zz_unique_term is NOT in the sealed dictionary -> no hits
+        assert search_with_delta(spark, d, "zz_unique_term", 10, "text") == []
+        # after vacuum the new term is indexed
+        vacuum(spark, d, "text")
+        oracle.vacuum()
+        got = search_with_delta(spark, d, "zz_unique_term", 10, "text")
+        assert [p[0] for p, _ in got] == [999]
+
+    def test_delete_hides_immediately_stats_stale(self, spark, lifecycle):
+        d, oracle, rnd = lifecycle
+        idx = Bm25Index(spark, d)
+        n_before = idx.n_docs
+        hits = search_with_delta(spark, d, "t1 t2", 10, "text")
+        victim = hits[0][0][0]
+        delete(spark, d, spark.createDataFrame([(victim,)], "doc_id INT"))
+        oracle.delete(victim)
+        after = search_with_delta(spark, d, "t1 t2", 10, "text")
+        assert all(p[0] != victim for p, _ in after)
+        _check(spark, d, oracle, rnd, "t1 t2")
+        # stats unchanged until vacuum
+        assert Bm25Index(spark, d).n_docs == n_before
+        vacuum(spark, d, "text")
+        oracle.vacuum()
+        assert Bm25Index(spark, d).n_docs == n_before - 1
+        _check(spark, d, oracle, rnd, "t1 t2")
