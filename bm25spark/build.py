@@ -49,7 +49,6 @@ import json
 import os
 import shutil
 import zlib
-from dataclasses import asdict
 from typing import Iterator
 
 import numpy as np
@@ -67,7 +66,6 @@ from pyspark.sql.types import (
 
 from . import packing
 from .config import BLOCK_SIZE, FORMAT_MAGIC, FORMAT_VERSION, Bm25Config
-from .fieldnorm import length_to_fieldnorm
 from .scoring import tf_score
 from .udfs import with_doc_terms
 
@@ -110,12 +108,20 @@ def _assign_doc_ids(
     Spark form of the reference's sequential RecordsWriter doc-id
     counter (io.rs:39-67) without the sequential bottleneck.
 
-    The result is eagerly local-checkpointed: the per-partition rank
-    is only meaningful while tasks compute exactly the range-shuffle
-    output partitions, so the frame must be pinned before any plan
-    (e.g. a union in vacuum) can merge it into a wider stage."""
-    parts = df.repartitionByRange(partitions, *order_cols).sortWithinPartitions(
-        *order_cols
+    The range-shuffled frame is eagerly local-checkpointed *before*
+    the counts pass: Spark's RangePartitioner re-samples boundaries on
+    every action (seed depends on the RDD id), so without pinning, the
+    counts job and the assign job can see different partitionings and
+    mint duplicate ids. Pinning also keeps the per-partition rank
+    meaningful if a later plan (e.g. vacuum's union) would otherwise
+    merge the mapInPandas into a wider stage. The *id values* are
+    independent of where the sampled boundaries fall — they equal the
+    global rank under order_cols — so artifacts stay identical across
+    cluster sizes."""
+    parts = (
+        df.repartitionByRange(partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .localCheckpoint(eager=True)
     )
     counts = (
         parts.withColumn("_pid", F.spark_partition_id())
@@ -146,53 +152,80 @@ def _assign_doc_ids(
             seen += len(pdf)
             yield pdf
 
+    # second pin: keeps partition ids valid even when a later plan
+    # (vacuum's union) would merge this mapInPandas into a wider stage
     return parts.mapInPandas(assign, schema).localCheckpoint(eager=True)
 
 
 def _build_blocks_fn(cfg: Bm25Config, avgdl: float, n_buckets: int):
-    """applyInPandas per (term_key, shard): sort by local id, chunk
-    into 128-posting blocks, compress, compute block-max WAND
-    (flush.rs:78-125). All inner math is NumPy over the group."""
+    """mapInPandas over a partition hash-clustered by (term_key, shard)
+    and sorted by (term_key, shard, local_id): one vectorized pass
+    finds the group boundaries with NumPy and emits 128-posting blocks
+    per group — compression + block-max WAND exactly as the
+    reference's flush loop (flush.rs:78-125), but with group dispatch
+    costing an argwhere over the sorted keys instead of one pandas
+    DataFrame per (term, shard) group (~50k tiny groups otherwise)."""
     k1, b = cfg.k1, cfg.b
+    shard_size = cfg.shard_size
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term_key, shard = key
-        term_key = bytes(term_key)
-        order = np.argsort(pdf["local_id"].to_numpy(), kind="stable")
-        ids = pdf["local_id"].to_numpy()[order].astype(np.uint32)
-        tfs = pdf["tf"].to_numpy()[order].astype(np.uint32)
-        fns = pdf["fieldnorm"].to_numpy()[order].astype(np.uint8)
-        base = int(shard) * cfg.shard_size
-        bucket = term_bucket(term_key, n_buckets)
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        keys = np.array(pdf["term_key"].to_list(), dtype="S16")
+        shards = pdf["shard"].to_numpy(np.int64)
+        lids = pdf["local_id"].to_numpy(np.int64)
+        tfs_all = pdf["tf"].to_numpy(np.int64)
+        fns_all = pdf["fieldnorm"].to_numpy(np.int64)
+
+        order = np.lexsort((lids, shards, keys))
+        keys, shards, lids = keys[order], shards[order], lids[order]
+        tfs_all, fns_all = tfs_all[order], fns_all[order]
+
+        change = (keys[1:] != keys[:-1]) | (shards[1:] != shards[:-1])
+        bounds = np.concatenate(([0], np.flatnonzero(change) + 1, [len(keys)]))
 
         rows = []
-        for ord_, start in enumerate(range(0, len(ids), BLOCK_SIZE)):
-            bi = ids[start : start + BLOCK_SIZE]
-            bt = tfs[start : start + BLOCK_SIZE]
-            bf = fns[start : start + BLOCK_SIZE]
-            scores = tf_score(bf, bt, k1, b, avgdl)
-            am = int(np.argmax(scores))
-            ids_meta, ids_bytes = packing.compress_document_ids(int(bi[0]), bi)
-            tfs_meta, tfs_bytes = packing.compress_term_frequencies(bt)
-            rows.append(
-                (
-                    term_key,
-                    bucket,
-                    int(shard),
-                    ord_,
-                    base + int(bi[0]),
-                    base + int(bi[-1]),
-                    len(bi),
-                    int(bf[am]),
-                    int(bt[am]),
-                    float(scores[am]),
-                    ids_meta,
-                    ids_bytes,
-                    tfs_meta,
-                    tfs_bytes,
+        for gi in range(len(bounds) - 1):
+            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+            # numpy S16 strips trailing NULs; re-pad — unambiguous
+            # because raw interned keys contain no interior NULs and
+            # hashed keys end in a forced-nonzero byte (vector.rs:30-32)
+            term_key = bytes(keys[lo]).ljust(16, b"\x00")
+            shard = int(shards[lo])
+            base = shard * shard_size
+            bucket = term_bucket(term_key, n_buckets)
+            ids = lids[lo:hi].astype(np.uint32)
+            tfs = tfs_all[lo:hi].astype(np.uint32)
+            fns = fns_all[lo:hi]
+            scores = tf_score(fns, tfs, k1, b, avgdl)
+            for ord_, start in enumerate(range(0, len(ids), BLOCK_SIZE)):
+                bi = ids[start : start + BLOCK_SIZE]
+                bt = tfs[start : start + BLOCK_SIZE]
+                sc = scores[start : start + BLOCK_SIZE]
+                am = int(np.argmax(sc))
+                ids_meta, ids_bytes = packing.compress_document_ids(int(bi[0]), bi)
+                tfs_meta, tfs_bytes = packing.compress_term_frequencies(bt)
+                rows.append(
+                    (
+                        term_key,
+                        bucket,
+                        shard,
+                        ord_,
+                        base + int(bi[0]),
+                        base + int(bi[-1]),
+                        len(bi),
+                        int(fns_all[lo + start + am]),
+                        int(bt[am]),
+                        float(sc[am]),
+                        ids_meta,
+                        ids_bytes,
+                        tfs_meta,
+                        tfs_bytes,
+                    )
                 )
-            )
-        return pd.DataFrame(rows, columns=POSTINGS_SCHEMA.fieldNames())
+        yield pd.DataFrame(rows, columns=POSTINGS_SCHEMA.fieldNames())
 
     return build
 
@@ -255,17 +288,18 @@ def build_index(
                 (F.col("_iid") % cfg.shard_size).cast("long"),
             )
             .withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+            # quantize once per document, before the mappings explode
+            .withColumn("fieldnorm", _fieldnorm_expr())
         )
         with_ids.persist()
 
-        fn_expr = _fieldnorm_expr()
         (
             with_ids.select(
                 F.col("_iid").alias("doc_id"),
                 "shard",
                 "local_id",
                 F.col("doc_len").cast("long").alias("doc_len"),
-                fn_expr.alias("fieldnorm"),
+                "fieldnorm",
                 "content_sha256",
                 *[f"p_{c}" for c in payload_cols],
             )
@@ -279,7 +313,7 @@ def build_index(
                 F.explode("terms").alias("t"),
                 "shard",
                 "local_id",
-                fn_expr.alias("fieldnorm"),
+                "fieldnorm",
             )
             .select(
                 F.col("t.key").alias("term_key"),
@@ -328,7 +362,11 @@ def finalize_index(
     # ---- stage 3: postings ----------------------------------------------
     if not (resume and _stage_done(postings_path)):
         mappings = spark.read.parquet(maps_path)
-        blocks = mappings.groupBy("term_key", "shard").applyInPandas(
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # hash-cluster by (term_key, shard); the kernel lexsorts its
+        # partition itself (NumPy sort beats a Spark sort it would
+        # redo anyway)
+        blocks = mappings.repartition(n_part, "term_key", "shard").mapInPandas(
             _build_blocks_fn(cfg, avgdl, cfg.term_buckets), POSTINGS_SCHEMA
         )
         (
@@ -378,8 +416,20 @@ def finalize_index(
         shard_docs = docs_art.groupBy("shard").agg(
             F.count("*").alias("n_docs"),
             F.sum("doc_len").cast("long").alias("sum_dl"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
             F.expr("bit_xor(xxhash64(content_sha256))").alias("input_fingerprint"),
         )
+        # id-density invariant: within a shard, ids must be the dense
+        # range [min, max] — catches any id-assignment fault cheaply
+        # (per-shard agg, no global distinct)
+        bad = shard_docs.filter(
+            F.col("max_doc_id") - F.col("min_doc_id") + 1 != F.col("n_docs")
+        ).count()
+        if bad:
+            raise RuntimeError(
+                f"doc-id assignment produced non-dense ids in {bad} shard(s)"
+            )
         (
             lineage.join(shard_docs, "shard", "full")
             .orderBy("shard")

@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import json
 import os
-from functools import lru_cache
-
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -162,10 +160,6 @@ class Bm25Index:
             hits.sort(key=lambda t: (-t[1], t[0]))
         hits = hits[:k]
         if not hits:
-            schema = ", ".join(
-                ["doc_id BIGINT"]
-                + [f"{c}_payload STRING" for c in self.payload_cols]
-            )
             return self.spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
         ids = [d for d, _ in hits]
         scores = {d: s for d, s in hits}

@@ -325,11 +325,10 @@ def taat_topk(
     scores = np.zeros(len(candidates), dtype=np.float64)
     fns = fieldnorms[candidates]
     for t, (ids, tfs) in zip(terms, decoded):
-        pos = np.searchsorted(candidates, ids)
-        pos = pos[(pos < len(candidates))]
-        m = candidates[np.searchsorted(candidates, ids).clip(0, len(candidates) - 1)] == ids
+        pos = np.searchsorted(candidates, ids).clip(0, len(candidates) - 1)
+        m = candidates[pos] == ids  # False only when prefilter dropped the doc
         if m.any():
-            idx = np.searchsorted(candidates, ids[m])
+            idx = pos[m]
             scores[idx] += t.cache.evaluate(fns[idx], tfs[m])
     keep = scores > 0.0
     candidates, scores = candidates[keep], scores[keep]

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (north rule).
+
+A real multi-executor cluster isn't available in this sandbox, so the
+same job runs at two parallelism levels — local[N] and local[4N]
+(default N=8) — each in a fresh JVM (subprocess), on identical input.
+Throughput at both levels and the scaling efficiency
+(rate_4N / rate_N) / 4 are reported and appended to BENCH.md.
+
+The scaled workload is the index build over the deterministic
+synthetic source-code corpus (tokenize -> id-assign -> shard shuffle ->
+block build): the pipeline whose partitioning design the rule tests.
+Query-side scaling is evidenced by the distributed per-shard search
+(one task per shard).
+
+Usage: python scripts/scaling.py [--n 8] [--docs 40000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+WORKER = r"""
+import json, os, shutil, sys, time
+sys.path.insert(0, os.environ["BM25SPARK_REPO"])
+from bm25spark.build import build_index
+from bm25spark.config import Bm25Config
+from bm25spark.distributed import search_distributed
+from bm25spark.session import get_spark
+
+cpus = int(os.environ["BM25SPARK_CPUS"])
+corpus_path = os.environ["BM25SPARK_CORPUS"]
+out_dir = f"/tmp/bm25spark-scaling/idx_{cpus}"
+shutil.rmtree(out_dir, ignore_errors=True)
+
+spark = get_spark(f"scaling-{cpus}", cores=cpus, shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+corpus = spark.read.parquet(corpus_path)
+n = corpus.count()
+
+t0 = time.perf_counter()
+build_index(
+    spark, corpus, out_dir, "content", ["repo", "path", "commit"],
+    cfg=Bm25Config(analyzer="code", shard_size=1 << 13),
+    id_partitions=64,  # fixed so the artifact is identical at both sizes
+)
+build_sec = time.perf_counter() - t0
+
+t0 = time.perf_counter()
+rows = search_distributed(spark, out_dir, "parse merge index", 100).collect()
+q_sec = time.perf_counter() - t0
+
+print(json.dumps({
+    "cpus": cpus, "docs": n, "build_sec": round(build_sec, 2),
+    "docs_per_sec": round(n / build_sec, 1),
+    "dist_query_sec": round(q_sec, 3), "hits": len(rows),
+}))
+"""
+
+
+def run_level(repo: str, corpus: str, cpus: int) -> dict:
+    env = dict(
+        os.environ,
+        BM25SPARK_REPO=repo,
+        BM25SPARK_CPUS=str(cpus),
+        BM25SPARK_CORPUS=corpus,
+        SPARK_GRAFT_CPUS=str(cpus),
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER], env=env, capture_output=True, text=True
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-3000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--docs", type=int, default=40000)
+    args = ap.parse_args()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # generate the shared input once (not part of the timed job)
+    corpus = f"/tmp/bm25spark-scaling/corpus_{args.docs}.parquet"
+    if not os.path.exists(corpus):
+        sys.path.insert(0, repo)
+        from bm25spark.fixtures import synth_corpus
+        from bm25spark.session import get_spark
+
+        spark = get_spark("scaling-gen", cores=args.n * 4)
+        spark.sparkContext.setLogLevel("ERROR")
+        synth_corpus(spark, args.docs, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(corpus)
+        spark.stop()
+
+    lo = run_level(repo, corpus, args.n)
+    hi = run_level(repo, corpus, args.n * 4)
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+    report = {
+        "workload": f"index build over {args.docs} synthetic source files",
+        "low": lo,
+        "high": hi,
+        "scaling_efficiency": round(eff, 3),
+        "passes_north_rule": eff >= 0.8,
+    }
+    print(json.dumps(report))
+
+    md = os.path.join(repo, "BENCH.md")
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open(md, "a") as f:
+        f.write(
+            f"""
+## Scaling run {stamp}
+
+Same job (index build over {args.docs} deterministic synthetic source
+files, fixed id_partitions=64 so artifacts are identical), two
+parallelism levels, fresh JVM each:
+
+| level | cores | build sec | docs/sec | dist query sec |
+|---|---|---|---|---|
+| N  | {lo['cpus']} | {lo['build_sec']} | {lo['docs_per_sec']} | {lo['dist_query_sec']} |
+| 4N | {hi['cpus']} | {hi['build_sec']} | {hi['docs_per_sec']} | {hi['dist_query_sec']} |
+
+**Scaling efficiency (docs/sec ratio / 4): {report['scaling_efficiency']}**
+(north-rule threshold 0.8: {"PASS" if report['passes_north_rule'] else "FAIL"})
+"""
+        )
+
+
+if __name__ == "__main__":
+    main()
