@@ -111,6 +111,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, _docs(spark, sf)
     )
 
+    def _events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bm25spark.streaming import windowed_event_counts
+
+        return windowed_event_counts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).orderBy("win_start", "event_type")
+
+    out["events_windowed_counts"] = _events_windowed
+
     try:
         from bm25spark.datapipe import registry as dp_registry
 
@@ -144,6 +153,12 @@ def oracle_sql() -> dict[str, str]:
     out["corpus_stats"] = oracle.corpus_stats_sql()
     out["term_df_top50"] = oracle.term_df_sql(50)
     out["doc_fieldnorms"] = oracle.doc_fieldnorm_sql()
+
+    from bm25spark.streaming import windowed_event_counts_sql
+
+    out["events_windowed_counts"] = (
+        windowed_event_counts_sql() + " ORDER BY win_start, event_type"
+    )
 
     try:
         from bm25spark.datapipe import oracle_registry as dp_oracles

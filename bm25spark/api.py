@@ -14,7 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from .build import build_index
-from .config import Bm25Config
+from .config import FORMAT_VERSION, Bm25Config
 from .index import Bm25Index
 
 CACHE_BASE = os.environ.get("BM25SPARK_INDEX_CACHE", "/tmp/bm25spark-indexes")
@@ -33,6 +33,7 @@ def index_for_parquet(
     key = hashlib.sha256(
         "|".join(
             [
+                f"v{FORMAT_VERSION}",
                 os.path.abspath(parquet_path),
                 text_col,
                 ",".join(order_cols),

@@ -100,7 +100,11 @@ def _stage_done(path: str) -> bool:
 
 
 def _assign_doc_ids(
-    spark: SparkSession, df: DataFrame, order_cols: list[str], partitions: int
+    spark: SparkSession,
+    df: DataFrame,
+    order_cols: list[str],
+    partitions: int,
+    pin_output: bool = False,
 ) -> DataFrame:
     """Dense deterministic ids 0..N-1 in the global sort order of
     ``order_cols`` (which must be a unique key). Two passes: range
@@ -152,9 +156,14 @@ def _assign_doc_ids(
             seen += len(pdf)
             yield pdf
 
-    # second pin: keeps partition ids valid even when a later plan
-    # (vacuum's union) would merge this mapInPandas into a wider stage
-    return parts.mapInPandas(assign, schema).localCheckpoint(eager=True)
+    out = parts.mapInPandas(assign, schema)
+    if pin_output:
+        # second pin: keeps partition ids valid when a later plan (the
+        # vacuum union) would merge this mapInPandas into a wider
+        # stage. The plain build skips it — its next step writes the
+        # frame to parquet directly, so no such merge can happen.
+        out = out.localCheckpoint(eager=True)
+    return out
 
 
 def _build_blocks_fn(cfg: Bm25Config, avgdl: float, n_buckets: int):

@@ -1,0 +1,115 @@
+"""spark-submit entry point.
+
+Usage (ship the package with --py-files):
+
+    zip -r bm25spark.zip bm25spark
+    spark-submit --py-files bm25spark.zip -m bm25spark.cli build \
+        --input s3://bucket/corpus --format iceberg \
+        --text-col content --order-cols repo,path,commit \
+        --index-dir s3://bucket/indexes/corpus_bm25
+
+Subcommands: build | search | search-dist | vacuum | lineage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def load_table(spark: SparkSession, source: str, fmt: str = "auto") -> DataFrame:
+    """Read an input table: an Iceberg/catalog table name or a
+    parquet path. ``auto`` tries the catalog first, then parquet."""
+    if fmt == "iceberg" or (fmt == "auto" and "/" not in source):
+        try:
+            return spark.read.table(source)
+        except Exception:
+            if fmt == "iceberg":
+                raise
+    if fmt in ("auto", "parquet"):
+        return spark.read.parquet(source)
+    return spark.read.format(fmt).load(source)
+
+
+def main(argv: list[str] | None = None) -> None:
+    from .build import build_index
+    from .config import Bm25Config, derive_seed
+    from .distributed import search_distributed
+    from .index import Bm25Index
+    from .maintain import vacuum
+
+    ap = argparse.ArgumentParser(prog="bm25spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--format", default="auto")
+    b.add_argument("--text-col", required=True)
+    b.add_argument("--order-cols", required=True, help="comma-separated unique key")
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--analyzer", default="code")
+    b.add_argument("--k1", type=float, default=1.2)
+    b.add_argument("--b", type=float, default=0.75)
+    b.add_argument("--shard-size", type=int, default=1 << 20)
+    b.add_argument("--seed-name", default="bm25spark")
+    b.add_argument("--resume", action="store_true")
+
+    for name in ("search", "search-dist"):
+        s = sub.add_parser(name)
+        s.add_argument("--index-dir", required=True)
+        s.add_argument("--query", required=True)
+        s.add_argument("-k", type=int, default=100)
+
+    v = sub.add_parser("vacuum")
+    v.add_argument("--index-dir", required=True)
+    v.add_argument("--text-col", required=True)
+
+    ln = sub.add_parser("lineage")
+    ln.add_argument("--index-dir", required=True)
+
+    args = ap.parse_args(argv)
+    spark = SparkSession.builder.appName(f"bm25spark-{args.cmd}").getOrCreate()
+
+    if args.cmd == "build":
+        cfg = Bm25Config(
+            k1=args.k1,
+            b=args.b,
+            seed=derive_seed(args.seed_name),
+            analyzer=args.analyzer,
+            shard_size=args.shard_size,
+        )
+        df = load_table(spark, args.input, args.format)
+        build_index(
+            spark,
+            df,
+            args.index_dir,
+            args.text_col,
+            args.order_cols.split(","),
+            cfg=cfg,
+            resume=args.resume,
+        )
+        idx = Bm25Index(spark, args.index_dir)
+        print(json.dumps({"built": args.index_dir, "n_docs": idx.n_docs}))
+    elif args.cmd == "search":
+        idx = Bm25Index(spark, args.index_dir)
+        for row in idx.search_df(args.query, args.k).collect():
+            print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "search-dist":
+        for row in search_distributed(
+            spark, args.index_dir, args.query, args.k
+        ).collect():
+            print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "vacuum":
+        vacuum(spark, args.index_dir, args.text_col)
+        print(json.dumps({"vacuumed": args.index_dir}))
+    elif args.cmd == "lineage":
+        idx = Bm25Index(spark, args.index_dir)
+        for row in idx.lineage_df().collect():
+            print(json.dumps(row.asDict(), default=str))
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,7 @@ def synth_corpus(
     vocab_size: int = 10000,
     seed: int = 42,
     partitions: int | None = None,
+    log_mu: float = 4.2,
 ) -> DataFrame:
     """n rows of (repo, path, commit, lang, content), deterministic."""
     vocab = np.array(_vocab(vocab_size))
@@ -67,7 +68,7 @@ def synth_corpus(
             rows = []
             for i in ids:
                 rng = np.random.Generator(np.random.Philox(key=seed, counter=int(i)))
-                length = int(np.clip(rng.lognormal(4.2, 1.0), 10, 5000))
+                length = int(np.clip(rng.lognormal(log_mu, 1.0), 10, 5000))
                 ranks = np.searchsorted(cdf, rng.random(length))
                 toks = vocab[np.clip(ranks, 0, vocab_size - 1)]
                 nums = rng.integers(0, 10000, size=max(1, length // 20))

@@ -190,7 +190,7 @@ def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
         )
     sealed = sealed.withColumnRenamed("doc_id", "old_id")
     parts = max(spark.sparkContext.defaultParallelism, 8)
-    relabeled = _assign_doc_ids(spark, sealed, ["old_id"], parts)
+    relabeled = _assign_doc_ids(spark, sealed, ["old_id"], parts, pin_output=True)
     relabeled.persist()
     n_sealed = relabeled.count()
 
@@ -198,7 +198,7 @@ def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
     delta = _live_delta(spark, idx, index_dir)
     if delta is not None and delta.count() > 0:
         prep = with_doc_terms(delta, text_col, cfg.analyzer, cfg.seed)
-        dass = _assign_doc_ids(spark, prep, pc, parts).withColumn(
+        dass = _assign_doc_ids(spark, prep, pc, parts, pin_output=True).withColumn(
             "_iid", F.col("_iid") + F.lit(n_sealed)
         )
         dass = dass.withColumn("content_sha256", F.sha2(F.col(text_col), 256))

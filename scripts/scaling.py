@@ -82,12 +82,19 @@ def run_level(repo: str, corpus: str, cpus: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--docs", type=int, default=40000)
+    ap.add_argument("--docs", type=int, default=120000)
+    ap.add_argument(
+        "--log-mu",
+        type=float,
+        default=5.5,
+        help="lognormal mu of doc length (5.5 -> ~400 tokens/doc: enough "
+        "compute per task that stage latency dominates fixed overheads)",
+    )
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     # generate the shared input once (not part of the timed job)
-    corpus = f"/tmp/bm25spark-scaling/corpus_{args.docs}.parquet"
+    corpus = f"/tmp/bm25spark-scaling/corpus_{args.docs}_{args.log_mu}.parquet"
     if not os.path.exists(corpus):
         sys.path.insert(0, repo)
         from bm25spark.fixtures import synth_corpus
@@ -95,9 +102,9 @@ def main() -> None:
 
         spark = get_spark("scaling-gen", cores=args.n * 4)
         spark.sparkContext.setLogLevel("ERROR")
-        synth_corpus(spark, args.docs, partitions=64).write.mode(
-            "overwrite"
-        ).parquet(corpus)
+        synth_corpus(
+            spark, args.docs, partitions=64, log_mu=args.log_mu
+        ).write.mode("overwrite").parquet(corpus)
         spark.stop()
 
     lo = run_level(repo, corpus, args.n)

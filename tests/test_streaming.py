@@ -1,0 +1,78 @@
+"""Structured Streaming ingest + windowed aggregation tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bm25spark.build import build_index
+from bm25spark.config import Bm25Config
+from bm25spark.maintain import search_with_delta, vacuum
+from bm25spark.streaming import (
+    stream_ingest,
+    windowed_event_counts,
+    windowed_event_counts_sql,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestWindowedCounts:
+    def test_batch_matches_duckdb(self, spark):
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        got = sorted(
+            map(repr, (tuple(r) for r in windowed_event_counts(events).collect()))
+        )
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+        want = sorted(
+            map(repr, (tuple(r) for r in con.execute(windowed_event_counts_sql()).fetchall()))
+        )
+        assert got == want
+
+    def test_streaming_mode_runs(self, spark, tmp_path):
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        # replay the batch through a streaming source with the same schema
+        src_dir = str(tmp_path / "src")
+        events.write.parquet(src_dir)
+        stream = spark.readStream.schema(events.schema).parquet(src_dir)
+        out = windowed_event_counts(stream, watermark="1 minute")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # append mode only emits windows the watermark has passed; the
+        # plumbing check is that the stream ran and committed
+        assert not q.isActive
+
+
+class TestStreamIngest:
+    def test_ingest_lands_in_delta_and_search(self, spark, tmp_path):
+        rows = [(i, f"alpha beta t{i % 7}") for i in range(50)]
+        docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        d = str(tmp_path / "idx")
+        build_index(spark, docs, d, "text", ["doc_id"], cfg=Bm25Config(shard_size=128))
+
+        new = spark.createDataFrame(
+            [(100, "alpha alpha alpha"), (101, "beta beta")],
+            "doc_id INT, text STRING",
+        )
+        src = str(tmp_path / "stream_src")
+        new.write.parquet(src)
+        stream = spark.readStream.schema(new.schema).parquet(src)
+        q = stream_ingest(
+            stream, d, "text", str(tmp_path / "ckpt"), trigger_once=True
+        )
+        q.awaitTermination(120)
+
+        hits = search_with_delta(spark, d, "alpha", 5, "text")
+        assert hits[0][0] == (100,)  # tf=3, shortest doc wins
+        vacuum(spark, d, "text")
+        hits = search_with_delta(spark, d, "alpha", 5, "text")
+        assert hits[0][0] == (100,)
