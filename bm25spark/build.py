@@ -294,7 +294,9 @@ def build_index(
             )
             .withColumn(
                 "local_id",
-                (F.col("_iid") % cfg.shard_size).cast("long"),
+                # int: shard_size <= 2^31 (u32 posting domain) — half
+                # the staging width of a long
+                (F.col("_iid") % cfg.shard_size).cast("int"),
             )
             .withColumn("content_sha256", F.sha2(F.col(text_col), 256))
             # quantize once per document, before the mappings explode
@@ -312,7 +314,10 @@ def build_index(
                 "content_sha256",
                 *[f"p_{c}" for c in payload_cols],
             )
-            .repartitionByRange(max(1, n_rows_hint // 4), "doc_id")
+            # already range-partitioned + sorted by id (ids were
+            # assigned in the order_cols range shuffle) — write as-is,
+            # no second shuffle; row groups stay doc_id-clustered for
+            # the per-shard fieldnorm reads
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .parquet(docs_path)
@@ -334,6 +339,10 @@ def build_index(
             .write.mode("overwrite")
             .parquet(maps_path)
         )
+        # drop the fat tokenized frame before the postings shuffle —
+        # stage 3 re-reads the compact columnar staging parquet, which
+        # costs a read-back but keeps executor memory for the shuffle
+        # (measured faster than carrying the cached frame through)
         with_ids.unpersist()
 
     return finalize_index(spark, index_dir, cfg, payload_cols, resume=resume)
@@ -345,6 +354,7 @@ def finalize_index(
     cfg: Bm25Config,
     payload_cols: list[str],
     resume: bool = False,
+    mappings_df: DataFrame | None = None,
 ) -> str:
     """Stages 2-5 over already-written docs/mappings artifacts.
 
@@ -370,7 +380,11 @@ def finalize_index(
 
     # ---- stage 3: postings ----------------------------------------------
     if not (resume and _stage_done(postings_path)):
-        mappings = spark.read.parquet(maps_path)
+        mappings = (
+            mappings_df
+            if mappings_df is not None
+            else spark.read.parquet(maps_path)
+        )
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         # hash-cluster by (term_key, shard); the kernel lexsorts its
         # partition itself (NumPy sort beats a Spark sort it would
@@ -406,7 +420,10 @@ def finalize_index(
                 F.col("w.wand_tf").alias("wand_tf"),
                 "token_ub",
             )
-            .repartition(1)
+            # a handful of sorted files: parallel write, and the query
+            # path's Arrow key filter prunes by row-group stats (no
+            # serial single-partition sort — dictionaries can be huge)
+            .repartitionByRange(max(1, cfg.term_buckets // 16), "term_key")
             .sortWithinPartitions("term_key")
             .write.mode("overwrite")
             .parquet(terms_path)
@@ -429,25 +446,35 @@ def finalize_index(
             F.max("doc_id").alias("max_doc_id"),
             F.expr("bit_xor(xxhash64(content_sha256))").alias("input_fingerprint"),
         )
-        # id-density invariant: within a shard, ids must be the dense
-        # range [min, max] — catches any id-assignment fault cheaply
-        # (per-shard agg, no global distinct)
-        bad = shard_docs.filter(
-            F.col("max_doc_id") - F.col("min_doc_id") + 1 != F.col("n_docs")
-        ).count()
-        if bad:
-            raise RuntimeError(
-                f"doc-id assignment produced non-dense ids in {bad} shard(s)"
-            )
         (
             lineage.join(shard_docs, "shard", "full")
             .orderBy("shard")
             .write.mode("overwrite")
             .parquet(lineage_path)
         )
+        # id-density invariant over the *written* lineage (no extra
+        # scan): within a shard, ids must be the dense range
+        # [min, max] — catches any id-assignment fault
+        import pyarrow.dataset as _ds
+
+        lt = _ds.dataset(lineage_path, format="parquet").to_table(
+            columns=["shard", "n_docs", "min_doc_id", "max_doc_id"]
+        )
+        bad = [
+            int(lt["shard"][i].as_py())
+            for i in range(lt.num_rows)
+            if lt["max_doc_id"][i].as_py() - lt["min_doc_id"][i].as_py() + 1
+            != lt["n_docs"][i].as_py()
+        ]
+        if bad:
+            raise RuntimeError(
+                f"doc-id assignment produced non-dense ids in shards {bad[:10]}"
+            )
 
     # ---- stage 5: meta (publish-last) ------------------------------------
-    n_terms = spark.read.parquet(terms_path).count()
+    import pyarrow.dataset as _ds
+
+    n_terms = _ds.dataset(terms_path, format="parquet").count_rows()
     meta = {
         "magic": FORMAT_MAGIC,
         "version": FORMAT_VERSION,

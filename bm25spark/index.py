@@ -147,12 +147,16 @@ class Bm25Index:
         mode: str = "taat",
         round_score: int | None = 4,
         slack: int = 128,
+        negate: bool = False,
     ) -> DataFrame:
         """Search returning a DataFrame of payload columns + score.
 
         With ``round_score`` set, candidates are over-fetched by
         ``slack`` and re-ranked by (rounded score, doc_id) so output
         ordering is reproducible across engines/float libraries.
+        ``negate=True`` returns the reference's ``<&>`` operator
+        convention — the negated score, ascending = best first
+        (src/index/operators.rs:54, F7).
         """
         hits = self.search(query_text, k + (slack if round_score else 0), mode=mode)
         if round_score is not None:
@@ -187,4 +191,7 @@ class Bm25Index:
         schema = StructType(
             list(src_schema.fields) + [StructField("score", DoubleType())]
         )
-        return self.spark.createDataFrame(pdf_rows, schema)
+        out = self.spark.createDataFrame(pdf_rows, schema)
+        if negate:
+            out = out.withColumn("score", -F.col("score"))
+        return out

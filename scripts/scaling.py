@@ -63,7 +63,19 @@ print(json.dumps({
 """
 
 
-def run_level(repo: str, corpus: str, cpus: int) -> dict:
+def run_level(repo: str, corpus: str, cpus: int, repeats: int = 1) -> dict:
+    """Best-of-N (fastest run): the sandbox VM has noisy neighbors, so
+    a single run can be off by 20-40%; the fastest of N is the least
+    contaminated estimate of the machine's actual capability."""
+    best = None
+    for _ in range(repeats):
+        r = _run_level_once(repo, corpus, cpus)
+        if best is None or r["build_sec"] < best["build_sec"]:
+            best = r
+    return best
+
+
+def _run_level_once(repo: str, corpus: str, cpus: int) -> dict:
     env = dict(
         os.environ,
         BM25SPARK_REPO=repo,
@@ -83,6 +95,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--docs", type=int, default=120000)
+    ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument(
         "--log-mu",
         type=float,
@@ -107,8 +120,8 @@ def main() -> None:
         ).write.mode("overwrite").parquet(corpus)
         spark.stop()
 
-    lo = run_level(repo, corpus, args.n)
-    hi = run_level(repo, corpus, args.n * 4)
+    lo = run_level(repo, corpus, args.n, args.repeats)
+    hi = run_level(repo, corpus, args.n * 4, args.repeats)
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
     report = {
         "workload": f"index build over {args.docs} synthetic source files",

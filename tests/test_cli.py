@@ -1,0 +1,62 @@
+"""CLI smoke tests (the spark-submit surface)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from bm25spark import cli
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cli") / "corpus.parquet")
+    rows = [(i, f"org/r{i%3}", f"src/f{i}.py", f"c{i:04x}", "python",
+             f"def parse_{i}(): return merge(index, {i % 9})")
+            for i in range(120)]
+    spark.createDataFrame(
+        rows, "doc_id INT, repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+    ).drop("doc_id").write.parquet(p)
+    return p
+
+
+def test_build_search_vacuum_lineage(spark, corpus_path, tmp_path, capsys):
+    d = str(tmp_path / "idx")
+    cli.main([
+        "build", "--input", corpus_path, "--format", "parquet",
+        "--text-col", "content", "--order-cols", "repo,path,commit",
+        "--index-dir", d, "--analyzer", "code", "--shard-size", "16384",
+    ])
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["n_docs"] == 120
+
+    cli.main(["search", "--index-dir", d, "--query", "parse merge", "-k", "5"])
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 5 and all("score" in r for r in lines)
+
+    cli.main(["search-dist", "--index-dir", d, "--query", "parse merge", "-k", "5"])
+    dlines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert [r["path"] for r in dlines] == [r["path"] for r in lines]
+
+    cli.main(["lineage", "--index-dir", d])
+    lin = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert sum(r["n_docs"] for r in lin) == 120
+
+    cli.main(["vacuum", "--index-dir", d, "--text-col", "content"])
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == {
+        "vacuumed": d
+    }
+
+
+def test_negated_score_convention(spark, corpus_path, tmp_path):
+    from bm25spark.api import index_for_parquet
+    from bm25spark.config import Bm25Config
+
+    idx = index_for_parquet(
+        spark, corpus_path, "content", ["repo", "path", "commit"],
+        cfg=Bm25Config(analyzer="code"), base_dir=str(tmp_path),
+    )
+    pos = idx.search_df("parse", 3).collect()
+    neg = idx.search_df("parse", 3, negate=True).collect()
+    assert [r.score for r in neg] == [-r.score for r in pos]
