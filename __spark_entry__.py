@@ -120,6 +120,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["events_windowed_counts"] = _events_windowed
 
+    def _golden_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The reference's own sqllogictest golden query (indexing.slt:
+        30-41): english-analyzed BM25 over its 10 fixed passages,
+        query 'PostgreSQL' — expected id order [8, 9, 4, 1, 7, 2]."""
+        from pyspark.sql import functions as F
+
+        from bm25spark.config import Bm25Config
+        from bm25spark.golden import PASSAGES
+        from bm25spark.query import exact_topk
+
+        df = spark.createDataFrame(PASSAGES, "doc_id INT, passage STRING")
+        res = exact_topk(
+            spark, df, "passage", "doc_id", "PostgreSQL", 10,
+            cfg=Bm25Config(analyzer="english"), round_score=None,
+        )
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return res.select(
+            F.row_number().over(w).alias("rank"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+        )
+
+    out["bm25_golden_slt_passages"] = _golden_passages
+
     try:
         from bm25spark.datapipe import registry as dp_registry
 
@@ -158,6 +183,13 @@ def oracle_sql() -> dict[str, str]:
 
     out["events_windowed_counts"] = (
         windowed_event_counts_sql() + " ORDER BY win_start, event_type"
+    )
+
+    # golden values copied verbatim from the reference's sqllogictest
+    # (/root/reference/tests/sqllogictest/indexing.slt:30-41)
+    out["bm25_golden_slt_passages"] = (
+        "SELECT * FROM (VALUES (1, 8), (2, 9), (3, 4), (4, 1), (5, 7), (6, 2))"
+        " AS t(rank, doc_id) ORDER BY rank"
     )
 
     try:

@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 from . import artifacts
 from .analyze import analyze_query, get_analyzer
 from .build import term_bucket
-from .config import Bm25Config
 from .scoring import Cache
 from .wand import TermPostings, bmw_topk, taat_topk
 

@@ -83,9 +83,12 @@ def _run_level_once(repo: str, corpus: str, cpus: int) -> dict:
         BM25SPARK_CORPUS=corpus,
         SPARK_GRAFT_CPUS=str(cpus),
     )
-    out = subprocess.run(
-        [sys.executable, "-c", WORKER], env=env, capture_output=True, text=True
-    )
+    # pin the whole JVM+python tree to exactly `cpus` CPUs: local[N]
+    # caps task slots but not GC / IO / python helper threads, which
+    # otherwise spill onto idle cores and flatter the small leg —
+    # separate machines (the real deployment) enforce this physically
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", WORKER]
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True)
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-3000:])
     return json.loads(out.stdout.strip().splitlines()[-1])
