@@ -101,6 +101,15 @@ def main() -> None:
     exact_topk(spark, docs, "text", "doc_id", "merge spark window", 10).collect()
     queries["exact_q_multi"] = round(time.perf_counter() - t0, 3)
 
+    from bm25spark.distributed import search_distributed
+
+    search_distributed(spark, f"{work}/idx_docs", "warm up", 10).collect()
+    t0 = time.perf_counter()
+    search_distributed(
+        spark, f"{work}/idx_docs", "merge spark window", 10
+    ).collect()
+    queries["dist_q_multi"] = round(time.perf_counter() - t0, 3)
+
     # ---- training-data pipeline operators ----
     t0 = time.perf_counter()
     dedup.minhash_candidate_pairs(docs).collect()

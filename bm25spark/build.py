@@ -452,6 +452,25 @@ def finalize_index(
             .write.mode("overwrite")
             .parquet(lineage_path)
         )
+        # second lineage axis: per term-bucket rows (term range, block/
+        # posting/byte counts) — the "term range" granularity of the
+        # build, one row per postings output directory
+        (
+            postings.groupBy("bucket")
+            .agg(
+                F.min("term_key").alias("min_term_key"),
+                F.max("term_key").alias("max_term_key"),
+                F.count_distinct("term_key").alias("n_terms"),
+                F.count("*").alias("n_blocks"),
+                F.sum("count").cast("long").alias("n_postings"),
+                (
+                    F.sum(F.length("ids_bytes")) + F.sum(F.length("tfs_bytes"))
+                ).alias("packed_bytes"),
+            )
+            .orderBy("bucket")
+            .write.mode("overwrite")
+            .parquet(lineage_path + "_buckets")
+        )
         # id-density invariant over the *written* lineage (no extra
         # scan): within a shard, ids must be the dense range
         # [min, max] — catches any id-assignment fault
@@ -494,6 +513,7 @@ def finalize_index(
             "postings": "postings",
             "terms": "terms",
             "lineage": "lineage",
+            "lineage_buckets": "lineage_buckets",
             "mappings": "mappings",
         },
     }
