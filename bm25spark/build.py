@@ -209,10 +209,43 @@ def _build_blocks_fn(cfg: Bm25Config, avgdl: float, n_buckets: int):
             tfs = tfs_all[lo:hi].astype(np.uint32)
             fns = fns_all[lo:hi]
             scores = tf_score(fns, tfs, k1, b, avgdl)
-            for ord_, start in enumerate(range(0, len(ids), BLOCK_SIZE)):
-                bi = ids[start : start + BLOCK_SIZE]
-                bt = tfs[start : start + BLOCK_SIZE]
-                sc = scores[start : start + BLOCK_SIZE]
+
+            n = len(ids)
+            n_full = n // BLOCK_SIZE
+            # full blocks: batch-packed (one vector op per distinct
+            # bitwidth instead of one call per block)
+            if n_full:
+                full = n_full * BLOCK_SIZE
+                ids2d = ids[:full].reshape(-1, BLOCK_SIZE)
+                tfs2d = tfs[:full].reshape(-1, BLOCK_SIZE)
+                sc2d = scores[:full].reshape(-1, BLOCK_SIZE)
+                fn2d = fns[:full].reshape(-1, BLOCK_SIZE)
+                am2d = np.argmax(sc2d, axis=1)
+                id_packs = packing.compress_id_blocks(ids2d)
+                tf_packs = packing.compress_tf_blocks(tfs2d)
+                for j in range(n_full):
+                    rows.append(
+                        (
+                            term_key,
+                            bucket,
+                            shard,
+                            j,
+                            base + int(ids2d[j, 0]),
+                            base + int(ids2d[j, -1]),
+                            BLOCK_SIZE,
+                            int(fn2d[j, am2d[j]]),
+                            int(tfs2d[j, am2d[j]]),
+                            float(sc2d[j, am2d[j]]),
+                            id_packs[j][0],
+                            id_packs[j][1],
+                            tf_packs[j][0],
+                            tf_packs[j][1],
+                        )
+                    )
+            # tail block (< 128 postings): bytepacked, per-block path
+            if n_full * BLOCK_SIZE < n:
+                start = n_full * BLOCK_SIZE
+                bi, bt, sc = ids[start:], tfs[start:], scores[start:]
                 am = int(np.argmax(sc))
                 ids_meta, ids_bytes = packing.compress_document_ids(int(bi[0]), bi)
                 tfs_meta, tfs_bytes = packing.compress_term_frequencies(bt)
@@ -221,11 +254,11 @@ def _build_blocks_fn(cfg: Bm25Config, avgdl: float, n_buckets: int):
                         term_key,
                         bucket,
                         shard,
-                        ord_,
+                        n_full,
                         base + int(bi[0]),
                         base + int(bi[-1]),
                         len(bi),
-                        int(fns_all[lo + start + am]),
+                        int(fns[start + am]),
                         int(bt[am]),
                         float(sc[am]),
                         ids_meta,

@@ -106,6 +106,49 @@ def decompress_document_ids(min_doc_id: int, metadata: int, data: bytes) -> np.n
     return _decompress(metadata, data, min_doc_id)
 
 
+def _bit_lengths(m: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint32 values (frexp exponent is the
+    exact bit length for integers below 2^53)."""
+    return np.where(m > 0, np.frexp(m.astype(np.float64))[1], 0).astype(np.int64)
+
+
+def _batch_bitpack(deltas2d: np.ndarray) -> list[tuple[int, bytes]]:
+    """Pack many full 128-entry blocks at once: blocks are grouped by
+    bitwidth so each distinct width costs one vector op instead of one
+    op per block. Output is byte-identical to per-block
+    compress_document_ids/compress_term_frequencies full-block paths."""
+    nb = deltas2d.shape[0]
+    widths = _bit_lengths(np.bitwise_or.reduce(deltas2d, axis=1))
+    out: list[tuple[int, bytes] | None] = [None] * nb
+    for w in np.unique(widths):
+        idx = np.flatnonzero(widths == w)
+        if w == 0:
+            for i in idx:
+                out[i] = (0, b"")
+            continue
+        bits = np.unpackbits(
+            deltas2d[idx].astype(">u4").view(np.uint8).reshape(len(idx), FULL_BLOCK, 4),
+            axis=-1,
+        )[:, :, -int(w):]
+        packed = np.packbits(bits.reshape(len(idx), -1), axis=-1)
+        for j, i in enumerate(idx):
+            out[i] = (int(w), packed[j].tobytes())
+    return out  # type: ignore[return-value]
+
+
+def compress_id_blocks(ids2d: np.ndarray) -> list[tuple[int, bytes]]:
+    """Batch form of :func:`compress_document_ids` for (nb, 128)
+    matrices of ascending doc ids (block min = first element)."""
+    v = ids2d.astype(np.uint32, copy=False)
+    deltas = np.diff(v, axis=1, prepend=v[:, :1])
+    return _batch_bitpack(deltas)
+
+
+def compress_tf_blocks(tfs2d: np.ndarray) -> list[tuple[int, bytes]]:
+    """Batch form of :func:`compress_term_frequencies` for (nb, 128)."""
+    return _batch_bitpack(tfs2d.astype(np.uint32, copy=False))
+
+
 def compress_term_frequencies(tfs: np.ndarray) -> tuple[int, bytes]:
     """Unordered stream: values packed raw (delta base 0, no chaining)
     (compression.rs:94-110)."""
