@@ -26,6 +26,21 @@ from .scoring import Cache
 from .wand import TermPostings, taat_topk
 
 
+class _OffsetMask:
+    """Global-id-indexable boolean mask over one shard's id range."""
+
+    __slots__ = ("base", "mask")
+
+    def __init__(self, base: int, size: int, allowed_local: "np.ndarray"):
+        self.base = base
+        self.mask = np.zeros(size, dtype=bool)
+        valid = (allowed_local >= 0) & (allowed_local < size)
+        self.mask[allowed_local[valid]] = True
+
+    def __getitem__(self, idx):
+        return self.mask[np.asarray(idx) - self.base]
+
+
 class _OffsetFieldnorms:
     """Global-id-indexable view over one shard's fieldnorm slice."""
 
@@ -45,8 +60,14 @@ def search_distributed(
     query_text: str,
     k: int,
     round_score: int | None = 4,
+    prefilter: DataFrame | None = None,
 ) -> DataFrame:
-    """-> DataFrame (payload cols..., score), best-first."""
+    """-> DataFrame (payload cols..., score), best-first.
+
+    ``prefilter``: optional DataFrame of allowed *payload key* rows —
+    the reference's bm25.prefilter (P3) in the scale path. Each shard
+    task receives its slice of allowed internal ids via a join against
+    the docs artifact, evaluated before candidates count toward k."""
     idx = Bm25Index(spark, index_dir)
     keys = idx.query_keys(query_text)
     stats = idx.term_stats(keys)
@@ -58,6 +79,19 @@ def search_distributed(
     n_docs, avgdl, k1, b = idx.n_docs, idx.avgdl, idx.k1, idx.b
     shard_size = idx.shard_size
     docs_path = idx._path("docs")
+
+    allowed_df = None
+    if prefilter is not None:
+        pc = idx.payload_cols
+        allowed_df = (
+            idx.docs_df()
+            .join(
+                prefilter.select(*[F.col(c).alias(f"p_{c}") for c in pc]),
+                [f"p_{c}" for c in pc],
+                "left_semi",
+            )
+            .select("shard", "doc_id")
+        )
     term_info = {
         key: (i, stats[key]["df"], stats[key]["wand_fn"], stats[key]["wand_tf"])
         for i, key in enumerate(present)
@@ -77,7 +111,7 @@ def search_distributed(
         )
     )
 
-    def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_shard(key, pdf: pd.DataFrame, allowed_pdf: pd.DataFrame | None = None):
         import pyarrow.compute as pc
         import pyarrow.dataset as ds
 
@@ -114,12 +148,33 @@ def search_distributed(
                     shard_base=np.full(len(g), base, dtype=np.int64),
                 )
             )
-        hits = taat_topk(terms, fns, k)
+        allowed_mask = None
+        if allowed_pdf is not None:
+            # shard-local prefilter mask over global ids (P3): only
+            # docs whose payload key survived the semi-join may count
+            allowed_mask = _OffsetMask(
+                base, shard_size, allowed_pdf["doc_id"].to_numpy(np.int64) - base
+            )
+        hits = taat_topk(terms, fns, k, allowed_mask=allowed_mask)
         return pd.DataFrame(hits, columns=["doc_id", "score"])
 
-    per_shard = blocks.groupBy("shard").applyInPandas(
-        run_shard, "doc_id BIGINT, score DOUBLE"
-    )
+    out_schema = "doc_id BIGINT, score DOUBLE"
+    if allowed_df is None:
+        def run_grouped(key, pdf):
+            return run_shard(key, pdf, None)
+
+        per_shard = blocks.groupBy("shard").applyInPandas(run_grouped, out_schema)
+    else:
+        def run_cogrouped(key, left: pd.DataFrame, right: pd.DataFrame):
+            if left.empty:
+                return pd.DataFrame(columns=["doc_id", "score"])
+            return run_shard(key, left, right)
+
+        per_shard = (
+            blocks.groupBy("shard")
+            .cogroup(allowed_df.groupBy("shard"))
+            .applyInPandas(run_cogrouped, out_schema)
+        )
     score_col = (
         F.round(F.col("score"), round_score) if round_score is not None else F.col("score")
     )

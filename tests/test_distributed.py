@@ -51,3 +51,24 @@ class TestDistributed:
         d, rows = dist_index
         out = search_distributed(spark, d, "t1", 10).collect()
         assert out and all(r.doc_id % 3 == 0 for r in out)  # source ids
+
+    def test_prefilter_cogroup(self, spark, dist_index):
+        d, rows = dist_index
+        allowed = spark.createDataFrame(
+            [(i,) for i in rows if i % 2 == 0], "doc_id INT"
+        )
+        got = search_distributed(
+            spark, d, "t1 t22", 25, round_score=None, prefilter=allowed
+        ).collect()
+        assert got and all(r.doc_id % 2 == 0 for r in got)
+        # equals the driver kernel with the equivalent mask
+        idx = Bm25Index(spark, d)
+        pay = {
+            r.doc_id: r.p_doc_id
+            for r in idx.docs_df().select("doc_id", "p_doc_id").collect()
+        }
+        mask = np.zeros(idx.n_docs, dtype=bool)
+        for iid, pid in pay.items():
+            mask[iid] = pid % 2 == 0
+        want = [(pay[i], s) for i, s in idx.search("t1 t22", 25, allowed_mask=mask)]
+        assert [(r.doc_id, r.score) for r in got] == want
