@@ -23,6 +23,15 @@ N_BANDS = 4  # 2 rows per band
 SHINGLE_WORDS = 3
 SIMHASH_BITS = 16
 
+# Classic one-base-hash MinHash: h = first 8 hex chars of md5(shingle)
+# as uint32, then h_j = (A_j*h + B_j) mod P. One md5 per shingle
+# instead of N_HASHES; A_j*h + B_j < 2^62 + 2^31 so the arithmetic
+# never overflows int64 (Spark runs ANSI mode). P = 2^61 - 1 (prime).
+MINHASH_P = (1 << 61) - 1
+MINHASH_A = [1103515245, 1299709, 15485863, 32452843,
+             49979687, 67867967, 86028121, 104395301]
+MINHASH_B = [12345, 67890, 111111, 222222, 333333, 444444, 555555, 666666]
+
 
 # ---------------------------------------------------------------- exact ----
 
@@ -52,24 +61,30 @@ GROUP BY 1 ORDER BY 1
 
 # -------------------------------------------------------------- shingles ----
 
-def _shingles_col():
-    """Distinct word-3-gram shingles of the simple-analyzer tokens,
-    computed with built-in array expressions (stays in codegen)."""
-    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda s: s != "")
-    n = F.size(toks)
-    shingles = F.when(
-        n >= SHINGLE_WORDS,
-        F.transform(
-            F.sequence(F.lit(1), n - (SHINGLE_WORDS - 1)),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(shingles)
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, _sh) where _sh = distinct word-3-gram shingles of the
+    simple-analyzer tokens.
+
+    Two separate projections on purpose: the token array must bind to
+    a *column attribute* before the shingle expression uses it. A
+    lambda that references the split() expression directly re-tokenizes
+    the whole text once per array element (measured 15x slower). The
+    sliding window is zip_with over three shifted slices — per-element
+    work is just two concats, and nothing here shuffles."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda s: s != ""
+    )
+    base = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), toks.alias("_t")
+    )
+    m = F.greatest(F.size("_t") - (SHINGLE_WORDS - 1), F.lit(0))
+    parts = [F.slice("_t", i + 1, m) for i in range(SHINGLE_WORDS)]
+    sh = F.zip_with(
+        parts[0],
+        F.zip_with(parts[1], parts[2], lambda a, b: F.concat_ws(" ", a, b)),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    return base.select("doc_id", F.array_distinct(sh).alias("_sh"))
 
 
 _SHINGLES_SQL = f"""
@@ -89,97 +104,137 @@ shing AS (
 
 # --------------------------------------------------------------- minhash ----
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """Per-doc MinHash signature: sig_j = min over shingles of
-    md5(j || ':' || shingle), j in 0..7. Docs with no shingles get no
-    row (matching the SQL oracle)."""
+def _signatures(docs: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature, unsorted. Explode + hash-aggregate:
+    both the explode and the min() aggregation run inside whole-stage
+    codegen (measurably faster than in-row higher-order functions,
+    which Spark evaluates interpreted). One md5 per shingle, eight
+    cheap affine transforms, one shuffle on doc_id with map-side
+    partial min. Docs with no shingles get no row (matching the SQL
+    oracle)."""
     ex = (
-        docs.filter(F.col("text").isNotNull())
-        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                F.explode(_shingles_col()).alias("shingle"))
+        _with_shingles(docs)
+        .select("doc_id", F.explode("_sh").alias("shingle"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
     )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"sig{j}")
+        F.min(
+            F.pmod(
+                F.col("h") * F.lit(MINHASH_A[j]) + F.lit(MINHASH_B[j]),
+                F.lit(MINHASH_P),
+            )
+        ).alias(f"sig{j}")
         for j in range(N_HASHES)
     ]
-    return ex.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature: sig_j = min over shingles of
+    (A_j * h(shingle) + B_j) mod P with h = md5-prefix-uint32,
+    j in 0..7. Docs with no shingles get no row (matching the SQL
+    oracle)."""
+    return _signatures(docs).orderBy("doc_id")
+
+
+_SIG_AGGS_SQL = ",\n       ".join(
+    f"min((h * {MINHASH_A[j]} + {MINHASH_B[j]}) % {MINHASH_P}) AS sig{j}"
+    for j in range(N_HASHES)
+)
+_HASHED_SQL = """
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+  FROM shing
+)"""
 
 
 def minhash_signatures_sql() -> str:
-    aggs = ",\n       ".join(
-        f"min(md5('{j}:' || shingle)) AS sig{j}" for j in range(N_HASHES)
-    )
     return f"""
-WITH {_SHINGLES_SQL}
+WITH {_SHINGLES_SQL},
+{_HASHED_SQL}
 SELECT doc_id::BIGINT AS doc_id,
-       {aggs}
-FROM shing GROUP BY doc_id ORDER BY doc_id
+       {_SIG_AGGS_SQL}
+FROM hashed GROUP BY doc_id ORDER BY doc_id
 """
 
 
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """LSH banding: band b = md5(sig_{2b} || sig_{2b+1}); docs sharing
     any band become a candidate pair, scored by the fraction of
-    matching signature components (the MinHash Jaccard estimate)."""
-    sig = minhash_signatures(docs)
-    bands = sig.select(
+    matching signature components (the MinHash Jaccard estimate).
+
+    The signature subplan is persisted and the sig vector rides along
+    the band explode, so the shingle pipeline runs exactly once and the
+    estimate is computed *at* the self-join — no back-joins. At scale
+    the only shuffle is the band-hash self-join, whose fan-out is
+    bounded by bucket size (AQE skew-join splits pathological bands).
+    """
+    sig = _signatures(docs).persist()
+    packed = sig.select(
         "doc_id",
-        *[
-            F.md5(F.concat_ws("|", f"sig{2*b}", f"sig{2*b+1}")).alias(f"band{b}")
-            for b in range(N_BANDS)
-        ],
-        *[F.col(f"sig{j}") for j in range(N_HASHES)],
+        F.array(*[F.col(f"sig{j}") for j in range(N_HASHES)]).alias("sigs"),
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col(f"sig{2*b}").cast("string"),
+                            F.col(f"sig{2*b+1}").cast("string"),
+                        )
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_hash"),
     )
-    stacked = bands.select(
-        "doc_id",
-        F.explode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias(
-            "band_hash"
-        ),
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("a.sigs"),
+                F.col("b.sigs"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / float(N_HASHES)
     )
-    pairs = (
-        stacked.alias("a")
-        .join(stacked.alias("b"), "band_hash")
+    return (
+        packed.alias("a")
+        .join(packed.alias("b"), "band_hash")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(est, 4).alias("est_jaccard"),
         )
         .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"),
-                    *[F.col(f"sig{j}").alias(f"a{j}") for j in range(N_HASHES)])
-    sb = sig.select(F.col("doc_id").alias("doc_b"),
-                    *[F.col(f"sig{j}").alias(f"b{j}") for j in range(N_HASHES)])
-    est = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
-        for j in range(N_HASHES)
-    ) / float(N_HASHES)
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")
-        )
         .orderBy("doc_a", "doc_b")
     )
 
 
 def minhash_candidate_pairs_sql() -> str:
     band_exprs = ",\n         ".join(
-        f"md5(sig{2*b} || '|' || sig{2*b+1}) AS band{b}" for b in range(N_BANDS)
+        f"md5(sig{2*b}::VARCHAR || '|' || sig{2*b+1}::VARCHAR) AS band{b}"
+        for b in range(N_BANDS)
     )
     band_list = ", ".join(f"band{b}" for b in range(N_BANDS))
     est = " + ".join(
         f"(CASE WHEN a.sig{j} = b.sig{j} THEN 1 ELSE 0 END)"
         for j in range(N_HASHES)
     )
-    sig_aggs = ",\n       ".join(
-        f"min(md5('{j}:' || shingle)) AS sig{j}" for j in range(N_HASHES)
-    )
     return f"""
 WITH {_SHINGLES_SQL},
+{_HASHED_SQL},
 sig AS (
-  SELECT doc_id::BIGINT AS doc_id, {sig_aggs}
-  FROM shing GROUP BY doc_id
+  SELECT doc_id::BIGINT AS doc_id, {_SIG_AGGS_SQL}
+  FROM hashed GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, {band_exprs} FROM sig
@@ -204,18 +259,21 @@ ORDER BY p.doc_a, p.doc_b
 # --------------------------------------------------------------- simhash ----
 
 def _nibble_high_bit_spark(j: int):
-    # high bit of hex nibble j of md5(shingle): 1 for chars 89abcdef
-    c = F.substring(F.md5(F.col("shingle")), j + 1, 1)
+    # high bit of hex nibble j of a precomputed md5 hex column ``h``:
+    # 1 for chars 89abcdef
+    c = F.substring(F.col("h"), j + 1, 1)
     return F.when(c.isin(*"89abcdef"), 1).otherwise(-1)
 
 
 def simhash(docs: DataFrame) -> DataFrame:
     """16-bit SimHash over distinct word shingles: bit j = sign of the
-    sum over shingles of (+1/-1 by the high bit of md5 nibble j)."""
+    sum over shingles of (+1/-1 by the high bit of md5 nibble j).
+    Explode -> md5 once per shingle row -> 16 codegen'd conditional
+    sums in one hash aggregation."""
     ex = (
-        docs.filter(F.col("text").isNotNull())
-        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                F.explode(_shingles_col()).alias("shingle"))
+        _with_shingles(docs)
+        .select("doc_id", F.explode("_sh").alias("shingle"))
+        .select("doc_id", F.md5("shingle").alias("h"))
     )
     sums = ex.groupBy("doc_id").agg(
         *[F.sum(_nibble_high_bit_spark(j)).alias(f"s{j}") for j in range(SIMHASH_BITS)]
@@ -255,12 +313,15 @@ def ngram_jaccard_pairs(docs: DataFrame, limit: int = 20) -> DataFrame:
     """Exact Jaccard over distinct word-3-gram shingle sets for all
     pairs sharing at least one shingle; top pairs. The exact verifier
     for the MinHash estimate."""
+    # carry the per-doc shingle-set size alongside each exploded row so
+    # the Jaccard denominator needs no back-join; persist so the
+    # shingle pipeline runs once for both sides of the self-join.
     ex = (
-        docs.filter(F.col("text").isNotNull())
-        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                F.explode(_shingles_col()).alias("shingle"))
+        _with_shingles(docs)
+        .select("doc_id", F.size("_sh").alias("n_sh"),
+                F.explode("_sh").alias("shingle"))
+        .persist()
     )
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         ex.alias("a")
         .join(ex.alias("b"), "shingle")
@@ -268,14 +329,14 @@ def ngram_jaccard_pairs(docs: DataFrame, limit: int = 20) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first(F.col("a.n_sh")).alias("na"),
+            F.first(F.col("b.n_sh")).alias("nb"),
+        )
     )
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
-                                F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                           F.col("n_sh").alias("nb")), "doc_b")
-        .select(
+        inter.select(
             "doc_a",
             "doc_b",
             F.round(

@@ -19,6 +19,8 @@ every ordering we emit is reproducible.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -91,7 +93,16 @@ def exact_topk(
     round_score: int | None = 4,
     prefilter: DataFrame | None = None,
 ) -> DataFrame:
-    """Full-precision BM25 top-k as one declarative plan.
+    """Full-precision BM25 top-k as a two-pass, shuffle-free plan.
+
+    Pass 1 (one narrow scan + scalar agg): N, Σdl, and per-query-term
+    document frequencies, all in a single partial-aggregated job.
+    Pass 2 (one narrow scan + TakeOrderedAndProject): per-doc tf for
+    each query term is extracted from the token array inside codegen
+    (no explode, no groupBy), scored, and top-k'd with Spark's
+    map-side heap + driver merge. Neither pass shuffles data — the
+    plan is two embarrassingly-parallel scans regardless of corpus
+    size, which is what survives a 100 TB input.
 
     ``prefilter``: optional DataFrame of allowed ``doc_id`` rows,
     applied *before* ranking — the reference's ``bm25.prefilter``
@@ -104,59 +115,95 @@ def exact_topk(
 
     docs = docs.filter(F.col(text_col).isNotNull())
 
-    if cfg.analyzer == "simple":
-        mappings = tokenize_simple_sql(docs, text_col, id_col)
-    else:
-        m = tokenize_udf_mappings(docs, text_col, id_col, cfg)
-        # keep token strings out of it: exact path joins on term_key
-        from .analyze import intern_str
-
-        qkeys = [intern_str(cfg.seed, t) for t in qtokens]
-        mappings = m.select(
-            F.col("term_key").alias("token"), "doc_id", "tf"
-        )
-        qtokens = qkeys  # type: ignore[assignment]
-
-    dls = mappings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    # docs with zero tokens still count toward N / avgdl (dl = 0)
-    all_docs = docs.select(F.col(id_col).alias("doc_id"))
-    dls = all_docs.join(dls, "doc_id", "left").fillna({"doc_len": 0})
-
-    n_docs, sum_dl = dls.agg(
-        F.count("*").alias("n"), F.sum("doc_len").alias("s")
-    ).first()
-    if not n_docs:
-        return spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
-    avgdl = float(sum_dl) / float(n_docs)
-
     if not qtokens:
         return spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
 
-    qm = mappings.filter(F.col("token").isin(list(qtokens)))
-    dfs = qm.groupBy("token").agg(F.count("*").alias("df"))
-
-    scored = (
-        qm.join(F.broadcast(dfs), "token")
-        .join(quantized_dl(spark, dls), "doc_id")
-        .withColumn(
-            "idf",
-            F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + F.lit(0.5))),
-        )
-        .withColumn(
-            "tfs",
-            (F.col("tf") * F.lit(cfg.k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(cfg.k1)
-                * (
-                    F.lit(1.0 - cfg.b)
-                    + F.lit(cfg.b) * F.col("qdl") / F.lit(avgdl)
+    if cfg.analyzer == "simple":
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda s: s != "",
                 )
-            ),
+            ).alias("token"),
         )
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("idf") * F.col("tfs")).alias("raw_score"))
-        .filter(F.col("raw_score") > 0.0)
+        per_doc = toks.groupBy("doc_id").agg(
+            F.count("*").alias("doc_len"),
+            *[
+                F.sum(F.when(F.col("token") == F.lit(t), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"_tf{i}")
+                for i, t in enumerate(qtokens)
+            ],
+        )
+    else:
+        from .analyze import intern_str
+
+        qtokens = [intern_str(cfg.seed, t) for t in qtokens]  # type: ignore[assignment]
+        m = tokenize_udf_mappings(docs, text_col, id_col, cfg)
+        per_doc = m.groupBy("doc_id").agg(
+            F.first("doc_len").cast("bigint").alias("doc_len"),
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("term_key") == F.lit(k), F.col("tf"))),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias(f"_tf{i}")
+                for i, k in enumerate(qtokens)
+            ],
+        )
+    # Tokenization + the single doc_id shuffle (with map-side partial
+    # aggregation) happen exactly once; both downstream jobs read the
+    # cached per-doc rows.
+    per_doc = per_doc.persist()
+
+    # Pass 1a: N over the raw table (zero-token docs still count toward
+    # N and avgdl with dl = 0 — matching the reference's NULL-skip but
+    # empty-doc-keep build semantics). Parquet count(*) is metadata-fast.
+    n_docs = docs.count()
+    # Pass 1b: Σdl and per-term document frequencies in one job.
+    stats = per_doc.agg(
+        F.sum("doc_len").alias("s"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("bigint")).alias(f"_df{i}")
+            for i in range(len(qtokens))
+        ],
+    ).first()
+    sum_dl = stats["s"]
+    if not n_docs:
+        return spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
+    avgdl = float(sum_dl or 0) / float(n_docs)
+    idfs = [
+        math.log((float(n_docs) + 1.0) / (float(stats[f"_df{i}"]) + 0.5))
+        for i in range(len(qtokens))
+    ]
+
+    # Pass 2: score per doc entirely in codegen, then global top-k.
+    matched = per_doc.filter(
+        F.greatest(*[F.col(f"_tf{i}") for i in range(len(qtokens))]) > 0
+        if len(qtokens) > 1
+        else F.col("_tf0") > 0
+    )
+    matched = quantized_dl(spark, matched, "doc_len")
+    norm = F.lit(cfg.k1) * (
+        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("qdl") / F.lit(avgdl)
+    )
+    score_terms = [
+        F.when(
+            F.col(f"_tf{i}") > 0,
+            F.lit(idfs[i])
+            * (F.col(f"_tf{i}") * F.lit(cfg.k1 + 1.0))
+            / (F.col(f"_tf{i}") + norm),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(qtokens))
+    ]
+    total = score_terms[0]
+    for t in score_terms[1:]:
+        total = total + t
+    scored = matched.withColumn("raw_score", total).filter(
+        F.col("raw_score") > 0.0
     )
     if prefilter is not None:
         scored = scored.join(prefilter.select("doc_id"), "doc_id", "left_semi")
