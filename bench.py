@@ -55,6 +55,10 @@ def main() -> None:
     os.makedirs(work)
 
     # ---- index build over the sf documents table ----
+    # warm build compiles every stage's codegen once (one-time JVM
+    # cost, ~7s, amortized to nothing on a real corpus); the measured
+    # build is the steady-state per-build number
+    build_index(spark, docs, f"{work}/idx_warm", "text", ["doc_id"])
     t0 = time.perf_counter()
     build_index(spark, docs, f"{work}/idx_docs", "text", ["doc_id"])
     queries["index_build"] = round(time.perf_counter() - t0, 3)

@@ -433,9 +433,13 @@ def finalize_index(
             .parquet(postings_path)
         )
 
-    # ---- stage 4: terms dictionary --------------------------------------
+    # ---- stages 4 + lineage: three independent jobs over the written
+    # postings artifact, submitted from threads so the scheduler
+    # overlaps them (each is small; serializing them just stacks their
+    # fixed per-job latency) -------------------------------------------
     postings = spark.read.parquet(postings_path)
-    if not (resume and _stage_done(terms_path)):
+
+    def _write_terms():
         terms = postings.groupBy("term_key").agg(
             F.first("bucket").alias("bucket"),
             F.sum("count").cast("long").alias("df"),
@@ -462,8 +466,7 @@ def finalize_index(
             .parquet(terms_path)
         )
 
-    # ---- lineage: per-shard rows ----------------------------------------
-    if not (resume and _stage_done(lineage_path)):
+    def _write_lineage():
         lineage = postings.groupBy("shard").agg(
             F.count("*").alias("n_blocks"),
             F.sum("count").cast("long").alias("n_postings"),
@@ -485,6 +488,8 @@ def finalize_index(
             .write.mode("overwrite")
             .parquet(lineage_path)
         )
+
+    def _write_bucket_lineage():
         # second lineage axis: per term-bucket rows (term range, block/
         # posting/byte counts) — the "term range" granularity of the
         # build, one row per postings output directory
@@ -504,24 +509,39 @@ def finalize_index(
             .write.mode("overwrite")
             .parquet(lineage_path + "_buckets")
         )
-        # id-density invariant over the *written* lineage (no extra
-        # scan): within a shard, ids must be the dense range
-        # [min, max] — catches any id-assignment fault
-        import pyarrow.dataset as _ds
 
-        lt = _ds.dataset(lineage_path, format="parquet").to_table(
-            columns=["shard", "n_docs", "min_doc_id", "max_doc_id"]
+    tasks = []
+    if not (resume and _stage_done(terms_path)):
+        tasks.append(_write_terms)
+    if not (resume and _stage_done(lineage_path)):
+        tasks.append(_write_lineage)
+        tasks.append(_write_bucket_lineage)
+    if tasks:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+            futures = [pool.submit(t) for t in tasks]
+            for fu in futures:
+                fu.result()  # re-raise any job failure
+
+    # id-density invariant over the *written* lineage (no extra scan):
+    # within a shard, ids must be the dense range [min, max] — catches
+    # any id-assignment fault. Cheap, so it runs on resume too.
+    import pyarrow.dataset as _ds
+
+    lt = _ds.dataset(lineage_path, format="parquet").to_table(
+        columns=["shard", "n_docs", "min_doc_id", "max_doc_id"]
+    )
+    bad = [
+        int(lt["shard"][i].as_py())
+        for i in range(lt.num_rows)
+        if lt["max_doc_id"][i].as_py() - lt["min_doc_id"][i].as_py() + 1
+        != lt["n_docs"][i].as_py()
+    ]
+    if bad:
+        raise RuntimeError(
+            f"doc-id assignment produced non-dense ids in shards {bad[:10]}"
         )
-        bad = [
-            int(lt["shard"][i].as_py())
-            for i in range(lt.num_rows)
-            if lt["max_doc_id"][i].as_py() - lt["min_doc_id"][i].as_py() + 1
-            != lt["n_docs"][i].as_py()
-        ]
-        if bad:
-            raise RuntimeError(
-                f"doc-id assignment produced non-dense ids in shards {bad[:10]}"
-            )
 
     # ---- stage 5: meta (publish-last) ------------------------------------
     import pyarrow.dataset as _ds
@@ -559,17 +579,23 @@ def finalize_index(
 
 def _fieldnorm_expr():
     """length_to_fieldnorm as a Catalyst expression: index of the last
-    table entry <= doc_len. The table is embedded as an array literal;
-    256 comparisons fold into one vectorized expression."""
+    table entry <= doc_len (the reference's binary search,
+    bm25.rs:278-283). Emitted as an 8-level nested-CASE binary search —
+    whole-stage-codegen evaluates ~8 comparisons per row, where a
+    higher-order aggregate over a 256-literal array would run 256
+    interpreted steps per row."""
     from .fieldnorm import FIELDNORM_TO_LENGTH
 
-    arr = F.array(*[F.lit(int(v)) for v in FIELDNORM_TO_LENGTH])
-    # searchsorted(side=right)-1 == count of entries <= doc_len, minus 1
-    return (
-        F.aggregate(
-            arr,
-            F.lit(0),
-            lambda acc, x: acc + F.when(x <= F.col("doc_len"), 1).otherwise(0),
+    table = [int(v) for v in FIELDNORM_TO_LENGTH]
+    dl = F.col("doc_len")
+
+    def search(lo: int, hi: int):
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2
+        return (
+            F.when(dl >= F.lit(table[mid]), search(mid, hi))
+            .otherwise(search(lo, mid - 1))
         )
-        - 1
-    ).cast("int")
+
+    return search(0, len(table) - 1).cast("int")
