@@ -31,6 +31,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # v2 commit: tasks move their own output files on commit
+        # instead of the driver renaming every file serially at job
+        # end — that serial section is a per-job constant that caps
+        # scaling (same wall time at 2 and at 1000 executors)
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
         .config("spark.driver.memory", os.environ.get("BM25SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

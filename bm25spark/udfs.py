@@ -40,15 +40,20 @@ def doc_terms_udf(analyzer_name: str, seed: bytes):
     minimal.
     """
     analyzer = get_analyzer(analyzer_name)
+    memo: dict[str, bytes] = {}
 
     @F.pandas_udf(TERMS_TYPE)
     def _analyze(texts: pd.Series) -> pd.Series:
+        # worker-lifetime intern memo (Spark reuses Python workers);
+        # bounded so a pathological vocabulary can't grow it forever
+        if len(memo) > 2_000_000:
+            memo.clear()
         out = []
         for text in texts:
             if text is None:
                 out.append([])
                 continue
-            items, _ = analyze_document(text, analyzer, seed)
+            items, _ = analyze_document(text, analyzer, seed, memo)
             out.append(items)
         return pd.Series(out)
 

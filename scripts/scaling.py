@@ -38,7 +38,10 @@ corpus_path = os.environ["BM25SPARK_CORPUS"]
 out_dir = f"/tmp/bm25spark-scaling/idx_{cpus}"
 shutil.rmtree(out_dir, ignore_errors=True)
 
-spark = get_spark(f"scaling-{cpus}", cores=cpus, shuffle_partitions=cpus)
+# partition count fixed by DATA VOLUME, identical at both levels (the
+# correct cluster sizing rule): both legs execute the exact same task
+# set, only the number of concurrent slots differs
+spark = get_spark(f"scaling-{cpus}", cores=cpus, shuffle_partitions=64)
 spark.sparkContext.setLogLevel("ERROR")
 corpus = spark.read.parquet(corpus_path)
 n = corpus.count()

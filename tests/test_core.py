@@ -191,3 +191,64 @@ class TestAnalyzers:
     def test_analyze_query_dedup_sorted(self):
         keys = analyze_query("b a b a", lambda s: s.split(), self.SEED)
         assert keys == sorted(set(keys)) and len(keys) == 2
+
+
+class TestTokenizeCodeEquivalence:
+    """The one-pass tokenize_code must equal the original two-stage
+    form (identifier findall -> underscore split -> camel findall):
+    the part regex cannot match across non-alphanumeric characters,
+    so the global pass is the union of the per-piece passes."""
+
+    @staticmethod
+    def _two_stage(text):
+        import unicodedata
+        from bm25spark.analyze import _CAMEL_RE, _IDENT_RE
+
+        text = unicodedata.normalize("NFKD", text)
+        out = []
+        for ident in _IDENT_RE.findall(text):
+            for piece in ident.split("_"):
+                if not piece:
+                    continue
+                parts = _CAMEL_RE.findall(piece)
+                if len(parts) > 1:
+                    out.extend(p.lower() for p in parts)
+                elif parts:
+                    out.append(parts[0].lower())
+        return out
+
+    def test_edge_strings(self):
+        from bm25spark.analyze import tokenize_code
+
+        cases = [
+            "", "_", "__", "a", "A", "fooBar", "FOOBar", "FOO_bar",
+            "foo-bar", "parseHTTPResponse2xx", "αβγ Ünïcode_Test",
+            "snake_case_ID x86_64 __init__ a1B2c3", "MiXeD_CaSe123",
+            "tab\tnew\nline", "emoji 🚀 done", "ends_", "_starts",
+        ]
+        for s in cases:
+            assert tokenize_code(s) == self._two_stage(s), s
+
+    def test_corpus_sample(self, spark):
+        from bm25spark.analyze import tokenize_code
+
+        rows = (
+            spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .limit(300)
+            .collect()
+        )
+        for r in rows:
+            assert tokenize_code(r.text) == self._two_stage(r.text)
+
+    def test_memo_identical_results(self):
+        from bm25spark.analyze import analyze_document, get_analyzer
+        from bm25spark.config import Bm25Config
+
+        cfg = Bm25Config()
+        an = get_analyzer("code")
+        memo = {}
+        texts = ["fooBar baz_qux fooBar", "FOO2bar foo", "baz_qux BAZ"]
+        for t in texts:
+            assert analyze_document(t, an, cfg.seed) == analyze_document(
+                t, an, cfg.seed, memo
+            )
