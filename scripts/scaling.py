@@ -35,6 +35,7 @@ from bm25spark.session import get_spark
 
 cpus = int(os.environ["BM25SPARK_CPUS"])
 corpus_path = os.environ["BM25SPARK_CORPUS"]
+analyzer = os.environ.get("BM25SPARK_ANALYZER", "code")
 out_dir = f"/tmp/bm25spark-scaling/idx_{cpus}"
 shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -55,14 +56,14 @@ n = corpus.count()
 build_index(
     spark, corpus.limit(2000), f"{out_dir}_warm", "content",
     ["repo", "path", "commit"],
-    cfg=Bm25Config(analyzer="code", shard_size=1 << 13), id_partitions=64,
+    cfg=Bm25Config(analyzer=analyzer, shard_size=1 << 13), id_partitions=64,
 )
 shutil.rmtree(f"{out_dir}_warm", ignore_errors=True)
 
 t0 = time.perf_counter()
 build_index(
     spark, corpus, out_dir, "content", ["repo", "path", "commit"],
-    cfg=Bm25Config(analyzer="code", shard_size=1 << 13),
+    cfg=Bm25Config(analyzer=analyzer, shard_size=1 << 13),
     id_partitions=64,  # fixed so the artifact is identical at both sizes
 )
 build_sec = time.perf_counter() - t0
@@ -154,6 +155,7 @@ def main() -> None:
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
     report = {
         "workload": f"index build over {args.docs} synthetic source files",
+        "analyzer": os.environ.get("BM25SPARK_ANALYZER", "code"),
         "low": lo,
         "high": hi,
         "scaling_efficiency": round(eff, 3),
@@ -169,8 +171,8 @@ def main() -> None:
 ## Scaling run {stamp}
 
 Same job (index build over {args.docs} deterministic synthetic source
-files, fixed id_partitions=64 so artifacts are identical), two
-parallelism levels, fresh JVM each:
+files, analyzer={report['analyzer']}, fixed id_partitions=64 so
+artifacts are identical), two parallelism levels, fresh JVM each:
 
 | level | cores | build sec | docs/sec | dist query sec |
 |---|---|---|---|---|
