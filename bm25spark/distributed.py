@@ -190,7 +190,11 @@ def search_distributed(
         *[F.col(f"p_{c}") for c in idx.payload_cols],
     )
     return (
-        topk.join(docs, topk["doc_id"] == docs["_iid"])
+        # k-row side broadcast: the docs artifact is never shuffled
+        # for the payload lookup, only scanned (at scale this is the
+        # difference between a k-row map-side join and re-shuffling
+        # the whole corpus)
+        docs.join(F.broadcast(topk), topk["doc_id"] == docs["_iid"])
         .select(
             *[F.col(f"p_{c}").alias(c) for c in idx.payload_cols],
             topk["score"],
