@@ -36,6 +36,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d)
         ),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
+        "dedup_simhash_pairs": lambda s, d: dedup.simhash_hamming_pairs(
+            _docs(s, d)
+        ),
         "dedup_ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
             _docs(s, d)
         ),
@@ -55,6 +58,7 @@ def oracle_registry() -> dict[str, str]:
         "dedup_minhash_signatures": dedup.minhash_signatures_sql(),
         "dedup_minhash_pairs": dedup.minhash_candidate_pairs_sql(),
         "dedup_simhash": dedup.simhash_sql(),
+        "dedup_simhash_pairs": dedup.simhash_hamming_pairs_sql(),
         "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
         "ann_cosine_topk": similarity.ann_cosine_topk_sql(),
         # ann_lsh_topk is approximate -> rows-only check (no oracle)

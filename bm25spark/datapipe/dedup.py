@@ -307,6 +307,84 @@ SELECT doc_id, ({fp})::BIGINT AS simhash FROM sums ORDER BY doc_id
 """
 
 
+def simhash_hamming_pairs(docs: DataFrame, max_dist: int = 3) -> DataFrame:
+    """Near-dup candidate pairs by SimHash Hamming distance <= max_dist.
+
+    Banding with the pigeonhole guarantee: the 16-bit code splits into
+    4 nibbles; two codes within distance 3 agree on at least one whole
+    nibble, so the band self-join has full recall for max_dist <= 3.
+    Exact distance is then one xor+bit_count per candidate — at scale
+    the only shuffle is the band join, fan-out bounded by band-bucket
+    size."""
+    sh = simhash(docs).persist()
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(bnd)),
+                        F.shiftrightunsigned(F.col("simhash"), 4 * bnd)
+                        .bitwiseAND(F.lit(15))
+                        .cast("string"),
+                    )
+                    for bnd in range(4)
+                ]
+            )
+        ).alias("band"),
+    )
+    dist = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), "band")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_dist)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_hamming_pairs_sql(max_dist: int = 3) -> str:
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN substr(h, {j + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {_SHINGLES_SQL},
+hx AS (SELECT doc_id, md5(shingle) AS h FROM shing),
+sums AS (
+  SELECT doc_id::BIGINT AS doc_id, {sums}
+  FROM hx GROUP BY doc_id
+),
+sh AS (SELECT doc_id, ({fp})::BIGINT AS simhash FROM sums),
+bands AS (
+  SELECT doc_id, simhash,
+         b.band_no::VARCHAR || ':' || (((simhash >> (4 * b.band_no)) & 15))::VARCHAR AS band
+  FROM sh, (SELECT unnest([0,1,2,3]) AS band_no) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM bands a JOIN bands b USING (band)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_dist}
+ORDER BY doc_a, doc_b
+"""
+
+
 # -------------------------------------------------------- n-gram jaccard ----
 
 def ngram_jaccard_pairs(docs: DataFrame, limit: int = 20) -> DataFrame:

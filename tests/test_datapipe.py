@@ -162,3 +162,38 @@ class TestMultimodal:
         vids = {r.doc_id for r in media.filter("media_type = 'video/mp4'").collect()}
         assert {r.doc_id for r in plan} == vids
         assert all(r.frame_no == 0 for r in plan)  # 64B media -> 1 frame
+
+
+class TestSimhashHammingPairs:
+    def test_planted_near_dupes_and_oracle(self, spark):
+        import duckdb
+
+        from bm25spark.datapipe import dedup
+
+        base = (
+            "the quick brown fox jumps over the lazy dog again and again "
+            "while the indexing engine builds compressed posting lists"
+        )
+        rows = [
+            (1, base),
+            (2, base + " extra"),          # near-dup of 1
+            (3, "completely different words about database query planning "
+                "optimizer statistics and cost models for joins"),
+            (4, base.replace("fox", "cat")),  # near-dup of 1
+        ]
+        docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        got = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in dedup.simhash_hamming_pairs(docs).collect()
+        }
+        assert (1, 2) in got and got[(1, 2)] <= 3
+        assert all(3 not in pair for pair in got)
+
+        con = duckdb.connect()
+        con.register("documents_src", __import__("pandas").DataFrame(
+            rows, columns=["doc_id", "text"]))
+        con.execute("CREATE VIEW documents AS SELECT * FROM documents_src")
+        orows = con.execute(dedup.simhash_hamming_pairs_sql()).fetchall()
+        assert sorted(got.items()) == sorted(
+            ((a, b), h) for a, b, h in orows
+        )
