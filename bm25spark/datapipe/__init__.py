@@ -43,6 +43,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d)
         ),
         "ann_cosine_topk": lambda s, d: similarity.ann_cosine_topk(_emb(s, d)),
+        "ann_cosine_topk_kernel": lambda s, d: similarity.ann_cosine_topk_kernel(
+            _emb(s, d)
+        ),
         "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
         "text_stats": lambda s, d: textstats.text_stats(_docs(s, d)),
         "text_quality": lambda s, d: textstats.text_quality(_docs(s, d)),
@@ -61,6 +64,9 @@ def oracle_registry() -> dict[str, str]:
         "dedup_simhash_pairs": dedup.simhash_hamming_pairs_sql(),
         "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
         "ann_cosine_topk": similarity.ann_cosine_topk_sql(),
+        # the NumPy-matmul scale path computes the identical result
+        # (verified rank-identical at sf0.001/0.01/0.1), same oracle
+        "ann_cosine_topk_kernel": similarity.ann_cosine_topk_sql(),
         # ann_lsh_topk is approximate -> rows-only check (no oracle)
         "text_stats": textstats.text_stats_sql(),
         "text_quality": textstats.text_quality_sql(),

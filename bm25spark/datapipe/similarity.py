@@ -102,6 +102,71 @@ ORDER BY probe_id, cos DESC, vec_id
 """
 
 
+def ann_cosine_topk_kernel(
+    emb: DataFrame, probes=None, k: int = K
+) -> DataFrame:
+    """The scale path for exact cosine top-k: the probe matrix is tiny
+    (q x d, broadcast), the corpus scan is embarrassingly parallel —
+    each Arrow batch computes one NumPy matmul and keeps only its
+    partition-local top-k per probe, so the shuffle into the global
+    window carries O(partitions * q * k) rows regardless of corpus
+    size. Rank-identical to :func:`ann_cosine_topk` (same rounding,
+    same tie order); that Catalyst form stays as the oracle.
+    """
+    import pandas as pd
+
+    probes = probes if probes is not None else PROBES
+    spark = emb.sparkSession
+    pr = (
+        emb.filter(F.col("vec_id").isin(probes))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_ids = np.array([r.vec_id for r in pr], dtype=np.int64)
+    pm = np.array([r.embedding for r in pr], dtype=np.float64)
+    pm_unit = pm / np.linalg.norm(pm, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(probe_ids)
+    b_pm = spark.sparkContext.broadcast(pm_unit)
+
+    def score(batches):
+        ids, mat = b_ids.value, b_pm.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["embedding"].to_list(), dtype=np.float64)
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            cos = np.round(mat @ vecs.T, 6)  # q x n
+            vid = pdf["vec_id"].to_numpy(np.int64)
+            out = []
+            kk = min(k, cos.shape[1])
+            for qi in range(len(ids)):
+                row = cos[qi]
+                # partition-local top-k (ties by vec_id asc like the
+                # global sort, so no survivor can be dropped early)
+                order = np.lexsort((vid, -row))[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "probe_id": ids[qi],
+                            "vec_id": vid[order],
+                            "cos": row[order],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partial = emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    ).mapInPandas(score, "probe_id bigint, vec_id bigint, cos double")
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "vec_id", "cos")
+        .orderBy("probe_id", F.desc("cos"), "vec_id")
+    )
+
+
 def lsh_hyperplanes(dim: int, bits: int = LSH_BITS, seed: str = "bm25spark-lsh"):
     """Deterministic pseudo-random hyperplanes: md5-counter stream ->
     uniform floats -> standard-normal-ish via sum of 4 uniforms."""

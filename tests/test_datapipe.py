@@ -197,3 +197,12 @@ class TestSimhashHammingPairs:
         assert sorted(got.items()) == sorted(
             ((a, b), h) for a, b, h in orows
         )
+
+
+def test_ann_kernel_rank_identical_to_catalyst(spark):
+    from bm25spark.datapipe import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = [tuple(r) for r in similarity.ann_cosine_topk(emb).collect()]
+    b = [tuple(r) for r in similarity.ann_cosine_topk_kernel(emb).collect()]
+    assert a == b
