@@ -84,6 +84,148 @@ def windowed_event_counts(
     )
 
 
+SESSION_GAP_MINUTES = 30
+_SESSION_SCHEMA = (
+    "user_id bigint, session_no bigint, start_ts timestamp, "
+    "end_ts timestamp, n_events bigint, sum_value double"
+)
+
+
+def sessionize_events(
+    events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES
+) -> DataFrame:
+    """Per-user sessions with an inactivity gap — the batch
+    (gaps-and-islands) form: lag over (user, time) marks session
+    starts, a running sum numbers them, one aggregation per session.
+    Two shuffles on user_id (window + groupBy share the key, so AQE
+    reuses the exchange). Microsecond-precision gap comparison so the
+    DuckDB oracle agrees on boundary events."""
+    from pyspark.sql import Window
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts",
+        "event_id",
+        "value",
+        # parquet event time is TIMESTAMP_NTZ; the session runs UTC so
+        # the cast is epoch-preserving (same micros DuckDB's epoch_us
+        # sees)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.lag("_us").over(w).isNull()
+            | (F.col("_us") - F.lag("_us").over(w) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+def sessionize_events_sql(gap_minutes: int = SESSION_GAP_MINUTES) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, value,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                   OR epoch_us(ts) - prev_us > {gap_us}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id::BIGINT AS user_id, session_no::BIGINT AS session_no,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+FROM numbered GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES
+) -> DataFrame:
+    """The stateful-streaming form: ``applyInPandasWithState`` keeps
+    one open session per user across micro-batches and emits a session
+    only when a later event closes it (gap exceeded). State is the
+    open session's (start_us, last_us, n, sum) — O(1) per user, the
+    custom-stateful-operator pattern the batch engine cannot express.
+    Closed sessions equal the batch form's non-final sessions (tested);
+    numbers are assigned per emission order within a user."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    state_schema = "start_us long, last_us long, n long, s double, emitted long"
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values(["ts", "event_id"])
+        us = (rows["ts"].astype("int64")).to_numpy()  # ns -> handled below
+        if us.dtype == "int64" and us.max() > 10**15:  # ns epoch
+            us = us // 1000
+        vals = rows["value"].to_numpy()
+        if state.exists:
+            start_us, last_us, n, s, emitted = state.get
+        else:
+            start_us, last_us, n, s, emitted = None, None, 0, 0.0, 0
+        out = []
+        for t, v in zip(us.tolist(), vals.tolist()):
+            if start_us is None:
+                start_us, last_us, n, s = t, t, 1, float(v)
+            elif t - last_us > gap_us:
+                emitted += 1
+                out.append((user_id, emitted, start_us, last_us, n, round(s, 4)))
+                start_us, last_us, n, s = t, t, 1, float(v)
+            else:
+                last_us, n, s = t, n + 1, s + float(v)
+        state.update((start_us, last_us, n, s, emitted))
+        if out:
+            df = pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "session_no", "start_ts", "end_ts",
+                    "n_events", "sum_value",
+                ],
+            )
+            df["start_ts"] = pd.to_datetime(df["start_ts"], unit="us")
+            df["end_ts"] = pd.to_datetime(df["end_ts"], unit="us")
+            yield df
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        _SESSION_SCHEMA,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts_sql(window_hours: int = 1) -> str:
     """DuckDB oracle for the batch form of windowed_event_counts."""
     return f"""

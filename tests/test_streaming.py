@@ -76,3 +76,67 @@ class TestStreamIngest:
         vacuum(spark, d, "text")
         hits = search_with_delta(spark, d, "alpha", 5, "text")
         assert hits[0][0] == (100,)
+
+
+class TestSessionize:
+    def test_batch_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from bm25spark import streaming
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        a = [tuple(r) for r in streaming.sessionize_events(ev).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/events.parquet')"
+        )
+        b = [tuple(r) for r in con.execute(
+            streaming.sessionize_events_sql()).fetchall()]
+        assert a == b and len(a) > 0
+
+    def test_stateful_stream_emits_closed_sessions(self, spark, tmp_path):
+        import datetime as dt
+
+        from bm25spark import streaming
+
+        base = dt.datetime(2024, 1, 1)
+        m = lambda mins: base + dt.timedelta(minutes=mins)
+        rows = [
+            # user 1: sessions [0,5], [120,125], open [300]
+            (1, m(0), 1, 1.0), (2, m(5), 1, 2.0),
+            (3, m(120), 1, 3.0), (4, m(125), 1, 4.0),
+            (5, m(300), 1, 5.0),
+            # user 2: session [0,10], open [400]
+            (6, m(0), 2, 1.5), (7, m(10), 2, 2.5), (8, m(400), 2, 9.9),
+        ]
+        src = str(tmp_path / "events_src")
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double"
+        ).coalesce(1).write.parquet(src)
+
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        ).parquet(src)
+        q = (
+            streaming.sessionize_stream(stream)
+            .writeStream.format("memory")
+            .queryName("sessions_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, r.session_no): (r.start_ts, r.end_ts, r.n_events,
+                                        r.sum_value)
+            for r in spark.sql("SELECT * FROM sessions_out").collect()
+        }
+        # closed sessions only; the open tail session of each user is
+        # retained in state, not emitted
+        assert got == {
+            (1, 1): (m(0), m(5), 2, 3.0),
+            (1, 2): (m(120), m(125), 2, 7.0),
+            (2, 1): (m(0), m(10), 2, 4.0),
+        }
