@@ -585,7 +585,15 @@ def finalize_index(
             F.first("bucket").alias("bucket"),
             F.sum("count").cast("long").alias("df"),
             F.max_by(
-                F.struct("wand_fn", "wand_tf"), F.struct("block_ub", F.col("block_ord") * -1)
+                F.struct("wand_fn", "wand_tf"),
+                # total order: block_ub desc-pick, then earliest block,
+                # then lowest shard — (term_key, shard, block_ord) is a
+                # unique key, so two shards tying on (block_ub,
+                # block_ord) can no longer produce run-to-run variance
+                # in the stored (wand_fn, wand_tf)
+                F.struct(
+                    "block_ub", F.col("block_ord") * -1, F.col("shard") * -1
+                ),
             ).alias("w"),
             F.max("block_ub").alias("token_ub"),
         )

@@ -25,6 +25,13 @@ KEY_WIDTH = 16
 #: default top-k candidate limit (bm25.limit), reference README.md:464
 DEFAULT_LIMIT = 100
 
+#: guardrail for the driver-resident search path: ``Bm25Index.search``
+#: keeps a dense uint8 fieldnorm array on the driver (fine at bench
+#: scale, wrong at 10^9+ docs), so above this doc count ``search_df``
+#: auto-routes to the per-shard distributed kernel and ``search``
+#: refuses instead of trusting the caller to know.
+DRIVER_SEARCH_MAX_DOCS = 5_000_000
+
 
 def derive_seed(name: str) -> bytes:
     """Deterministic 32-byte index seed from an index name."""

@@ -27,15 +27,27 @@ from .wand import TermPostings, taat_topk
 
 
 class _OffsetMask:
-    """Global-id-indexable boolean mask over one shard's id range."""
+    """Global-id-indexable boolean mask over one shard's id range.
+
+    ``blocklist=False``: ``ids_local`` are the *allowed* ids (prefilter
+    semantics, P3). ``blocklist=True``: ``ids_local`` are the *blocked*
+    ids (tombstone semantics, P4) — the mask starts all-true and only
+    the listed ids are masked out, so a shard with few tombstones costs
+    O(tombstones) rows through the cogroup, never O(shard_size)."""
 
     __slots__ = ("base", "mask")
 
-    def __init__(self, base: int, size: int, allowed_local: "np.ndarray"):
+    def __init__(
+        self,
+        base: int,
+        size: int,
+        ids_local: "np.ndarray",
+        blocklist: bool = False,
+    ):
         self.base = base
-        self.mask = np.zeros(size, dtype=bool)
-        valid = (allowed_local >= 0) & (allowed_local < size)
-        self.mask[allowed_local[valid]] = True
+        self.mask = np.full(size, blocklist, dtype=bool)
+        valid = (ids_local >= 0) & (ids_local < size)
+        self.mask[ids_local[valid]] = not blocklist
 
     def __getitem__(self, idx):
         return self.mask[np.asarray(idx) - self.base]
@@ -61,13 +73,21 @@ def search_distributed(
     k: int,
     round_score: int | None = 4,
     prefilter: DataFrame | None = None,
+    blocked: DataFrame | None = None,
 ) -> DataFrame:
     """-> DataFrame (payload cols..., score), best-first.
 
     ``prefilter``: optional DataFrame of allowed *payload key* rows —
     the reference's bm25.prefilter (P3) in the scale path. Each shard
     task receives its slice of allowed internal ids via a join against
-    the docs artifact, evaluated before candidates count toward k."""
+    the docs artifact, evaluated before candidates count toward k.
+
+    ``blocked``: optional DataFrame of tombstoned *internal doc ids*
+    (one ``doc_id`` column) — the reference's deleted-filter (P4,
+    bulkdelete.rs:20-112) in the scale path. Blocked ids route to their
+    shard's task through the same cogroup as the prefilter, and the
+    task builds an inverted (all-true) mask, so the cost is
+    O(tombstones), never O(n_docs) on the driver."""
     idx = Bm25Index(spark, index_dir)
     keys = idx.query_keys(query_text)
     stats = idx.term_stats(keys)
@@ -81,6 +101,7 @@ def search_distributed(
     docs_path = idx._path("docs")
 
     allowed_df = None
+    mask_blocklist = False
     if prefilter is not None:
         pc = idx.payload_cols
         allowed_df = (
@@ -92,12 +113,32 @@ def search_distributed(
             )
             .select("shard", "doc_id")
         )
+        if blocked is not None:
+            # both: blocked ids are removed from the allowlist
+            allowed_df = allowed_df.join(
+                blocked.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+    elif blocked is not None:
+        # blocklist mode: ship only the (small) tombstone set; shard is
+        # derivable from the dense internal id — no docs-artifact join
+        mask_blocklist = True
+        allowed_df = blocked.select(
+            F.col("doc_id").cast("bigint").alias("doc_id")
+        ).distinct().select(
+            (F.col("doc_id") / shard_size).cast("int").alias("shard"), "doc_id"
+        )
     term_info = {
         key: (i, stats[key]["df"], stats[key]["wand_fn"], stats[key]["wand_tf"])
         for i, key in enumerate(present)
     }
+    # per-shard over-fetch: the shard heap cuts on *unrounded* scores,
+    # but the global limit orders by (rounded score, doc_id) — a doc
+    # whose raw score trails the k-th but rounds equal to it (and has a
+    # smaller doc_id) must survive the shard cut, so fetch k+slack per
+    # shard exactly like Bm25Index.search_df does
+    k_fetch = k + (128 if round_score is not None else 0)
     binfo = spark.sparkContext.broadcast(
-        (term_info, n_docs, avgdl, k1, b, shard_size, docs_path, k)
+        (term_info, n_docs, avgdl, k1, b, shard_size, docs_path, k_fetch)
     )
 
     buckets = idx._buckets(present)
@@ -150,10 +191,15 @@ def search_distributed(
             )
         allowed_mask = None
         if allowed_pdf is not None:
-            # shard-local prefilter mask over global ids (P3): only
-            # docs whose payload key survived the semi-join may count
+            # shard-local mask over global ids: allowlist = prefilter
+            # (P3), blocklist = tombstones (P4); an empty right side
+            # means "allow everything" for a blocklist and "allow
+            # nothing" for an allowlist — both fall out of the fill
             allowed_mask = _OffsetMask(
-                base, shard_size, allowed_pdf["doc_id"].to_numpy(np.int64) - base
+                base,
+                shard_size,
+                allowed_pdf["doc_id"].to_numpy(np.int64) - base,
+                blocklist=mask_blocklist,
             )
         hits = taat_topk(terms, fns, k, allowed_mask=allowed_mask)
         return pd.DataFrame(hits, columns=["doc_id", "score"])

@@ -124,8 +124,25 @@ class Bm25Index:
         k: int = 100,
         mode: str = "taat",
         allowed_mask: np.ndarray | None = None,
+        max_driver_docs: int | None = None,
     ) -> list[tuple[int, float]]:
-        """-> [(internal doc_id, score)] best-first, doc-id tiebreak."""
+        """-> [(internal doc_id, score)] best-first, doc-id tiebreak.
+
+        Refuses above the driver-residency guardrail
+        (config.DRIVER_SEARCH_MAX_DOCS): this path materializes an
+        O(n_docs) fieldnorm array on the driver, which is a bench-scale
+        convenience, not the scale path — use
+        :func:`bm25spark.distributed.search_distributed` (or
+        ``search_df``, which auto-routes) beyond it."""
+        from .config import DRIVER_SEARCH_MAX_DOCS
+
+        limit = DRIVER_SEARCH_MAX_DOCS if max_driver_docs is None else max_driver_docs
+        if self.n_docs > limit:
+            raise ValueError(
+                f"index has {self.n_docs} docs > driver-path guardrail "
+                f"{limit}; use bm25spark.distributed.search_distributed "
+                "(search_df auto-routes)"
+            )
         terms = self.term_postings(query_text)
         if not terms:
             return []
@@ -147,6 +164,7 @@ class Bm25Index:
         round_score: int | None = 4,
         slack: int = 128,
         negate: bool = False,
+        max_driver_docs: int | None = None,
     ) -> DataFrame:
         """Search returning a DataFrame of payload columns + score.
 
@@ -156,7 +174,24 @@ class Bm25Index:
         ``negate=True`` returns the reference's ``<&>`` operator
         convention — the negated score, ascending = best first
         (src/index/operators.rs:54, F7).
+
+        Above the driver-residency guardrail this auto-routes to the
+        per-shard distributed kernel (identical rounding/ordering
+        convention), so callers never silently hit the O(n_docs)
+        driver fieldnorm array.
         """
+        from .config import DRIVER_SEARCH_MAX_DOCS
+
+        limit = DRIVER_SEARCH_MAX_DOCS if max_driver_docs is None else max_driver_docs
+        if self.n_docs > limit:
+            from .distributed import search_distributed
+
+            out = search_distributed(
+                self.spark, self.index_dir, query_text, k, round_score=round_score
+            )
+            if negate:
+                out = out.withColumn("score", -F.col("score"))
+            return out
         hits = self.search(query_text, k + (slack if round_score else 0), mode=mode)
         if round_score is not None:
             hits = [(d, round(s, round_score)) for d, s in hits]

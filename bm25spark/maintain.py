@@ -6,40 +6,55 @@ model (insert appends to a growing tape, insert.rs:23-79; bulkdelete
 flags docs, bulkdelete.rs:20-112; VACUUM merges and relabels,
 maintain.rs:27-311):
 
-- ``insert``   appends raw rows to a *delta* parquet table.
+- ``insert``   appends raw rows to a *delta* parquet table, stamped
+  with a monotonically increasing mutation sequence number.
 - ``delete``   appends tombstones: sealed docs by internal id (looked
-               up via payload key), delta rows by payload key.
-- ``search_with_delta`` unions WAND results over the sealed index
-  (tombstones as a prefilter mask, P4) with exact scoring of the delta
-  docs (Q4) — scored against the *sealed* statistics (N, avgdl, df),
-  exactly like the reference, whose growing-segment scan uses the
+  up via payload key), delta rows by payload key + the same sequence
+  counter. A delta row is hidden only by a tombstone whose sequence is
+  *later* than the row's, so insert(key) after delete(key) is live
+  again — matching the reference's heap semantics, where a row
+  inserted after a DELETE is a new, visible tuple.
+- ``search_with_delta`` unions the distributed sealed search
+  (tombstones shipped per shard as a blocklist mask, P4 — never an
+  O(n_docs) driver allocation) with Catalyst exact scoring of the
+  delta docs (Q4) — scored against the *sealed* statistics (N, avgdl,
+  df), exactly like the reference, whose growing-segment scan uses the
   token dictionary and jump stats as of the last merge
   (search.rs:49-51,83-135). Terms absent from the sealed dictionary
   contribute nothing even if present in delta docs (search.rs:55-62).
+  Both legs are Spark jobs; nothing is collected except the final k
+  rows, so an un-compacted delta of 10M rows is scanned where it
+  lives, not on the driver.
 - ``vacuum``   compacts: drops tombstoned docs, relabels survivors to
   dense ids (the reference's relabel array, maintain.rs:330-362 — here
   the J4 relabel *join*), tokenizes and appends delta docs, re-runs the
   build's sort+flush stages, and atomically swaps the artifact dirs
   (publish-last, like build.rs:60-70).
+- ``maybe_vacuum`` is the auto-seal policy: vacuum once the live delta
+  exceeds a row threshold — the analogue of the reference's
+  ``bm25.segment_growing_max_page_size`` GUC (README.md:466: growing
+  segments auto-seal at 4,096 pages).
 """
 
 from __future__ import annotations
 
 import os
 import shutil
-from collections import Counter
 
-import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .analyze import analyze_query, get_analyzer, intern_str
+from .analyze import analyze_query, get_analyzer
 from .build import _assign_doc_ids, _fieldnorm_expr, finalize_index
 from .config import Bm25Config
-from .fieldnorm import length_to_fieldnorm
 from .index import Bm25Index
-from .scoring import Cache
+from .query import quantized_dl
 from .udfs import with_doc_terms
+
+#: auto-seal threshold (live delta rows) used when none is given —
+#: the reference seals growing segments at 4,096 pages (README.md:466);
+#: rows are our page analogue.
+DEFAULT_MAX_DELTA_ROWS = 4096
 
 
 def _delta_path(index_dir: str) -> str:
@@ -52,6 +67,25 @@ def _tomb_path(index_dir: str) -> str:
 
 def _delta_tomb_path(index_dir: str) -> str:
     return os.path.join(index_dir, "delta_tombstones")
+
+
+def _seq_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "delta_seq")
+
+
+def _next_seq(index_dir: str) -> int:
+    """Monotonic mutation sequence, one per insert/delete call. A tiny
+    driver-side counter file — mutations are driver-issued commands, so
+    this is not a distributed bottleneck; vacuum resets it along with
+    the delta (the swapped-in artifact dir has no counter file)."""
+    path = _seq_path(index_dir)
+    n = 0
+    if os.path.exists(path):
+        with open(path) as f:
+            n = int(f.read().strip() or 0)
+    with open(path, "w") as f:
+        f.write(str(n + 1))
+    return n
 
 
 def _cfg_from_meta(meta: dict) -> Bm25Config:
@@ -69,12 +103,16 @@ def insert(spark: SparkSession, index_dir: str, rows: DataFrame, text_col: str) 
     """Append documents to the growing (delta) segment — M2."""
     idx = Bm25Index(spark, index_dir)
     keep = list(dict.fromkeys([*idx.payload_cols, text_col]))
-    rows.select(*keep).write.mode("append").parquet(_delta_path(index_dir))
+    seq = _next_seq(index_dir)
+    rows.select(*keep).withColumn("_seq", F.lit(seq).cast("long")).write.mode(
+        "append"
+    ).parquet(_delta_path(index_dir))
 
 
 def delete(spark: SparkSession, index_dir: str, keys: DataFrame) -> None:
     """Tombstone documents by payload key — M3. ``keys`` has the
-    index's payload columns."""
+    index's payload columns. Only delta rows inserted *before* this
+    call are masked (sequence-stamped tombstones)."""
     idx = Bm25Index(spark, index_dir)
     pc = idx.payload_cols
     sealed = idx.docs_df().join(
@@ -82,33 +120,194 @@ def delete(spark: SparkSession, index_dir: str, keys: DataFrame) -> None:
         [f"p_{c}" for c in pc],
         "left_semi",
     )
+    seq = _next_seq(index_dir)
     sealed.select("doc_id").write.mode("append").parquet(_tomb_path(index_dir))
-    keys.select(*pc).write.mode("append").parquet(_delta_tomb_path(index_dir))
+    keys.select(*pc).withColumn("_seq", F.lit(seq).cast("long")).write.mode(
+        "append"
+    ).parquet(_delta_tomb_path(index_dir))
 
 
-def _tombstone_mask(spark: SparkSession, idx: Bm25Index, index_dir: str):
+def _tombstones_df(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """Sealed-segment tombstones as a (small) distributed DataFrame of
+    internal ``doc_id`` rows — routed per shard by the distributed
+    search, never collected into a dense driver array (P4 at scale)."""
     path = _tomb_path(index_dir)
     if not os.path.exists(path):
         return None
-    ids = [r.doc_id for r in spark.read.parquet(path).distinct().collect()]
-    if not ids:
-        return None
-    mask = np.ones(idx.n_docs, dtype=bool)
-    mask[np.asarray(ids, dtype=np.int64)] = False
-    return mask
+    return spark.read.parquet(path).select("doc_id").distinct()
 
 
 def _live_delta(spark: SparkSession, idx: Bm25Index, index_dir: str) -> DataFrame | None:
+    """Delta rows still visible: a row is hidden only by a tombstone on
+    its key with a *later* mutation sequence (delete-then-reinsert
+    keeps the reinserted row live)."""
     path = _delta_path(index_dir)
     if not os.path.exists(path):
         return None
     delta = spark.read.parquet(path)
     dt = _delta_tomb_path(index_dir)
     if os.path.exists(dt):
-        delta = delta.join(
-            spark.read.parquet(dt).distinct(), idx.payload_cols, "left_anti"
+        tombs = (
+            spark.read.parquet(dt)
+            .groupBy(idx.payload_cols)
+            .agg(F.max("_seq").alias("_tomb_seq"))
         )
-    return delta
+        delta = (
+            delta.join(F.broadcast(tombs), idx.payload_cols, "left")
+            .filter(
+                F.col("_tomb_seq").isNull() | (F.col("_seq") > F.col("_tomb_seq"))
+            )
+            .drop("_tomb_seq")
+        )
+    return delta.drop("_seq")
+
+
+def _delta_topk_df(
+    spark: SparkSession,
+    idx: Bm25Index,
+    delta: DataFrame,
+    query_text: str,
+    k: int,
+    text_col: str,
+) -> DataFrame | None:
+    """Q4 distributed: exact-score the growing segment with the *sealed*
+    statistics (N, avgdl, per-term df from the sealed dictionary;
+    terms absent from it contribute nothing — search.rs:49-62,83-135).
+    Pure Catalyst: the fused tokenizer UDF is the only Python crossing;
+    tf extraction, quantized-length lookup, and scoring are codegen
+    expressions, and only the top-k rows leave the executors.
+
+    Returns (payload cols..., score) with *raw* float64 scores,
+    bit-compatible with the sealed kernel's Cache math (same operation
+    order), or ``None`` when no query term exists in the sealed
+    dictionary."""
+    qkeys = analyze_query(query_text, get_analyzer(idx.meta["analyzer"]), idx.seed)
+    stats = idx.term_stats(qkeys)
+    present = [key for key in qkeys if key in stats]  # sorted (qkeys sorted)
+    if not present:
+        return None
+    pc = idx.payload_cols
+    k1, b, avgdl, n = idx.k1, idx.b, idx.avgdl, idx.n_docs
+
+    prep = with_doc_terms(delta, text_col, idx.meta["analyzer"], idx.seed)
+    m = prep.select(
+        *pc, "doc_len", F.explode("terms").alias("t")
+    ).select(
+        *pc,
+        "doc_len",
+        F.col("t.key").alias("term_key"),
+        F.col("t.tf").alias("tf"),
+    )
+    per_doc = m.groupBy(*pc).agg(
+        F.first("doc_len").cast("bigint").alias("doc_len"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term_key") == F.lit(key), F.col("tf"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"_tf{i}")
+            for i, key in enumerate(present)
+        ],
+    )
+    matched = per_doc.filter(
+        F.greatest(*[F.col(f"_tf{i}") for i in range(len(present))]) > 0
+        if len(present) > 1
+        else F.col("_tf0") > 0
+    )
+    matched = quantized_dl(spark, matched, "doc_len")
+    # Cache math (scoring.py): s0 = idf*(k1+1); s1 = k1*(1-b+b*qdl/avgdl);
+    # contribution = tf*s0/(tf+s1) — identical operation order to the
+    # sealed kernel so merged rankings are float-consistent.
+    import math
+
+    s1 = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("qdl") / F.lit(avgdl))
+    score_terms = []
+    for i, key in enumerate(present):
+        s0 = math.log((float(n) + 1.0) / (float(stats[key]["df"]) + 0.5)) * (
+            k1 + 1.0
+        )
+        score_terms.append(
+            F.when(
+                F.col(f"_tf{i}") > 0,
+                F.col(f"_tf{i}") * F.lit(s0) / (F.col(f"_tf{i}") + s1),
+            ).otherwise(F.lit(0.0))
+        )
+    total = score_terms[0]
+    for t in score_terms[1:]:
+        total = total + t
+    scored = matched.withColumn("score", total).filter(F.col("score") > 0.0)
+    return (
+        scored.select(*pc, "score")
+        .orderBy(F.desc("score"), *pc)
+        .limit(k)
+    )
+
+
+def search_with_delta_df(
+    spark: SparkSession,
+    index_dir: str,
+    query_text: str,
+    k: int,
+    text_col: str,
+    round_score: int | None = 4,
+    slack: int = 128,
+) -> DataFrame:
+    """O6 growing∪sealed top-k as one distributed plan: sealed segment
+    via :func:`bm25spark.distributed.search_distributed` (tombstones as
+    a per-shard blocklist), growing segment via :func:`_delta_topk_df`,
+    union → (rounded) re-rank → limit k. With ``round_score`` set, both
+    legs over-fetch by ``slack`` so the rounded boundary cannot drop a
+    tied survivor (same convention as ``Bm25Index.search_df``).
+
+    Returns (payload cols..., score) best-first, ties by payload cols
+    ascending."""
+    from .distributed import search_distributed
+
+    idx = Bm25Index(spark, index_dir)
+    pc = idx.payload_cols
+
+    def _empty() -> DataFrame:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        src = idx.docs_df().select(
+            *[F.col(f"p_{c}").alias(c) for c in pc]
+        ).schema
+        return spark.createDataFrame(
+            [], StructType(list(src.fields) + [StructField("score", DoubleType())])
+        )
+
+    qkeys = analyze_query(query_text, get_analyzer(idx.meta["analyzer"]), idx.seed)
+    if not qkeys or not idx.term_stats(qkeys):
+        return _empty()
+
+    k_fetch = k + (slack if round_score is not None else 0)
+    sealed = search_distributed(
+        spark,
+        index_dir,
+        query_text,
+        k_fetch,
+        round_score=None,
+        blocked=_tombstones_df(spark, index_dir),
+    ).select(*pc, "score")
+
+    merged = sealed
+    delta = _live_delta(spark, idx, index_dir)
+    if delta is not None:
+        dtop = _delta_topk_df(spark, idx, delta, query_text, k_fetch, text_col)
+        if dtop is not None:
+            merged = merged.unionByName(dtop.select(*pc, "score"))
+
+    score_col = (
+        F.round(F.col("score"), round_score)
+        if round_score is not None
+        else F.col("score")
+    )
+    return (
+        merged.select(*pc, score_col.alias("score"))
+        .orderBy(F.desc("score"), *pc)
+        .limit(k)
+    )
 
 
 def search_with_delta(
@@ -117,59 +316,38 @@ def search_with_delta(
     query_text: str,
     k: int,
     text_col: str,
-    mode: str = "taat",
+    mode: str = "taat",  # kept for API compat; the sealed leg is taat
 ) -> list[tuple[tuple, float]]:
-    """O6: growing ∪ sealed top-k. Returns [(payload tuple, score)]."""
+    """O6: growing ∪ sealed top-k. Returns [(payload tuple, score)] with
+    raw float64 scores — a thin collect over :func:`search_with_delta_df`."""
     idx = Bm25Index(spark, index_dir)
-    mask = _tombstone_mask(spark, idx, index_dir)
+    pc = idx.payload_cols
+    rows = search_with_delta_df(
+        spark, index_dir, query_text, k, text_col, round_score=None
+    ).collect()
+    return [(tuple(r[c] for c in pc), float(r["score"])) for r in rows]
 
-    sealed_hits = idx.search(query_text, k, mode=mode, allowed_mask=mask)
-    pay_rows = (
-        idx.docs_df()
-        .filter(F.col("doc_id").isin([d for d, _ in sealed_hits]) if sealed_hits else F.lit(False))
-        .select("doc_id", *[f"p_{c}" for c in idx.payload_cols])
-        .collect()
-    )
-    payload_by_id = {
-        r.doc_id: tuple(r[f"p_{c}"] for c in idx.payload_cols) for r in pay_rows
-    }
-    merged: list[tuple[float, int, tuple]] = [
-        (s, d, payload_by_id[d]) for d, s in sealed_hits
-    ]
 
-    # Q4: brute-force the growing segment with sealed stats
+def delta_size(spark: SparkSession, index_dir: str) -> int:
+    """Live (visible) rows in the growing segment."""
+    idx = Bm25Index(spark, index_dir)
     delta = _live_delta(spark, idx, index_dir)
-    if delta is not None:
-        analyzer = get_analyzer(idx.meta["analyzer"])
-        qkeys = analyze_query(query_text, analyzer, idx.seed)
-        stats = idx.term_stats(qkeys)  # sealed dictionary only
-        caches = {
-            key: Cache(idx.n_docs, s["df"], idx.k1, idx.b, idx.avgdl)
-            for key, s in stats.items()
-        }
-        rows = delta.select(*idx.payload_cols, text_col).orderBy(
-            *idx.payload_cols
-        ).collect()
-        for j, r in enumerate(rows):
-            text = r[text_col]
-            if text is None:
-                continue
-            counts = Counter(
-                intern_str(idx.seed, t) for t in analyzer(text)
-            )
-            dl = sum(counts.values())
-            fn = int(length_to_fieldnorm(dl))
-            score = 0.0
-            for key in qkeys:
-                if key in caches and counts[key]:
-                    score += float(caches[key].evaluate(fn, counts[key]))
-            if score > 0.0:
-                merged.append(
-                    (score, idx.n_docs + j, tuple(r[c] for c in idx.payload_cols))
-                )
+    return 0 if delta is None else delta.count()
 
-    merged.sort(key=lambda t: (-t[0], t[1]))
-    return [(payload, score) for score, _, payload in merged[:k]]
+
+def maybe_vacuum(
+    spark: SparkSession,
+    index_dir: str,
+    text_col: str,
+    max_delta_rows: int = DEFAULT_MAX_DELTA_ROWS,
+) -> bool:
+    """Auto-seal policy (reference README.md:466's
+    ``segment_growing_max_page_size`` analogue): vacuum iff the live
+    delta exceeds ``max_delta_rows``. Returns True when a vacuum ran."""
+    if delta_size(spark, index_dir) <= max_delta_rows:
+        return False
+    vacuum(spark, index_dir, text_col)
+    return True
 
 
 def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:

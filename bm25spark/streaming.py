@@ -19,8 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .index import Bm25Index
-
 
 def stream_ingest(
     stream_df: DataFrame,
@@ -28,21 +26,27 @@ def stream_ingest(
     text_col: str,
     checkpoint_dir: str,
     trigger_once: bool = False,
+    auto_seal_rows: int | None = None,
 ):
     """Append a streaming document source into the index's delta
-    segment. Returns the StreamingQuery."""
+    segment. Returns the StreamingQuery.
+
+    ``auto_seal_rows``: when set, each micro-batch ends with the
+    auto-seal check — if the live delta now exceeds the threshold, a
+    vacuum compacts it into the sealed segment (the reference's
+    ``bm25.segment_growing_max_page_size`` auto-seal, README.md:466).
+    Search results are identical before/after the seal (tested); only
+    the stale statistics refresh."""
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        idx = Bm25Index(spark, index_dir)
-        keep = list(dict.fromkeys([*idx.payload_cols, text_col]))
-        import os
+        from .maintain import insert, maybe_vacuum
 
-        batch_df.select(*keep).write.mode("append").parquet(
-            os.path.join(index_dir, "delta")
-        )
+        insert(spark, index_dir, batch_df, text_col)
+        if auto_seal_rows is not None:
+            maybe_vacuum(spark, index_dir, text_col, max_delta_rows=auto_seal_rows)
 
     writer = (
         stream_df.writeStream.foreachBatch(_append)
@@ -186,9 +190,15 @@ def sessionize_stream(
         if not len(rows):
             return
         rows = rows.sort_values(["ts", "event_id"])
-        us = (rows["ts"].astype("int64")).to_numpy()  # ns -> handled below
-        if us.dtype == "int64" and us.max() > 10**15:  # ns epoch
-            us = us // 1000
+        # convert from the actual dtype (pandas may deliver ns- or
+        # us-unit datetime64 depending on the Arrow schema) — never
+        # guess the unit from the magnitude
+        us = (
+            pd.to_datetime(rows["ts"])
+            .astype("datetime64[us]")
+            .astype("int64")
+            .to_numpy()
+        )
         vals = rows["value"].to_numpy()
         if state.exists:
             start_us, last_us, n, s, emitted = state.get

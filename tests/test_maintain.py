@@ -17,7 +17,14 @@ from bm25spark.build import build_index
 from bm25spark.config import Bm25Config
 from bm25spark.fieldnorm import length_to_fieldnorm
 from bm25spark.index import Bm25Index
-from bm25spark.maintain import delete, insert, search_with_delta, vacuum
+from bm25spark.maintain import (
+    delete,
+    delta_size,
+    insert,
+    maybe_vacuum,
+    search_with_delta,
+    vacuum,
+)
 from bm25spark.scoring import idf, tf_score
 
 VOCAB = 300
@@ -160,6 +167,94 @@ class TestLifecycle:
         oracle.vacuum()
         got = search_with_delta(spark, d, "zz_unique_term", 10, "text")
         assert [p[0] for p, _ in got] == [999]
+
+    def test_reinsert_after_delete_is_live(self, spark, lifecycle):
+        """Sequenced tombstones: delete(key) then insert(key) leaves the
+        re-inserted row visible (reference heap semantics — a tuple
+        inserted after a DELETE is a new, live tuple), and it survives
+        vacuum."""
+        d, oracle, rnd = lifecycle
+
+        def ins(text):
+            insert(
+                spark,
+                d,
+                spark.createDataFrame([(555, text)], "doc_id INT, text STRING"),
+                "text",
+            )
+
+        ins("t1 t1 t1 t1 t1")
+        delete(spark, d, spark.createDataFrame([(555,)], "doc_id INT"))
+        got = search_with_delta(spark, d, "t1", 300, "text")
+        assert all(p[0] != 555 for p, _ in got)
+        ins("t1 t1 t1 t1 t1")
+        got = search_with_delta(spark, d, "t1", 300, "text")
+        assert any(p[0] == 555 for p, _ in got)
+        vacuum(spark, d, "text")
+        got = search_with_delta(spark, d, "t1", 300, "text")
+        assert any(p[0] == 555 for p, _ in got)
+
+    def test_reinsert_of_deleted_sealed_key(self, spark, lifecycle):
+        """Delete a *sealed* doc, then re-insert the same key: the
+        sealed copy stays hidden, the delta copy is live."""
+        d, oracle, rnd = lifecycle
+        hits = search_with_delta(spark, d, "t1", 300, "text")
+        victim = hits[0][0][0]
+        delete(spark, d, spark.createDataFrame([(victim,)], "doc_id INT"))
+        insert(
+            spark,
+            d,
+            spark.createDataFrame(
+                [(victim, "t1 t1 t1 t1 t1 t1 t1 t1")], "doc_id INT, text STRING"
+            ),
+            "text",
+        )
+        got = search_with_delta(spark, d, "t1", 300, "text")
+        ids = [p[0] for p, _ in got]
+        assert ids.count(victim) == 1  # delta copy only, sealed masked
+
+    def test_auto_seal_threshold(self, spark, lifecycle):
+        d, oracle, rnd = lifecycle
+        n0 = Bm25Index(spark, d).n_docs
+        # no delta -> no-op
+        assert maybe_vacuum(spark, d, "text", max_delta_rows=5) is False
+        rows = [_mkdoc(rnd, 2000 + j) for j in range(4)]
+        insert(
+            spark,
+            d,
+            spark.createDataFrame(rows, "doc_id INT, text STRING"),
+            "text",
+        )
+        assert maybe_vacuum(spark, d, "text", max_delta_rows=5) is False
+        assert delta_size(spark, d) == 4  # under threshold: still growing
+        rows = [_mkdoc(rnd, 3000 + j) for j in range(4)]
+        insert(
+            spark,
+            d,
+            spark.createDataFrame(rows, "doc_id INT, text STRING"),
+            "text",
+        )
+        assert maybe_vacuum(spark, d, "text", max_delta_rows=5) is True
+        assert delta_size(spark, d) == 0
+        assert Bm25Index(spark, d).n_docs == n0 + 8
+
+    def test_driver_path_guardrail(self, spark, lifecycle):
+        """search() refuses above the driver-residency guardrail;
+        search_df() auto-routes to the distributed kernel with the same
+        (rounded score, id) output."""
+        d, _, _ = lifecycle
+        idx = Bm25Index(spark, d)
+        with pytest.raises(ValueError, match="guardrail"):
+            idx.search("t1 t2", 10, max_driver_docs=10)
+        via_driver = [
+            (tuple(r)[:-1], r["score"])
+            for r in idx.search_df("t1 t2", 10).collect()
+        ]
+        via_routed = [
+            (tuple(r)[:-1], r["score"])
+            for r in idx.search_df("t1 t2", 10, max_driver_docs=10).collect()
+        ]
+        assert via_driver == via_routed
 
     def test_delete_hides_immediately_stats_stale(self, spark, lifecycle):
         d, oracle, rnd = lifecycle

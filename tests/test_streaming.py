@@ -78,6 +78,71 @@ class TestStreamIngest:
         assert hits[0][0] == (100,)
 
 
+class TestAutoSeal:
+    def test_stream_past_threshold_triggers_vacuum(self, spark, tmp_path):
+        """Three micro-batches pushing the delta past the auto-seal
+        threshold: a vacuum runs mid-stream, every streamed doc stays
+        searchable, and the final sealed state is identical to the
+        never-auto-sealed index after its own explicit vacuum."""
+        rows = [(i, f"alpha beta t{i % 7}") for i in range(50)]
+        docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        d_auto = str(tmp_path / "idx_auto")
+        d_manual = str(tmp_path / "idx_manual")
+        for d in (d_auto, d_manual):
+            build_index(
+                spark, docs, d, "text", ["doc_id"], cfg=Bm25Config(shard_size=128)
+            )
+
+        src = str(tmp_path / "stream_src")
+        batches = [
+            [(100 + 10 * b + j, f"alpha gamma{b} t{j}") for j in range(4)]
+            for b in range(3)
+        ]
+        for batch in batches:
+            spark.createDataFrame(batch, "doc_id INT, text STRING").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+
+        schema = "doc_id INT, text STRING"
+        # one file per micro-batch -> three batches; threshold 5 rows
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_ingest(
+            stream,
+            d_auto,
+            "text",
+            str(tmp_path / "ckpt_auto"),
+            trigger_once=True,
+            auto_seal_rows=5,
+        )
+        q.awaitTermination(180)
+
+        from bm25spark.index import Bm25Index
+        from bm25spark.maintain import insert
+
+        # a vacuum ran mid-stream: sealed doc count grew past the build
+        assert Bm25Index(spark, d_auto).n_docs > 50
+
+        for batch in batches:
+            insert(
+                spark,
+                d_manual,
+                spark.createDataFrame(batch, schema),
+                "text",
+            )
+        # align terminal states: seal everything on both sides
+        vacuum(spark, d_auto, "text")
+        vacuum(spark, d_manual, "text")
+        a = search_with_delta(spark, d_auto, "alpha beta", 100, "text")
+        b = search_with_delta(spark, d_manual, "alpha beta", 100, "text")
+        assert a == b and len(a) > 0
+        got = search_with_delta(spark, d_auto, "gamma1", 10, "text")
+        assert sorted(p[0] for p, _ in got) == [110, 111, 112, 113]
+
+
 class TestSessionize:
     def test_batch_matches_duckdb_oracle(self, spark):
         import duckdb
