@@ -145,6 +145,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bm25_golden_slt_passages"] = _golden_passages
 
+    def _delta_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """O6/Q4 gate: sealed index over doc_id%3!=0, delta = the %3==0
+        docs, delete every %7==0 key (tombstones sealed docs AND masks
+        the earlier delta inserts), then re-insert the %21==0 docs —
+        the re-inserted keys must be live again (sequenced tombstones).
+        Statistics stay sealed-only (stale) until vacuum."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from bm25spark.build import build_index
+        from bm25spark.config import Bm25Config
+        from bm25spark.maintain import delete, insert, search_with_delta_df
+
+        docs = _docs(spark, sf_dir)
+        d = tempfile.mkdtemp(prefix="bm25spark-delta-gate-")
+        build_index(
+            spark,
+            docs.filter(F.col("doc_id") % 3 != 0),
+            d,
+            "text",
+            ["doc_id"],
+            cfg=Bm25Config(shard_size=1 << 14),
+        )
+        insert(spark, d, docs.filter(F.col("doc_id") % 3 == 0), "text")
+        delete(
+            spark,
+            d,
+            docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+        )
+        insert(spark, d, docs.filter(F.col("doc_id") % 21 == 0), "text")
+        out = search_with_delta_df(spark, d, "merge spark window", 100, "text")
+        return out.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"), "score"
+        )
+
+    out["bm25_delta_search"] = _delta_search
+
+    def _partial_index_slt(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The reference's second sqllogictest (bm25query.slt:20-46):
+        two *partial* indexes built over the id%2 subsets of the 10
+        passages — each subset build has its own N/avgdl/df (different
+        from prefiltering a full index) — queried with 'PostgreSQL'.
+        Expected orderings: even -> [8, 4, 2], odd -> [9, 1, 7]."""
+        import tempfile
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from bm25spark.build import build_index
+        from bm25spark.config import Bm25Config
+        from bm25spark.golden import PASSAGES
+        from bm25spark.index import Bm25Index
+
+        df = spark.createDataFrame(PASSAGES, "doc_id INT, passage STRING")
+        parts = []
+        for parity in (0, 1):
+            d = tempfile.mkdtemp(prefix=f"bm25spark-partial-{parity}-")
+            build_index(
+                spark,
+                df.filter(F.col("doc_id") % 2 == parity),
+                d,
+                "passage",
+                ["doc_id"],
+                cfg=Bm25Config(analyzer="english", shard_size=128),
+            )
+            res = Bm25Index(spark, d).search_df(
+                "PostgreSQL", 10, round_score=None
+            )
+            w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            parts.append(
+                res.select(
+                    F.lit(parity).cast("int").alias("parity"),
+                    F.row_number().over(w).alias("rank"),
+                    F.col("doc_id").cast("bigint").alias("doc_id"),
+                )
+            )
+        return parts[0].unionByName(parts[1]).orderBy("parity", "rank")
+
+    out["bm25_partial_index_slt"] = _partial_index_slt
+
+    def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bm25spark.streaming import sessionize_events
+
+        return sessionize_events(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        )
+
+    out["sessionize_events"] = _sessionized
+
     try:
         from bm25spark.datapipe import registry as dp_registry
 
@@ -191,6 +281,31 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM (VALUES (1, 8), (2, 9), (3, 4), (4, 1), (5, 7), (6, 2))"
         " AS t(rank, doc_id) ORDER BY rank"
     )
+
+    # golden values copied verbatim from the reference's sqllogictest
+    # (/root/reference/tests/sqllogictest/bm25query.slt:29-46): partial
+    # index WHERE id%2=0 -> [8,4,2]; WHERE id%2=1 -> [9,1,7]
+    out["bm25_partial_index_slt"] = (
+        "SELECT * FROM (VALUES (0, 1, 8), (0, 2, 4), (0, 3, 2),"
+        " (1, 1, 9), (1, 2, 1), (1, 3, 7))"
+        " AS t(parity, rank, doc_id) ORDER BY parity, rank"
+    )
+
+    # growing∪sealed with stale sealed statistics; live set mirrors the
+    # insert/delete/re-insert sequence in queries()["bm25_delta_search"]
+    out["bm25_delta_search"] = oracle.bm25_delta_topk_sql(
+        ["merge", "spark", "window"],
+        100,
+        sealed_pred="(doc_id % 3) <> 0",
+        live_pred=(
+            "(((doc_id % 3) <> 0 AND (doc_id % 7) <> 0)"
+            " OR ((doc_id % 3) = 0 AND ((doc_id % 7) <> 0 OR (doc_id % 21) = 0)))"
+        ),
+    )
+
+    from bm25spark.streaming import sessionize_events_sql
+
+    out["sessionize_events"] = sessionize_events_sql()
 
     try:
         from bm25spark.datapipe import oracle_registry as dp_oracles

@@ -82,6 +82,64 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+def bm25_delta_topk_sql(
+    query_tokens: list[str],
+    k: int,
+    sealed_pred: str,
+    live_pred: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Growing∪sealed search oracle (O6/Q4 semantics): statistics
+    (N, avgdl, df) come from the *sealed* subset only — stale until
+    vacuum, tombstoned docs still counted — while candidates are the
+    *live* docs (sealed minus deleted, plus visible delta). Terms with
+    sealed df = 0 contribute nothing (the inner join against ``dfs``),
+    matching the reference's growing-segment scan through the sealed
+    dictionary (search.rs:49-62,83-135).
+
+    ``sealed_pred`` / ``live_pred``: SQL predicates over ``doc_id``.
+    """
+    qvals = ",".join(
+        "('" + t.replace("'", "''") + "')" for t in sorted(set(query_tokens))
+    )
+    return f"""
+WITH {_tok_cte(table, id_col, text_col)},
+fn(lo, hi, qdl) AS (VALUES {fieldnorm_values_sql()}),
+qdl AS (
+  SELECT dl.doc_id, fn.qdl FROM dl
+  JOIN fn ON dl.doc_len >= fn.lo AND dl.doc_len < fn.hi
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(doc_len)::DOUBLE / count(*) AS avgdl
+  FROM dl WHERE {sealed_pred}
+),
+q(token) AS (VALUES {qvals}),
+dfs AS (
+  SELECT token, count(*)::BIGINT AS df FROM tf
+  WHERE token IN (SELECT token FROM q) AND {sealed_pred} GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((s.n + 1.0) / (dfs.df + 0.5))
+             * (tf.tf * ({k1} + 1.0))
+               / (tf.tf + {k1} * (1.0 - {b} + {b} * qdl.qdl / s.avgdl))) AS raw
+  FROM tf
+  JOIN dfs USING (token)
+  JOIN qdl ON tf.doc_id = qdl.doc_id
+  CROSS JOIN stats s
+  WHERE {live_pred.replace('doc_id', 'tf.doc_id')}
+  GROUP BY 1
+)
+SELECT doc_id::BIGINT AS doc_id, round(raw, 4) AS score
+FROM scored WHERE raw > 0
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 def corpus_stats_sql(
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
 ) -> str:
