@@ -46,7 +46,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_kernel": lambda s, d: similarity.ann_cosine_topk_kernel(
             _emb(s, d)
         ),
-        "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
+        # gate pins (bits, tables, multiprobe): the oracle SQL is a
+        # static string and must hash the same LSH; the API default
+        # scales bits with corpus size (lsh_bits_for)
+        "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(
+            _emb(s, d), bits=8, tables=4, multiprobe=1
+        ),
         "text_stats": lambda s, d: textstats.text_stats(_docs(s, d)),
         "text_quality": lambda s, d: textstats.text_quality(_docs(s, d)),
         "text_fingerprint": lambda s, d: textstats.text_fingerprint(_docs(s, d)),
@@ -67,7 +72,9 @@ def oracle_registry() -> dict[str, str]:
         # the NumPy-matmul scale path computes the identical result
         # (verified rank-identical at sf0.001/0.01/0.1), same oracle
         "ann_cosine_topk_kernel": similarity.ann_cosine_topk_sql(),
-        # ann_lsh_topk is approximate -> rows-only check (no oracle)
+        # integer-exact LSH: the oracle reproduces the full pipeline
+        # (bucket bits, multiprobe, re-rank) bit-for-bit
+        "ann_lsh_topk": similarity.ann_lsh_topk_sql(dim=64, bits=8, tables=4),
         "text_stats": textstats.text_stats_sql(),
         "text_quality": textstats.text_quality_sql(),
         "text_fingerprint": textstats.text_fingerprint_sql(),

@@ -4,12 +4,13 @@
   all in built-in expressions (zip_with dot product in whole-stage
   codegen). The exactness baseline; at scale the probe set broadcasts
   and the scan is embarrassingly parallel.
-- :func:`ann_lsh_topk` — the scale path: sign-random-projection LSH.
-  Hyperplanes are derived deterministically from md5 so executors and
-  the oracle-free test can re-derive them; candidates come from the
-  probe's bucket (multi-probe over Hamming-1 neighbors), re-ranked by
-  exact cosine. Approximate -> rows-only correctness check by the
-  driver; the pytest suite checks recall against the brute force.
+- :func:`ann_lsh_topk` — the scale path: multi-table, banded,
+  multiprobe sign-random-projection LSH with *integer-exact* hashing,
+  so the full pipeline (bucket bits included) is reproduced bit-for-bit
+  by a DuckDB oracle and the driver gate hash-checks it like every
+  exact operator. Recall vs the brute force is additionally gated in
+  pytest; :func:`build_lsh_index` persists the bucket table partitioned
+  by bucket for directory-pruned (sublinear-I/O) serving.
 """
 
 from __future__ import annotations
@@ -22,12 +23,6 @@ from pyspark.sql import functions as F
 
 PROBES = list(range(10))
 K = 10
-# 4 hyperplanes -> 16 buckets; with Hamming-1 multiprobe a query scans
-# ~5/16 of the corpus. Recall on *clustered* data is far higher than
-# the scanned fraction; on isotropic random vectors (the synthetic
-# table) it approaches it — the pytest recall bound reflects that
-# worst case.
-LSH_BITS = 4
 
 
 def _as_double(col):
@@ -167,75 +162,195 @@ def ann_cosine_topk_kernel(
     )
 
 
-def lsh_hyperplanes(dim: int, bits: int = LSH_BITS, seed: str = "bm25spark-lsh"):
-    """Deterministic pseudo-random hyperplanes: md5-counter stream ->
-    uniform floats -> standard-normal-ish via sum of 4 uniforms."""
-    need = bits * dim * 4
-    vals = np.empty(need, dtype=np.float64)
-    i = 0
+# ---------------------------------------------------------------------------
+# Sign-random-projection LSH (multi-table, banded, multiprobe)
+#
+# Scale design: L tables x B bits. Bucket assignment is ONE corpus scan
+# through an Arrow-batched NumPy matmul against a broadcast int16
+# hyperplane matrix (survives d=1024: the planes live in a broadcast
+# var, not in expression literals). Candidates come from a broadcast
+# hash-equi-join on (table, bucket) — codegen, no nested loop — then an
+# exact cosine re-rank over only the candidate set. Expected scan
+# fraction per probe ~ L * (1 + B) / 2^B (own bucket + Hamming-1
+# multiprobe), e.g. L=8, B=16 -> ~0.1% of the corpus; B scales with
+# log2(n) via lsh_bits_for(). `build_lsh_index` persists the bucket
+# table partitioned by tagged bucket so a serving query reads only its
+# candidate buckets' *directories* (partition pruning — sublinear I/O,
+# same design as the bm25 postings artifact).
+#
+# Determinism contract (what makes the DuckDB oracle exact): embeddings
+# are quantized with floor(x * QUANT) where QUANT is a power of two
+# (exponent shift — exact in float64), planes are int16, and every
+# dot product is a sum of integers < 2^53, so the sign — hence every
+# bucket bit — is bit-identical in NumPy, Catalyst, and DuckDB.
+# ---------------------------------------------------------------------------
+
+LSH_TABLES = 4
+LSH_QUANT = 1024  # power of two -> floor(x*QUANT) exact in f64
+
+
+def lsh_bits_for(n: int, target_bucket: int = 64, lo: int = 8, hi: int = 24) -> int:
+    """Bits per table so the expected bucket occupancy ~= target:
+    B = log2(n / target_bucket), clamped. 500 docs -> 8; 1e9 -> 24."""
+    import math
+
+    return int(min(hi, max(lo, math.ceil(math.log2(max(n, 2) / target_bucket)))))
+
+
+def lsh_planes(dim: int, n_planes: int, seed: str = "bm25spark-lsh") -> np.ndarray:
+    """Deterministic int16 hyperplane matrix (n_planes x dim) from an
+    md5 counter stream — regenerated verbatim by the SQL oracle
+    generator, executors (via broadcast), and tests."""
+    need = n_planes * dim * 2
+    buf = bytearray()
     ctr = 0
-    while i < need:
-        h = hashlib.md5(f"{seed}:{ctr}".encode()).digest()
-        for off in range(0, 16, 4):
-            if i >= need:
-                break
-            u = int.from_bytes(h[off : off + 4], "big") / 2**32
-            vals[i] = u
-            i += 1
+    while len(buf) < need:
+        buf += hashlib.md5(f"{seed}:{ctr}".encode()).digest()
         ctr += 1
-    planes = vals.reshape(bits, dim, 4).sum(axis=2) - 2.0  # ~N(0, 1/3*4)
-    return planes
+    return (
+        np.frombuffer(bytes(buf[:need]), dtype="<i2")
+        .reshape(n_planes, dim)
+        .astype(np.int64)
+    )
+
+
+def _tagged_buckets(
+    vecs: np.ndarray, planes: np.ndarray, bits: int, tables: int, quant: int
+) -> np.ndarray:
+    """(n, dim) float64 -> (n, tables) tagged bucket ids
+    (table << bits | bucket). Integer-exact: see the determinism
+    contract above."""
+    q = np.floor(vecs * float(quant))
+    dots = q @ planes.T  # (n, tables*bits); integer-valued f64, exact
+    sign = (dots > 0).astype(np.int64)
+    out = np.zeros((len(vecs), tables), dtype=np.int64)
+    for t in range(tables):
+        b = np.zeros(len(vecs), dtype=np.int64)
+        for j in range(bits):
+            b |= sign[:, t * bits + j] << j
+        out[:, t] = (t << bits) | b
+    return out
+
+
+def _probe_bucket_rows(
+    probe_ids: np.ndarray,
+    tagged: np.ndarray,
+    bits: int,
+    multiprobe: int = 1,
+) -> list[tuple[int, int]]:
+    """(probe_id, tagged bucket) rows: own bucket per table, plus every
+    Hamming-1 neighbor when ``multiprobe`` >= 1."""
+    rows = []
+    mask = (1 << bits) - 1
+    for pid, tbs in zip(probe_ids.tolist(), tagged.tolist()):
+        for tb in tbs:
+            rows.append((pid, tb))
+            if multiprobe >= 1:
+                tag, b = tb & ~mask, tb & mask
+                for j in range(bits):
+                    rows.append((pid, tag | (b ^ (1 << j))))
+    return sorted(set(rows))
+
+
+def lsh_tagged_df(
+    emb: DataFrame,
+    planes: np.ndarray,
+    bits: int,
+    tables: int,
+    quant: int = LSH_QUANT,
+) -> DataFrame:
+    """One corpus scan -> (vec_id, tb) exploded bucket assignment."""
+    import pandas as pd
+
+    spark = emb.sparkSession
+    b_planes = spark.sparkContext.broadcast(planes)
+
+    def assign(batches):
+        pl = b_planes.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["embedding"].to_list(), dtype=np.float64)
+            tagged = _tagged_buckets(vecs, pl, bits, tables, quant)
+            vid = pdf["vec_id"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vid, tables),
+                    "tb": tagged.reshape(-1),
+                }
+            )
+
+    return emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    ).mapInPandas(assign, "vec_id bigint, tb bigint")
 
 
 def ann_lsh_topk(
-    emb: DataFrame, probes=None, k: int = K, bits: int = LSH_BITS
+    emb: DataFrame,
+    probes=None,
+    k: int = K,
+    bits: int | None = None,
+    tables: int = LSH_TABLES,
+    multiprobe: int = 1,
+    quant: int = LSH_QUANT,
 ) -> DataFrame:
-    """Bucketed ANN: bucket = sign bits of hyperplane projections;
-    candidates = vectors in the probe's bucket or any Hamming-1
-    neighbor bucket; exact cosine re-rank inside the candidate set."""
-    probes = probes if probes is not None else PROBES
-    dim = len(emb.select("embedding").first()[0])
-    planes = lsh_hyperplanes(dim, bits)
-    plane_cols = [F.array(*[F.lit(float(v)) for v in planes[j]]) for j in range(bits)]
+    """Banded multi-table LSH ANN: candidates = vectors sharing any
+    table's bucket (or a Hamming-1 neighbor) with the probe, re-ranked
+    by exact cosine. Same output convention as :func:`ann_cosine_topk`
+    — and, unlike classic float LSH, *exactly* reproducible by the SQL
+    oracle (:func:`ann_lsh_topk_sql`) thanks to the integer hashing.
 
-    def bucket_col(e):
-        bit_terms = []
-        for j in range(bits):
-            dot = F.aggregate(
-                F.zip_with(e, plane_cols[j], lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bit_terms.append(F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        return sum(bit_terms[1:], bit_terms[0])
+    ``bits`` defaults to :func:`lsh_bits_for` (corpus-size-scaled);
+    the driver-gate entry pins bits=8 because its oracle SQL is a
+    static string."""
+    probes = probes if probes is not None else PROBES
+    spark = emb.sparkSession
+    if bits is None:
+        bits = lsh_bits_for(emb.count())
+
+    pr = (
+        emb.filter(F.col("vec_id").isin(probes))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not pr:
+        return spark.createDataFrame(
+            [], "probe_id bigint, vec_id bigint, cos double"
+        )
+    dim = len(pr[0].embedding)
+    planes = lsh_planes(dim, tables * bits)
+    pids = np.array([r.vec_id for r in pr], dtype=np.int64)
+    pmat = np.array([r.embedding for r in pr], dtype=np.float64)
+    probe_df = spark.createDataFrame(
+        _probe_bucket_rows(pids, _tagged_buckets(pmat, planes, bits, tables, quant),
+                           bits, multiprobe),
+        "probe_id bigint, tb bigint",
+    )
+
+    tagged = lsh_tagged_df(emb, planes, bits, tables, quant)
+    cands = (
+        tagged.join(F.broadcast(probe_df), "tb")
+        .select("probe_id", "vec_id")
+        .distinct()
+    )
 
     base = emb.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         _as_double(F.col("embedding")).alias("e"),
-    ).withColumn("bucket", bucket_col(F.col("e")))
-
-    p = base.filter(F.col("vec_id").isin(probes)).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("e").alias("pe"),
-        F.col("bucket").alias("pbucket"),
     )
-    # multi-probe: own bucket + every Hamming-1 neighbor
-    neighbor_buckets = F.array(
-        F.col("pbucket"),
-        *[
-            F.col("pbucket").bitwiseXOR(F.lit(1 << j)).cast("bigint")
-            for j in range(bits)
-        ],
+    pemb = base.filter(F.col("vec_id").isin(probes)).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
     )
-    p = p.withColumn("cand_bucket", F.explode(neighbor_buckets))
-    cands = F.broadcast(p).join(
-        base, F.col("bucket") == F.col("cand_bucket"), "inner"
+    scored = (
+        F.broadcast(cands)
+        .join(base, "vec_id")
+        .join(F.broadcast(pemb), "probe_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(_cosine(F.col("pe"), F.col("e")), 6).alias("cos"),
+        )
     )
-    scored = cands.select(
-        F.col("probe_id"),
-        F.col("vec_id"),
-        F.round(_cosine(F.col("pe"), F.col("e")), 6).alias("cos"),
-    ).dropDuplicates(["probe_id", "vec_id"])
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -243,3 +358,209 @@ def ann_lsh_topk(
         .select("probe_id", "vec_id", "cos")
         .orderBy("probe_id", F.desc("cos"), "vec_id")
     )
+
+
+def build_lsh_index(
+    emb: DataFrame,
+    index_dir: str,
+    bits: int | None = None,
+    tables: int = LSH_TABLES,
+    quant: int = LSH_QUANT,
+) -> dict:
+    """Persist the bucket table partitioned by tagged bucket — the
+    serving-scale artifact. A query then reads only its candidate
+    buckets' *directories* (Parquet partition pruning), so candidate
+    I/O is O(candidates), not O(corpus) — the same sublinear-read
+    design as the bm25 postings artifact. Embeddings ride inside each
+    bucket dir (x`tables` duplication) so the re-rank needs no second
+    corpus join; a plain ``vectors`` artifact (sorted by vec_id) serves
+    probe lookups with row-group pruning."""
+    import json
+    import os
+
+    import pandas as pd
+
+    spark = emb.sparkSession
+    n = emb.count()
+    bits = bits if bits is not None else lsh_bits_for(n)
+    dim = len(emb.select("embedding").first()[0])
+    planes = lsh_planes(dim, tables * bits)
+    b_planes = spark.sparkContext.broadcast(planes)
+
+    def assign(batches):
+        pl = b_planes.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["embedding"].to_list(), dtype=np.float64)
+            tagged = _tagged_buckets(vecs, pl, bits, tables, quant)
+            out = pdf.loc[pdf.index.repeat(tables)].reset_index(drop=True)
+            out["tb"] = tagged.reshape(-1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": out["vec_id"],
+                    "tb": out["tb"],
+                    "embedding": out["embedding"],
+                }
+            )
+
+    src = emb.select(F.col("vec_id").cast("bigint").alias("vec_id"), "embedding")
+    (
+        src.mapInPandas(assign, "vec_id bigint, tb bigint, embedding array<float>")
+        .repartition("tb")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(os.path.join(index_dir, "buckets"))
+    )
+    (
+        src.repartitionByRange(max(1, n // 65536 or 1), "vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "vectors"))
+    )
+    meta = {"bits": bits, "tables": tables, "quant": quant, "dim": dim, "n": n}
+    with open(os.path.join(index_dir, "lsh_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ann_lsh_topk_indexed(
+    spark,
+    index_dir: str,
+    probes=None,
+    k: int = K,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Serve ANN from a persisted :func:`build_lsh_index` artifact.
+    Reads ONLY the probe's candidate bucket directories (partition
+    pruning on ``tb`` — check PartitionFilters in the plan), then the
+    same exact-cosine re-rank. Result-identical to the in-memory
+    :func:`ann_lsh_topk` with the same parameters (tested)."""
+    import json
+    import os
+
+    probes = probes if probes is not None else PROBES
+    with open(os.path.join(index_dir, "lsh_meta.json")) as f:
+        meta = json.load(f)
+    bits, tables, quant = meta["bits"], meta["tables"], meta["quant"]
+    planes = lsh_planes(meta["dim"], tables * bits)
+
+    pr = (
+        spark.read.parquet(os.path.join(index_dir, "vectors"))
+        .filter(F.col("vec_id").isin(probes))
+        .collect()
+    )
+    if not pr:
+        return spark.createDataFrame(
+            [], "probe_id bigint, vec_id bigint, cos double"
+        )
+    pids = np.array([r.vec_id for r in pr], dtype=np.int64)
+    pmat = np.array([r.embedding for r in pr], dtype=np.float64)
+    rows = _probe_bucket_rows(
+        pids, _tagged_buckets(pmat, planes, bits, tables, quant), bits, multiprobe
+    )
+    probe_df = spark.createDataFrame(rows, "probe_id bigint, tb bigint")
+    wanted = sorted({tb for _, tb in rows})
+
+    buckets = spark.read.parquet(os.path.join(index_dir, "buckets"))
+    cands = (
+        # .isin on the partition column -> directory-level pruning
+        buckets.filter(F.col("tb").isin(wanted))
+        .join(F.broadcast(probe_df), "tb")
+        .select("probe_id", "vec_id", _as_double(F.col("embedding")).alias("e"))
+        .dropDuplicates(["probe_id", "vec_id"])
+    )
+    pemb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(pids, pmat)],
+        "probe_id bigint, pe array<double>",
+    )
+    scored = cands.join(F.broadcast(pemb), "probe_id").select(
+        "probe_id",
+        "vec_id",
+        F.round(_cosine(F.col("pe"), F.col("e")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "vec_id", "cos")
+        .orderBy("probe_id", F.desc("cos"), "vec_id")
+    )
+
+
+def _plane_sql_array(plane: np.ndarray) -> str:
+    return "[" + ",".join(str(int(v)) + ".0" for v in plane) + "]"
+
+
+def ann_lsh_topk_sql(
+    dim: int = 64,
+    probes=None,
+    k: int = K,
+    bits: int = 8,
+    tables: int = LSH_TABLES,
+    quant: int = LSH_QUANT,
+) -> str:
+    """DuckDB oracle reproducing :func:`ann_lsh_topk` *exactly* (same
+    planes, same integer hashing, same Hamming-1 multiprobe, same
+    rounded-cosine re-rank). Hyperplanes are inlined as literals — fine
+    for an oracle; the Spark path broadcasts them."""
+    probes = probes if probes is not None else PROBES
+    planes = lsh_planes(dim, tables * bits)
+    plist = ", ".join(str(p) for p in probes)
+    bucket_exprs = []
+    for t in range(tables):
+        terms = [
+            f"(CASE WHEN list_dot_product(q, {_plane_sql_array(planes[t * bits + j])})"
+            f" > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(bits)
+        ]
+        bucket_exprs.append(f"({t << bits} + " + " + ".join(terms) + f") AS b{t}")
+    bcols = ",\n         ".join(bucket_exprs)
+    barr = "[" + ", ".join(f"b{t}" for t in range(tables)) + "]"
+    mask = (1 << bits) - 1
+    return f"""
+WITH base AS (
+  SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+qe AS (
+  SELECT vec_id, list_transform(e, x -> floor(x * {quant}.0)) AS q FROM base
+),
+bk AS (
+  SELECT vec_id,
+         {bcols}
+  FROM qe
+),
+tv AS (
+  SELECT vec_id, unnest({barr}) AS tb FROM bk
+),
+pv AS (
+  SELECT vec_id AS probe_id, tb FROM tv WHERE vec_id IN ({plist})
+),
+pnb AS (
+  SELECT probe_id, tb FROM pv
+  UNION
+  SELECT probe_id,
+         (tb - (tb % {mask + 1})) + xor(tb % {mask + 1}, 1 << j.j) AS tb
+  FROM pv CROSS JOIN (SELECT unnest(range({bits})) AS j) j
+),
+cands AS (
+  SELECT DISTINCT pnb.probe_id, tv.vec_id FROM pnb JOIN tv USING (tb)
+),
+scored AS (
+  SELECT c.probe_id, c.vec_id,
+         round(
+           list_dot_product(p.e, v.e)
+           / (sqrt(list_dot_product(p.e, p.e))
+              * sqrt(list_dot_product(v.e, v.e))),
+           6) AS cos
+  FROM cands c
+  JOIN base v ON c.vec_id = v.vec_id
+  JOIN base p ON c.probe_id = p.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT probe_id, vec_id, cos FROM ranked WHERE rn <= {k}
+ORDER BY probe_id, cos DESC, vec_id
+"""

@@ -106,22 +106,93 @@ class TestSimilarity:
             similarity.ann_cosine_topk(emb), similarity.ann_cosine_topk_sql()
         )
 
-    def test_lsh_recall(self, emb):
+    def test_lsh_matches_sql_oracle(self, emb):
+        """The whole LSH pipeline — integer bucket bits, Hamming-1
+        multiprobe, exact-cosine re-rank — is bit-identical to the
+        DuckDB oracle (the property that turned the driver-gate row
+        from no_oracle into a hash MATCH)."""
+        assert_matches(
+            similarity.ann_lsh_topk(emb, bits=8, tables=4, multiprobe=1),
+            similarity.ann_lsh_topk_sql(dim=64, bits=8, tables=4),
+        )
+
+    def _recalls(self, emb, **kw):
         exact = similarity.ann_cosine_topk(emb).collect()
-        approx = similarity.ann_lsh_topk(emb).collect()
-        by_probe_exact = {}
+        approx = similarity.ann_lsh_topk(emb, **kw).collect()
+        by_e, by_a = {}, {}
         for r in exact:
-            by_probe_exact.setdefault(r.probe_id, []).append(r.vec_id)
-        by_probe_approx = {}
+            by_e.setdefault(r.probe_id, []).append(r.vec_id)
         for r in approx:
-            by_probe_approx.setdefault(r.probe_id, []).append(r.vec_id)
-        recalls = []
-        for p, want in by_probe_exact.items():
-            got = set(by_probe_approx.get(p, []))
-            recalls.append(len(got & set(want)) / len(want))
+            by_a.setdefault(r.probe_id, []).append(r.vec_id)
         # probe itself always lands in its own bucket
-        assert all(p in by_probe_approx.get(p, []) for p in by_probe_exact)
-        assert float(np.mean(recalls)) >= 0.25, recalls
+        assert all(p in by_a.get(p, []) for p in by_e)
+        return [
+            len(set(by_a.get(p, [])) & set(want)) / len(want)
+            for p, want in by_e.items()
+        ]
+
+    def test_lsh_recall_gate(self, spark):
+        """Recall@10 bound vs the exact scan on the deterministic
+        500-vector corpus (isotropic random data — LSH's worst case;
+        measured 0.45 at a 14% candidate scan fraction, i.e. >2x
+        better than a random scan of the same size; clustered real
+        embeddings fare far better). Fully deterministic: planes,
+        quantization and data are all fixed."""
+        emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        r4 = self._recalls(emb01, bits=8, tables=4, multiprobe=1)
+        assert float(np.mean(r4)) >= 0.35, r4
+
+        # candidate scan fraction stays sublinear-ish and recall beats
+        # a random scan of the same fraction by >2x
+        planes = similarity.lsh_planes(64, 32)
+        pr = emb01.filter(F.col("vec_id").isin(list(range(10)))).collect()
+        pm = np.array([r.embedding for r in pr], dtype=np.float64)
+        rows = similarity._probe_bucket_rows(
+            np.array([r.vec_id for r in pr]),
+            similarity._tagged_buckets(pm, planes, 8, 4, 1024),
+            8,
+            1,
+        )
+        probe_df = emb01.sparkSession.createDataFrame(
+            rows, "probe_id bigint, tb bigint"
+        )
+        cands = (
+            similarity.lsh_tagged_df(emb01, planes, 8, 4)
+            .join(F.broadcast(probe_df), "tb")
+            .select("probe_id", "vec_id")
+            .distinct()
+        )
+        n = emb01.count()
+        fracs = [r["count"] / n for r in cands.groupBy("probe_id").count().collect()]
+        frac = float(np.mean(fracs))
+        assert frac <= 0.25, fracs
+        assert float(np.mean(r4)) > 2 * frac
+
+        # OR-amplification: more tables -> recall must not decrease
+        r8 = self._recalls(emb01, bits=8, tables=8, multiprobe=1)
+        assert float(np.mean(r8)) >= float(np.mean(r4))
+
+    def test_lsh_bits_scale_with_corpus(self):
+        assert similarity.lsh_bits_for(500) == 8
+        assert similarity.lsh_bits_for(1_000_000) == 14
+        assert similarity.lsh_bits_for(10**9) == 24
+        assert similarity.lsh_bits_for(10**12) == 24  # hi clamp
+
+    def test_lsh_indexed_equals_inmemory(self, spark, tmp_path):
+        """The persisted bucket-table path (directory-pruned reads)
+        returns exactly the in-memory pipeline's rows, and its plan
+        prunes partitions on tb."""
+        emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        d = str(tmp_path / "lsh_idx")
+        meta = similarity.build_lsh_index(emb01, d, bits=8, tables=4)
+        assert meta["bits"] == 8 and meta["n"] == 500
+        got = similarity.ann_lsh_topk_indexed(spark, d)
+        want = similarity.ann_lsh_topk(emb01, bits=8, tables=4, multiprobe=1)
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "tb" in plan
 
     def test_lsh_scores_are_exact_cosine(self, emb):
         exact = {
