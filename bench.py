@@ -101,6 +101,53 @@ def main() -> None:
     extras["wand_p50_sec"] = round(lat[len(lat) // 2], 4)
     extras["wand_qps"] = round(1.0 / extras["wand_p50_sec"], 1)
 
+    # ---- sf1 like-for-like corpus (10x the sf dir, >=50k docs at the
+    # driver's sf0.1): the reference's published QPS is trec-covid
+    # (~171k docs, 28.38 QPS => ~35 ms); this is the comparable-scale
+    # serving number. Corpus = sf docs replicated with offset ids —
+    # preserves the term-frequency distribution exactly while scaling
+    # df and posting lengths 10x. Generation cost is excluded from the
+    # build timing.
+    sf1_mult = int(os.environ.get("BM25SPARK_BENCH_SF1_MULT", "10"))
+    if sf1_mult > 1:
+        from pyspark.sql import functions as F
+
+        reps = F.array(*[F.lit(i) for i in range(sf1_mult)])
+        docs1 = (
+            docs.withColumn("r", F.explode(reps))
+            .select(
+                (F.col("doc_id") + F.col("r") * F.lit(n_docs)).alias("doc_id"),
+                "text",
+            )
+        )
+        sf1_path = f"{work}/sf1.parquet"
+        docs1.write.parquet(sf1_path)
+        sf1 = spark.read.parquet(sf1_path)
+        n1 = n_docs * sf1_mult
+        t0 = time.perf_counter()
+        build_index(
+            spark, sf1, f"{work}/idx_sf1", "text", ["doc_id"],
+            cfg=Bm25Config(shard_size=1 << 14),
+        )
+        queries["sf1_build"] = round(time.perf_counter() - t0, 3)
+        extras["sf1_docs"] = n1
+        extras["sf1_build_docs_per_sec"] = round(n1 / queries["sf1_build"], 1)
+
+        idx1 = Bm25Index(spark, f"{work}/idx_sf1")
+        idx1.fieldnorms()
+        idx1.search("warm up", 10)
+        lat1 = []
+        for _ in range(5):
+            for q in wand_queries.values():
+                t0 = time.perf_counter()
+                idx1.search(q, 10, mode="taat")
+                lat1.append(time.perf_counter() - t0)
+        lat1.sort()
+        extras["sf1_wand_p50_sec"] = round(lat1[len(lat1) // 2], 4)
+        extras["sf1_wand_p90_sec"] = round(lat1[(len(lat1) * 9) // 10], 4)
+        extras["sf1_wand_qps"] = round(1.0 / extras["sf1_wand_p50_sec"], 1)
+        queries["sf1_wand_batch20"] = round(sum(lat1), 3)
+
     # Steady-state measurement: run the identical query once to compile
     # its codegen, then drop every cached/persisted intermediate so the
     # measured run re-executes the full pipeline (Spark has no result

@@ -81,6 +81,40 @@ class TestIntern:
     def test_deterministic(self):
         assert intern(self.SEED, b"x" * 40) == intern(self.SEED, b"x" * 40)
 
+    def test_long_token_cross_engine_vectors(self):
+        """Pinned vectors for the >=16-byte (hashed) path under the
+        default index seed, committed as the cross-engine contract for
+        the DOCUMENTED DEVIATION from the reference: vector.rs:19-35
+        keys long tokens with keyed *blake3*; this container has no
+        blake3, so the engine uses hashlib.blake2b(key=seed,
+        digest_size=16) with the same raw-short-token fast path and the
+        same forced-nonzero last byte. Interning is a pure, consistent
+        token->key map applied identically at build and query time, so
+        rank identity is unaffected; only long-token index artifacts
+        are not byte-comparable with the reference. Any change to the
+        hash breaks every persisted index -> these vectors are frozen.
+        """
+        from bm25spark.analyze import intern_str
+
+        seed = derive_seed("bm25spark")
+        assert seed.hex() == (
+            "788b13b0d7c20e3c55bfdf41c971fc19"
+            "1428bb1b05c20396acd5682b4a7626f4"
+        )
+        vectors = {
+            "supercalifragilisticexpialidocious":
+                "f2f96016088c67e8d19a74486234a441",
+            "a" * 16: "2966e6ffb0fb87bc6241660da2540e09",
+            "interprocedural_analysis_pass":
+                "85e63fce8a82133261bcfaa1c38a7574",
+            "ThisIsAVeryLongCamelCaseIdentifierName":
+                "116137f764d4841b7582cb535c570075",
+            # NUL forces the hash path even under 16 bytes
+            "z" * 15 + "\x00": "688b7d040da05da6ba6a462905697389",
+        }
+        for tok, want in vectors.items():
+            assert intern_str(seed, tok).hex() == want, tok
+
 
 class TestPacking:
     @settings(max_examples=200, deadline=None)
