@@ -8,7 +8,8 @@ Usage (ship the package with --py-files):
         --text-col content --order-cols repo,path,commit \
         --index-dir s3://bucket/indexes/corpus_bm25
 
-Subcommands: build | search | search-dist | vacuum | lineage.
+Subcommands: build | search | search-dist | search-delta | insert |
+delete | vacuum | lineage.
 """
 
 from __future__ import annotations
@@ -66,6 +67,23 @@ def main(argv: list[str] | None = None) -> None:
     v.add_argument("--index-dir", required=True)
     v.add_argument("--text-col", required=True)
 
+    ins = sub.add_parser("insert")
+    ins.add_argument("--index-dir", required=True)
+    ins.add_argument("--input", required=True)
+    ins.add_argument("--format", default="auto")
+    ins.add_argument("--text-col", required=True)
+
+    de = sub.add_parser("delete")
+    de.add_argument("--index-dir", required=True)
+    de.add_argument("--input", required=True, help="table of payload keys")
+    de.add_argument("--format", default="auto")
+
+    sd = sub.add_parser("search-delta")
+    sd.add_argument("--index-dir", required=True)
+    sd.add_argument("--query", required=True)
+    sd.add_argument("--text-col", required=True)
+    sd.add_argument("-k", type=int, default=100)
+
     ln = sub.add_parser("lineage")
     ln.add_argument("--index-dir", required=True)
 
@@ -104,6 +122,28 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "vacuum":
         vacuum(spark, args.index_dir, args.text_col)
         print(json.dumps({"vacuumed": args.index_dir}))
+    elif args.cmd == "insert":
+        from .maintain import delta_size, insert
+
+        insert(
+            spark,
+            args.index_dir,
+            load_table(spark, args.input, args.format),
+            args.text_col,
+        )
+        print(json.dumps({"delta_rows": delta_size(spark, args.index_dir)}))
+    elif args.cmd == "delete":
+        from .maintain import delete
+
+        delete(spark, args.index_dir, load_table(spark, args.input, args.format))
+        print(json.dumps({"deleted_from": args.index_dir}))
+    elif args.cmd == "search-delta":
+        from .maintain import search_with_delta_df
+
+        for row in search_with_delta_df(
+            spark, args.index_dir, args.query, args.k, args.text_col
+        ).collect():
+            print(json.dumps(row.asDict(), default=str))
     elif args.cmd == "lineage":
         idx = Bm25Index(spark, args.index_dir)
         for row in idx.lineage_df().collect():

@@ -82,6 +82,126 @@ def tokenize_udf_mappings(
     )
 
 
+def exact_topk_wide(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_text: str,
+    k: int,
+    cfg: Bm25Config | None = None,
+    round_score: int | None = 4,
+    prefilter: DataFrame | None = None,
+) -> DataFrame:
+    """Exact scorer for *wide* queries (hundreds+ of terms), where the
+    narrow path's one-aggregate-column-per-term pivot would degenerate
+    into a thousand-expression projection. Shape: query terms join the
+    mappings via a broadcast map; one hash-aggregate per doc collects
+    (doc_len, matched (term, idf, tf) pairs); the per-doc sum runs over
+    the token-sorted pair array — same accumulation order as the
+    narrow path, so results agree to float precision (tested at
+    round-4 equality). One extra shuffle vs the narrow path; still
+    zero corpus-side joins."""
+    cfg = cfg or Bm25Config()
+    analyzer = get_analyzer(cfg.analyzer)
+    qtokens = sorted(set(analyzer(query_text)))
+    docs = docs.filter(F.col(text_col).isNotNull())
+    if not qtokens:
+        return spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
+
+    if cfg.analyzer == "simple":
+        m = tokenize_simple_sql(docs, text_col, id_col).withColumnRenamed(
+            "token", "term"
+        )
+        qterms = qtokens
+    else:
+        from .analyze import intern_str
+
+        qterms = [intern_str(cfg.seed, t) for t in qtokens]
+        m = tokenize_udf_mappings(docs, text_col, id_col, cfg).withColumnRenamed(
+            "term_key", "term"
+        ).select("doc_id", "term", "tf")
+
+    n_docs = docs.count()
+    if not n_docs:
+        return spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
+
+    # binary isin literals need bytearray wrapping (Spark BinaryType)
+    qlits = [bytearray(t) if isinstance(t, bytes) else t for t in qterms]
+    per_doc = m.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("doc_len"),
+        F.collect_list(
+            F.when(F.col("term").isin(qlits), F.struct("term", "tf"))
+        ).alias("pairs"),
+    )
+    per_doc = per_doc.persist()
+    # pass 1: sum_dl in one job over the aggregated frame
+    sums = per_doc.agg(F.sum("doc_len").alias("s")).first()
+    avgdl = float(sums["s"] or 0) / float(n_docs)
+    dfs = {
+        r["term"]: r["df"]
+        for r in per_doc.select(F.explode("pairs").alias("p"))
+        .groupBy(F.col("p.term").alias("term"))
+        .agg(F.count("*").alias("df"))
+        .collect()
+    }
+    idf_map = {
+        t: math.log((float(n_docs) + 1.0) / (float(dfs.get(t, 0)) + 0.5))
+        for t in qterms
+    }
+    idf_items = sorted(idf_map.items())
+    idf_df = spark.createDataFrame(
+        [(t, v) for t, v in idf_items], ["term", "idf"]
+    )
+
+    matched = per_doc.filter(F.size("pairs") > 0)
+    matched = quantized_dl(spark, matched, "doc_len")
+    # token-sorted accumulation = the narrow path's / oracle's order
+    exploded = matched.select(
+        "doc_id", "qdl", F.explode("pairs").alias("p")
+    ).select("doc_id", "qdl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
+    norm = F.lit(cfg.k1) * (
+        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("qdl") / F.lit(avgdl)
+    )
+    contrib = F.col("idf") * (F.col("tf") * F.lit(cfg.k1 + 1.0)) / (
+        F.col("tf") + norm
+    )
+    scored = (
+        exploded.join(F.broadcast(idf_df), "term")
+        .select("doc_id", "term", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("raw_score")
+        )
+        .filter(F.col("raw_score") > 0.0)
+    )
+    if prefilter is not None:
+        scored = scored.join(prefilter.select("doc_id"), "doc_id", "left_semi")
+    score_col = (
+        F.round(F.col("raw_score"), round_score)
+        if round_score is not None
+        else F.col("raw_score")
+    )
+    return (
+        scored.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            score_col.alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+#: above this many distinct query terms, exact_topk routes to the
+#: explode-join form instead of the per-term pivot (a 1000-term query
+#: would otherwise compile a 1000-aggregate projection)
+WIDE_QUERY_TERMS = 64
+
+
 def exact_topk(
     spark: SparkSession,
     docs: DataFrame,
@@ -112,6 +232,12 @@ def exact_topk(
     cfg = cfg or Bm25Config()
     analyzer = get_analyzer(cfg.analyzer)
     qtokens = sorted(set(analyzer(query_text)))
+
+    if len(qtokens) > WIDE_QUERY_TERMS:
+        return exact_topk_wide(
+            spark, docs, text_col, id_col, query_text, k,
+            cfg=cfg, round_score=round_score, prefilter=prefilter,
+        )
 
     docs = docs.filter(F.col(text_col).isNotNull())
 

@@ -111,6 +111,32 @@ class TestDuckDBOracle:
         got = exact_topk(spark, docs, "text", "doc_id", "zzz qqq", 5).collect()
         assert got == []
 
+    def test_wide_query_path_matches_oracle(self, spark, docs):
+        """The explode-join form used above WIDE_QUERY_TERMS (where the
+        per-term pivot would compile a 1000-expression projection):
+        same DuckDB oracle, and the auto-routing threshold engages."""
+        from bm25spark.oracle import term_df_sql
+        from bm25spark.query import WIDE_QUERY_TERMS, exact_topk_wide
+
+        # all real corpus tokens (the synthetic vocab is ~31 terms)
+        # padded with absent terms -> a wide query that also exercises
+        # the df=0 skip
+        toks = [t for (t, _, _) in duck(term_df_sql(200))]
+        toks += [f"zzabsent{i}" for i in range(80 - len(toks))]
+        assert len(toks) > WIDE_QUERY_TERMS
+        q = " ".join(toks)
+        got = exact_topk(spark, docs, "text", "doc_id", q, 30).collect()
+        want = duck(bm25_topk_sql(toks, 30))
+        assert [(r.doc_id, r.score) for r in got] == [(d, s) for d, s in want]
+        # the narrow pivot (forced) and the wide form agree exactly
+        wide = exact_topk_wide(
+            spark, docs, "text", "doc_id", " ".join(toks[:10]), 30
+        ).collect()
+        narrow = exact_topk(
+            spark, docs, "text", "doc_id", " ".join(toks[:10]), 30
+        ).collect()
+        assert [tuple(r) for r in wide] == [tuple(r) for r in narrow]
+
     def test_stats(self, spark, docs):
         from bm25spark.stats import corpus_stats, term_df
 
