@@ -42,6 +42,19 @@ class Bm25Index:
         self.shard_size = int(self.meta["shard_size"])
         self.payload_cols = list(self.meta["payload_cols"])
         self._fieldnorms: np.ndarray | None = None
+        # Resident-server caches (the engine-side analogue of the
+        # reference's reliance on PostgreSQL's buffer pool: a repeated
+        # term's dictionary row and posting blocks come from memory,
+        # not storage). Instance-bound, so a post-vacuum reload starts
+        # clean; the postings cache is byte-bounded and simply resets
+        # when full (queries re-read from Parquet — correctness never
+        # depends on the cache).
+        self._term_cache: dict[bytes, dict | None] = {}
+        self._postings_cache: dict[bytes, dict] = {}
+        self._postings_cache_bytes = 0
+        self.postings_cache_limit = int(
+            os.environ.get("BM25SPARK_POSTINGS_CACHE_BYTES", 512 << 20)
+        )
 
     def _path(self, name: str) -> str:
         return os.path.join(self.index_dir, self.meta["paths"][name])
@@ -69,20 +82,47 @@ class Bm25Index:
     def term_stats(self, keys: list[bytes]) -> dict[bytes, dict]:
         """J1: dictionary lookup for the query's keys — a direct Arrow
         read with term_key pushdown (no Spark job), the analogue of the
-        reference's token B-tree descent (address_tokens.rs:61-98)."""
+        reference's token B-tree descent (address_tokens.rs:61-98).
+        Hits the resident dictionary cache first (absent keys are
+        negative-cached)."""
         if not keys:
             return {}
-        return artifacts.read_terms(self._path("terms"), keys, self._buckets(keys))
+        missing = [k for k in keys if k not in self._term_cache]
+        if missing:
+            found = artifacts.read_terms(
+                self._path("terms"), missing, self._buckets(missing)
+            )
+            for k in missing:
+                self._term_cache[k] = found.get(k)
+        return {k: v for k in keys if (v := self._term_cache.get(k)) is not None}
 
     def postings_for(self, keys: list[bytes]) -> dict[bytes, dict]:
         """Query terms' blocks, grouped per key, ordered by
         (shard, block_ord) — Arrow read with hive bucket-directory
-        pruning + term_key row-group pushdown."""
+        pruning + term_key row-group pushdown, behind the byte-bounded
+        resident block cache."""
         if not keys:
             return {}
-        return artifacts.read_postings(
-            self._path("postings"), keys, self._buckets(keys), self.shard_size
-        )
+        missing = [k for k in keys if k not in self._postings_cache]
+        if missing:
+            found = artifacts.read_postings(
+                self._path("postings"), missing, self._buckets(missing),
+                self.shard_size,
+            )
+            for k, p in found.items():
+                size = sum(len(b) for b in p["ids_bytes"]) + sum(
+                    len(b) for b in p["tfs_bytes"]
+                )
+                if self._postings_cache_bytes + size > self.postings_cache_limit:
+                    self._postings_cache.clear()
+                    self._postings_cache_bytes = 0
+                self._postings_cache[k] = p
+                self._postings_cache_bytes += size
+        return {
+            k: self._postings_cache[k]
+            for k in keys
+            if k in self._postings_cache
+        }
 
     def fieldnorms(self) -> np.ndarray:
         """Dense uint8 fieldnorm array indexed by internal doc id.

@@ -85,14 +85,30 @@ class TermPostings:
         )
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        """Batched decode of every block (grouped-by-bitwidth vector
+        unpack — see packing.decompress_blocks_batch); element-identical
+        to per-block :meth:`decode`."""
         if not self.n_blocks:
             e = np.empty(0, dtype=np.int64)
             return e, e
-        parts = [self.decode(i) for i in range(self.n_blocks)]
-        return (
-            np.concatenate([p[0] for p in parts]),
-            np.concatenate([p[1] for p in parts]),
+        counts = self.count.astype(np.int64)
+        id_parts = packing.decompress_blocks_batch(
+            self.ids_meta,
+            self.ids_bytes,
+            counts,
+            bases=self.min_doc - self.shard_base,
         )
+        tf_parts = packing.decompress_blocks_batch(
+            self.tfs_meta, self.tfs_bytes, counts
+        )
+        ids = np.concatenate(
+            [p[:c] for p, c in zip(id_parts, counts)]
+        ).astype(np.int64)
+        ids += np.repeat(self.shard_base, counts)
+        tfs = np.concatenate(
+            [p[:c] for p, c in zip(tf_parts, counts)]
+        ).astype(np.int64)
+        return ids, tfs
 
 
 class _Results:

@@ -10,7 +10,7 @@ import re
 
 import numpy as np
 import pytest
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from bm25spark import packing as P
@@ -143,6 +143,48 @@ class TestPacking:
         m, d = P.compress_term_frequencies(tfs)
         out = P.decompress_term_frequencies(m, d)[: len(tfs)]
         assert (out == tfs).all()
+
+    @settings(
+        max_examples=30,
+        deadline=None,
+        suppress_health_check=[HealthCheck.data_too_large],
+    )
+    @given(
+        st.integers(min_value=1, max_value=16),
+        st.randoms(use_true_random=False),
+    )
+    def test_batch_decode_equals_per_block(self, nb, rnd):
+        """decompress_blocks_batch (grouped-by-width vector unpack) is
+        element-identical to the per-block decoders, over a mix of full
+        bitpacked and tail bytepacked blocks with varied widths."""
+        metas_i, datas_i, bases, counts = [], [], [], []
+        metas_t, datas_t = [], []
+        want_ids, want_tfs = [], []
+        base = 0
+        for _ in range(nb):
+            n = 128 if rnd.random() < 0.7 else rnd.randint(1, 127)
+            gaps = np.array(
+                [rnd.randint(0, 2 ** rnd.randint(0, 20)) for _ in range(n)],
+                dtype=np.uint64,
+            )
+            ids = (np.cumsum(gaps + 1) + base).astype(np.uint32)
+            tfs = np.array(
+                [rnd.randint(1, 2 ** rnd.randint(1, 20)) for _ in range(n)],
+                dtype=np.uint32,
+            )
+            m, d = P.compress_document_ids(int(base), ids)
+            metas_i.append(m); datas_i.append(d)
+            m, d = P.compress_term_frequencies(tfs)
+            metas_t.append(m); datas_t.append(d)
+            bases.append(base); counts.append(n)
+            want_ids.append(ids); want_tfs.append(tfs)
+            base = int(ids[-1])
+        got_ids = P.decompress_blocks_batch(metas_i, datas_i, counts, bases=bases)
+        got_tfs = P.decompress_blocks_batch(metas_t, datas_t, counts)
+        for g, w, n in zip(got_ids, want_ids, counts):
+            assert (g[:n] == w).all()
+        for g, w, n in zip(got_tfs, want_tfs, counts):
+            assert (g[:n] == w).all()
 
     def test_size_parity_with_reference_formula(self):
         # full block, bitwidth w -> 128*w/8 bytes; metadata (0<<7)|w
