@@ -112,6 +112,20 @@ def get_analyzer(name: str) -> Callable[[str], list[str]]:
         raise ValueError(f"unknown analyzer {name!r}; have {sorted(ANALYZERS)}")
 
 
+def register_analyzer(name: str, fn: Callable[[str], list[str]]) -> None:
+    """Plug in a custom analyzer (the extension point for the
+    reference's pg_tokenizer ecosystem — jieba/lindera and friends,
+    README.md:174-344, are *tokenizer configs outside the index* there
+    too). The function must be a pure text -> token-list mapping; it
+    ships to executors inside the tokenizer UDF's closure (cloudpickle),
+    so driver-defined functions work. The index's ``meta.json`` stores
+    only the *name*, so the same registration must run before an index
+    built with it is reopened."""
+    if not callable(fn):
+        raise TypeError("analyzer must be callable")
+    ANALYZERS[name] = fn
+
+
 def intern(seed: bytes, token: bytes) -> bytes:
     """Token bytes -> 16-byte term key (reference vector.rs:19-35)."""
     if len(token) < KEY_WIDTH and b"\x00" not in token:

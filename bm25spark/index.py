@@ -52,6 +52,8 @@ class Bm25Index:
         self._term_cache: dict[bytes, dict | None] = {}
         self._postings_cache: dict[bytes, dict] = {}
         self._postings_cache_bytes = 0
+        self._decoded_cache: dict[bytes, tuple] = {}
+        self._decoded_cache_bytes = 0
         self.postings_cache_limit = int(
             os.environ.get("BM25SPARK_POSTINGS_CACHE_BYTES", 512 << 20)
         )
@@ -148,14 +150,26 @@ class Bm25Index:
         out = []
         for k in present:
             s, p = stats[k], postings[k]
-            out.append(
-                TermPostings(
-                    cache=Cache(self.n_docs, s["df"], self.k1, self.b, self.avgdl),
-                    wand_fn=s["wand_fn"],
-                    wand_tf=s["wand_tf"],
-                    **p,
-                )
+            tp = TermPostings(
+                cache=Cache(self.n_docs, s["df"], self.k1, self.b, self.avgdl),
+                wand_fn=s["wand_fn"],
+                wand_tf=s["wand_tf"],
+                **p,
             )
+            # decoded-postings memo: a repeated (hot) term skips block
+            # decompression entirely — arrays are treated read-only by
+            # the kernels; budget shared with the byte cache's limit
+            dec = self._decoded_cache.get(k)
+            if dec is None:
+                dec = tp.decode_all()
+                size = dec[0].nbytes + dec[1].nbytes
+                if self._decoded_cache_bytes + size > self.postings_cache_limit:
+                    self._decoded_cache.clear()
+                    self._decoded_cache_bytes = 0
+                self._decoded_cache[k] = dec
+                self._decoded_cache_bytes += size
+            tp.decoded = dec
+            out.append(tp)
         return out
 
     def search(

@@ -58,6 +58,10 @@ class TermPostings:
     tfs_meta: list[int]
     tfs_bytes: list[bytes]
     shard_base: np.ndarray  # int64 global base of each block's shard
+    #: optional pre-decoded (ids, tfs) — a resident server memoizes the
+    #: decode of hot terms (Bm25Index._decoded_cache); kernels treat it
+    #: as read-only
+    decoded: tuple | None = None
 
     @property
     def n_blocks(self) -> int:
@@ -88,6 +92,8 @@ class TermPostings:
         """Batched decode of every block (grouped-by-bitwidth vector
         unpack — see packing.decompress_blocks_batch); element-identical
         to per-block :meth:`decode`."""
+        if self.decoded is not None:
+            return self.decoded
         if not self.n_blocks:
             e = np.empty(0, dtype=np.int64)
             return e, e
@@ -333,24 +339,47 @@ def taat_topk(
     if not terms:
         return []
     decoded = [t.decode_all() for t in terms]
-    candidates = np.unique(np.concatenate([ids for ids, _ in decoded]))
-    if allowed_mask is not None and len(candidates):
-        candidates = candidates[allowed_mask[candidates]]
-    if not len(candidates):
-        return []
-    scores = np.zeros(len(candidates), dtype=np.float64)
-    fns = fieldnorms[candidates]
-    for t, (ids, tfs) in zip(terms, decoded):
-        pos = np.searchsorted(candidates, ids).clip(0, len(candidates) - 1)
-        m = candidates[pos] == ids  # False only when prefilter dropped the doc
-        if m.any():
-            idx = pos[m]
-            scores[idx] += t.cache.evaluate(fns[idx], tfs[m])
+    if len(terms) == 1:
+        # single-term fast path: the term's ids are already sorted and
+        # unique (blocks ascend across (shard, block_ord)), so no
+        # union/searchsorted pass is needed
+        candidates, tfs = decoded[0]
+        if allowed_mask is not None and len(candidates):
+            m = allowed_mask[candidates]
+            candidates, tfs = candidates[m], tfs[m]
+        if not len(candidates):
+            return []
+        scores = np.asarray(
+            terms[0].cache.evaluate(fieldnorms[candidates], tfs),
+            dtype=np.float64,
+        )
+    else:
+        candidates = np.unique(np.concatenate([ids for ids, _ in decoded]))
+        if allowed_mask is not None and len(candidates):
+            candidates = candidates[allowed_mask[candidates]]
+        if not len(candidates):
+            return []
+        scores = np.zeros(len(candidates), dtype=np.float64)
+        fns = fieldnorms[candidates]
+        for t, (ids, tfs) in zip(terms, decoded):
+            pos = np.searchsorted(candidates, ids).clip(0, len(candidates) - 1)
+            m = candidates[pos] == ids  # False only when prefilter dropped
+            if m.any():
+                idx = pos[m]
+                scores[idx] += t.cache.evaluate(fns[idx], tfs[m])
     keep = scores > 0.0
     candidates, scores = candidates[keep], scores[keep]
     if not len(candidates):
         return []
     kk = min(k, len(candidates))
-    # top-k by (-score, doc_id): lexsort keys are applied last-first
+    # top-k by (-score, doc_id) without sorting all candidates:
+    # argpartition finds the k-th score, the full (score, id) sort runs
+    # only over the >=k-th subset (ties included, so the doc-id
+    # tiebreak is exact — identical output to a full lexsort)
+    if kk < len(scores):
+        part = np.argpartition(-scores, kk - 1)
+        s_k = scores[part[kk - 1]]
+        sub = np.flatnonzero(scores >= s_k)
+        candidates, scores = candidates[sub], scores[sub]
     order = np.lexsort((candidates, -scores))[:kk]
     return [(int(candidates[i]), float(scores[i])) for i in order]

@@ -217,3 +217,29 @@ class TestBuildProperties:
             # ascending non-overlapping doc ranges
             for x, y in zip(blocks, blocks[1:]):
                 assert x.max_doc < y.min_doc
+
+
+def test_custom_analyzer_end_to_end(spark, tmp_path):
+    """register_analyzer: the pluggable-analyzer extension point (the
+    reference delegates tokenization to external pg_tokenizer configs;
+    ours is a registered text->tokens function shipped inside the UDF
+    closure). Build + WAND search + exact oracle all honor it."""
+    from bm25spark.analyze import register_analyzer
+
+    # a CSV "analyzer": comma-separated fields, no lowercasing
+    register_analyzer("csv", lambda text: [t for t in text.split(",") if t])
+    rows = [(1, "Alpha,beta"), (2, "beta,beta,gamma"), (3, "Alpha,Alpha")]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    d = str(tmp_path / "idx_csv")
+    cfg = Bm25Config(analyzer="csv", shard_size=128)
+    build_index(spark, df, d, "text", ["doc_id"], cfg=cfg)
+    idx = Bm25Index(spark, d)
+    assert idx.meta["analyzer"] == "csv"
+    got = [r.doc_id for r in idx.search_df("Alpha", 10).collect()]
+    assert got == [3, 1]  # case preserved: doc 2 has no "Alpha"
+    exact = [
+        r.doc_id
+        for r in exact_topk(spark, df, "text", "doc_id", "Alpha", 10, cfg=cfg)
+        .collect()
+    ]
+    assert exact == got
