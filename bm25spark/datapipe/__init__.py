@@ -52,6 +52,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(
             _emb(s, d), bits=8, tables=4, multiprobe=1
         ),
+        "dedup_embedding_pairs": lambda s, d: similarity.embedding_near_dup_pairs(
+            _emb(s, d), bits=8, tables=4
+        ),
         "text_stats": lambda s, d: textstats.text_stats(_docs(s, d)),
         "text_quality": lambda s, d: textstats.text_quality(_docs(s, d)),
         "text_fingerprint": lambda s, d: textstats.text_fingerprint(_docs(s, d)),
@@ -75,6 +78,9 @@ def oracle_registry() -> dict[str, str]:
         # integer-exact LSH: the oracle reproduces the full pipeline
         # (bucket bits, multiprobe, re-rank) bit-for-bit
         "ann_lsh_topk": similarity.ann_lsh_topk_sql(dim=64, bits=8, tables=4),
+        "dedup_embedding_pairs": similarity.embedding_near_dup_pairs_sql(
+            dim=64, bits=8, tables=4
+        ),
         "text_stats": textstats.text_stats_sql(),
         "text_quality": textstats.text_quality_sql(),
         "text_fingerprint": textstats.text_fingerprint_sql(),

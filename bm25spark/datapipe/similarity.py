@@ -488,6 +488,112 @@ def ann_lsh_topk_indexed(
     )
 
 
+NEAR_DUP_THRESHOLD = 0.4
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = NEAR_DUP_THRESHOLD,
+    bits: int | None = None,
+    tables: int = LSH_TABLES,
+    quant: int = LSH_QUANT,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the last of the prompt's
+    dedup family: candidates from the integer-exact multi-table LSH
+    (vectors sharing any table's bucket; a banded self-join, never the
+    all-pairs cross join), verified by exact rounded cosine >=
+    ``threshold``. Canonical (a < b) pair order. Like every LSH-based
+    dedup here, candidate recall on isotropic data is bounded by the
+    banding (high-cosine pairs collide with probability
+    1-(1-(1-θ/π)^B)^L, far above chance); the DuckDB oracle reproduces
+    the *same* candidates bit-for-bit, so the gate is exact."""
+    spark = emb.sparkSession
+    if bits is None:
+        bits = lsh_bits_for(emb.count())
+    dim = len(emb.select("embedding").first()[0])
+    planes = lsh_planes(dim, tables * bits)
+
+    tagged = lsh_tagged_df(emb, planes, bits, tables, quant)
+    a = tagged.select(F.col("vec_id").alias("a"), "tb")
+    b = tagged.select(F.col("vec_id").alias("b"), "tb")
+    cands = (
+        a.join(b, "tb")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    base = emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("e"),
+    )
+    ea = base.select(F.col("vec_id").alias("a"), F.col("e").alias("va"))
+    eb = base.select(F.col("vec_id").alias("b"), F.col("e").alias("vb"))
+    return (
+        cands.join(ea, "a")
+        .join(eb, "b")
+        .select(
+            "a", "b", F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+        .orderBy(F.desc("cos"), "a", "b")
+    )
+
+
+def embedding_near_dup_pairs_sql(
+    dim: int = 64,
+    threshold: float = NEAR_DUP_THRESHOLD,
+    bits: int = 8,
+    tables: int = LSH_TABLES,
+    quant: int = LSH_QUANT,
+) -> str:
+    """DuckDB oracle: identical planes, identical integer bucket bits,
+    identical banded candidate join, identical rounded-cosine verify."""
+    planes = lsh_planes(dim, tables * bits)
+    bucket_exprs = []
+    for t in range(tables):
+        terms = [
+            f"(CASE WHEN list_dot_product(q, {_plane_sql_array(planes[t * bits + j])})"
+            f" > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(bits)
+        ]
+        bucket_exprs.append(f"({t << bits} + " + " + ".join(terms) + f") AS b{t}")
+    bcols = ",\n         ".join(bucket_exprs)
+    barr = "[" + ", ".join(f"b{t}" for t in range(tables)) + "]"
+    return f"""
+WITH base AS (
+  SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+qe AS (
+  SELECT vec_id, list_transform(e, x -> floor(x * {quant}.0)) AS q FROM base
+),
+bk AS (
+  SELECT vec_id,
+         {bcols}
+  FROM qe
+),
+tv AS (
+  SELECT vec_id, unnest({barr}) AS tb FROM bk
+),
+cands AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM tv x JOIN tv y USING (tb) WHERE x.vec_id < y.vec_id
+),
+scored AS (
+  SELECT c.a, c.b,
+         round(
+           list_dot_product(p.e, v.e)
+           / (sqrt(list_dot_product(p.e, p.e))
+              * sqrt(list_dot_product(v.e, v.e))),
+           6) AS cos
+  FROM cands c
+  JOIN base p ON c.a = p.vec_id
+  JOIN base v ON c.b = v.vec_id
+)
+SELECT a, b, cos FROM scored WHERE cos >= {threshold}
+ORDER BY cos DESC, a, b
+"""
+
+
 def _plane_sql_array(plane: np.ndarray) -> str:
     return "[" + ",".join(str(int(v)) + ".0" for v in plane) + "]"
 

@@ -194,6 +194,27 @@ class TestSimilarity:
         plan = got._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [" in plan and "tb" in plan
 
+    def test_embedding_near_dup_matches_oracle(self, emb):
+        assert_matches(
+            similarity.embedding_near_dup_pairs(emb, bits=8, tables=4),
+            similarity.embedding_near_dup_pairs_sql(dim=64, bits=8, tables=4),
+        )
+
+    def test_embedding_near_dup_finds_planted_pair(self, spark):
+        """A planted near-identical vector pair must collide in every
+        LSH table (tiny angle) and survive the cosine verify."""
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(40, 64))
+        dup = base[3] + rng.normal(scale=1e-3, size=64)  # ~cos 1.0
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+        rows.append((1000, [float(x) for x in dup]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = similarity.embedding_near_dup_pairs(
+            df, threshold=0.9, bits=8, tables=4
+        ).collect()
+        assert [(r.a, r.b) for r in got] == [(3, 1000)]
+        assert got[0].cos > 0.999
+
     def test_lsh_scores_are_exact_cosine(self, emb):
         exact = {
             (r.probe_id, r.vec_id): r.cos
