@@ -55,10 +55,30 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": lambda s, d: similarity.embedding_near_dup_pairs(
             _emb(s, d), bits=8, tables=4
         ),
+        "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(_emb(s, d)),
         "text_stats": lambda s, d: textstats.text_stats(_docs(s, d)),
         "text_quality": lambda s, d: textstats.text_quality(_docs(s, d)),
         "text_fingerprint": lambda s, d: textstats.text_fingerprint(_docs(s, d)),
     }
+
+
+def _ivf_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Train the IVF centroids exactly as the Spark entry does (same
+    rows, same order, same deterministic k-means) and inline them as
+    literals in the DuckDB oracle."""
+    import duckdb
+    import numpy as np
+
+    from . import similarity
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT embedding FROM read_parquet("
+        f"'{sf_dir}/embeddings.parquet') ORDER BY vec_id LIMIT 65536"
+    ).fetchall()
+    tmat = np.array([r[0] for r in rows], dtype=np.float64)
+    centroids = similarity.ivf_train(tmat)
+    return similarity.ann_ivf_topk_sql(centroids)
 
 
 def oracle_registry() -> dict[str, str]:
@@ -81,6 +101,11 @@ def oracle_registry() -> dict[str, str]:
         "dedup_embedding_pairs": similarity.embedding_near_dup_pairs_sql(
             dim=64, bits=8, tables=4
         ),
+        # IVF centroids are trained parameters: regenerate them here
+        # from the gate's sf0.01 table with the same deterministic
+        # k-means the Spark entry runs, then embed them as literals
+        # (the correctness gate is specified at sf=0.01)
+        "ann_ivf_topk": _ivf_oracle_sql(),
         "text_stats": textstats.text_stats_sql(),
         "text_quality": textstats.text_quality_sql(),
         "text_fingerprint": textstats.text_fingerprint_sql(),

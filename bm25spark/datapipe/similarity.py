@@ -488,6 +488,224 @@ def ann_lsh_topk_indexed(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path the brief names
+# ("an IVF or LSH-bucketed variant"). Same determinism design as the
+# LSH: the k-means *training* runs once on the driver (over a sample at
+# scale) and its integer-rounded centroids become parameters embedded
+# in both engines — broadcast to executors, literals in the oracle SQL
+# — while the *assignment* (nearest centroid by squared L2 over the
+# quantized integer vectors, ties to the lowest centroid id) is pure
+# integer arithmetic, bit-identical in NumPy and DuckDB. So even this
+# approximate index is hash-checked exactly by the driver gate.
+# ---------------------------------------------------------------------------
+
+IVF_CLUSTERS = 16
+IVF_NPROBE = 3
+
+
+def ivf_train(
+    vecs: np.ndarray, k: int = IVF_CLUSTERS, iters: int = 10, quant: int = LSH_QUANT
+) -> np.ndarray:
+    """Deterministic k-means over quantized integer vectors -> integer
+    centroids (k, dim) int64. Init = evenly-strided rows of the input
+    (callers pass rows sorted by vec_id); empty clusters keep their
+    previous centroid. At scale, train on a bounded sample — the
+    centroids are parameters, not data."""
+    q = np.floor(vecs.astype(np.float64) * float(quant)).astype(np.int64)
+    idx = np.linspace(0, len(q) - 1, num=min(k, len(q))).astype(int)
+    c = q[idx].copy()
+    for _ in range(iters):
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(len(c)):
+            members = q[a == j]
+            if len(members):
+                c[j] = np.round(members.mean(axis=0)).astype(np.int64)
+    return c
+
+
+def _ivf_assign(vecs: np.ndarray, centroids: np.ndarray, quant: int) -> np.ndarray:
+    """(n, dim) float64 -> nearest-centroid ids, integer-exact: squared
+    L2 over floor(x*quant) vs integer centroids, first-min tie rule."""
+    q = np.floor(vecs.astype(np.float64) * float(quant)).astype(np.int64)
+    d = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1).astype(np.int64)
+
+
+def _ivf_probe_lists(
+    pmat: np.ndarray, centroids: np.ndarray, quant: int, nprobe: int
+) -> list[list[int]]:
+    """Per-probe nprobe nearest centroid ids, ties by centroid id."""
+    q = np.floor(pmat.astype(np.float64) * float(quant)).astype(np.int64)
+    d = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    out = []
+    for row in d:
+        order = np.lexsort((np.arange(len(row)), row))[:nprobe]
+        out.append([int(x) for x in order])
+    return out
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    probes=None,
+    k: int = K,
+    n_clusters: int = IVF_CLUSTERS,
+    nprobe: int = IVF_NPROBE,
+    quant: int = LSH_QUANT,
+    train_sample: int = 65536,
+) -> DataFrame:
+    """IVF ANN: one corpus scan assigns every vector to its nearest
+    centroid (Arrow-batched integer matmul against broadcast
+    centroids); candidates = vectors in the probe's ``nprobe`` nearest
+    clusters; exact rounded-cosine re-rank. Output convention and
+    oracle-exactness identical to :func:`ann_lsh_topk` — expected scan
+    fraction ~ nprobe / n_clusters."""
+    import pandas as pd
+
+    probes = probes if probes is not None else PROBES
+    spark = emb.sparkSession
+
+    train = (
+        emb.orderBy("vec_id").limit(train_sample).collect()
+    )
+    tmat = np.array([r.embedding for r in train], dtype=np.float64)
+    centroids = ivf_train(tmat, n_clusters, quant=quant)
+    b_cent = spark.sparkContext.broadcast(centroids)
+
+    pr = [r for r in train if r.vec_id in set(probes)] or (
+        emb.filter(F.col("vec_id").isin(probes)).collect()
+    )
+    pr = sorted(pr, key=lambda r: r.vec_id)
+    if not pr:
+        return spark.createDataFrame(
+            [], "probe_id bigint, vec_id bigint, cos double"
+        )
+    pids = [int(r.vec_id) for r in pr]
+    pmat = np.array([r.embedding for r in pr], dtype=np.float64)
+    plists = _ivf_probe_lists(pmat, centroids, quant, nprobe)
+    probe_df = spark.createDataFrame(
+        [(pid, cid) for pid, cids in zip(pids, plists) for cid in cids],
+        "probe_id bigint, cid bigint",
+    )
+
+    def assign(batches):
+        cent = b_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["embedding"].to_list(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "cid": _ivf_assign(vecs, cent, quant),
+                }
+            )
+
+    assigned = emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    ).mapInPandas(assign, "vec_id bigint, cid bigint")
+    cands = (
+        assigned.join(F.broadcast(probe_df), "cid")
+        .select("probe_id", "vec_id")
+        .distinct()
+    )
+    base = emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("e"),
+    )
+    pemb = base.filter(F.col("vec_id").isin(probes)).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    scored = (
+        F.broadcast(cands)
+        .join(base, "vec_id")
+        .join(F.broadcast(pemb), "probe_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(_cosine(F.col("pe"), F.col("e")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "vec_id", "cos")
+        .orderBy("probe_id", F.desc("cos"), "vec_id")
+    )
+
+
+def ann_ivf_topk_sql(
+    centroids: np.ndarray,
+    probes=None,
+    k: int = K,
+    nprobe: int = IVF_NPROBE,
+    quant: int = LSH_QUANT,
+) -> str:
+    """DuckDB oracle for :func:`ann_ivf_topk`: the trained centroids
+    arrive as literals (parameters, like the LSH planes); assignment,
+    probe lists, candidate join and re-rank replicate the Spark
+    pipeline exactly in integer arithmetic."""
+    probes = probes if probes is not None else PROBES
+    plist = ", ".join(str(p) for p in probes)
+    nk = len(centroids)
+    cent_lits = ", ".join(
+        "[" + ",".join(str(int(v)) + ".0" for v in c) + "]" for c in centroids
+    )
+    # per-vector distance list to every centroid: |q-c|^2 = q.q - 2 q.c + c.c
+    dists = ", ".join(
+        f"list_dot_product(q, q) - 2*list_dot_product(q, c[{j + 1}])"
+        f" + list_dot_product(c[{j + 1}], c[{j + 1}])"
+        for j in range(nk)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+cent(c) AS (SELECT [{cent_lits}]),
+qe AS (
+  SELECT vec_id, list_transform(e, x -> floor(x * {quant}.0)) AS q FROM base
+),
+dv AS (
+  SELECT vec_id, [{dists}] AS d FROM qe CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, list_position(d, list_min(d)) - 1 AS cid FROM dv
+),
+pc AS (
+  SELECT vec_id AS probe_id, j.j AS cid,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY list_extract(d, j.j + 1), j.j
+         ) AS rnk
+  FROM dv CROSS JOIN (SELECT unnest(range({nk})) AS j) j
+  WHERE vec_id IN ({plist})
+),
+probe_cids AS (SELECT probe_id, cid FROM pc WHERE rnk <= {nprobe}),
+cands AS (
+  SELECT DISTINCT probe_cids.probe_id, assigned.vec_id
+  FROM probe_cids JOIN assigned USING (cid)
+),
+scored AS (
+  SELECT cnd.probe_id, cnd.vec_id,
+         round(
+           list_dot_product(p.e, v.e)
+           / (sqrt(list_dot_product(p.e, p.e))
+              * sqrt(list_dot_product(v.e, v.e))),
+           6) AS cos
+  FROM cands cnd
+  JOIN base v ON cnd.vec_id = v.vec_id
+  JOIN base p ON cnd.probe_id = p.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT probe_id, vec_id, cos FROM ranked WHERE rn <= {k}
+ORDER BY probe_id, cos DESC, vec_id
+"""
+
+
 NEAR_DUP_THRESHOLD = 0.4
 
 

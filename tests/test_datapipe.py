@@ -194,6 +194,45 @@ class TestSimilarity:
         plan = got._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [" in plan and "tb" in plan
 
+    def test_ivf_matches_oracle_and_recall(self, spark):
+        """IVF: same determinism design as the LSH (trained centroids
+        are cross-engine literals; integer-exact assignment), so the
+        approximate pipeline hash-matches its oracle; recall@10 and
+        nprobe monotonicity gated on the deterministic corpus."""
+        import duckdb
+
+        from bm25spark.datapipe import _ivf_oracle_sql
+
+        sf = "/root/testdata/sf0.01"
+        emb01 = spark.read.parquet(f"{sf}/embeddings.parquet")
+        got = sorted(
+            map(repr, (tuple(r) for r in similarity.ann_ivf_topk(emb01).collect()))
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+        )
+        want = sorted(
+            map(repr, (tuple(r) for r in con.execute(_ivf_oracle_sql(sf)).fetchall()))
+        )
+        assert got == want and len(got) > 0
+
+        exact = {}
+        for r in similarity.ann_cosine_topk(emb01).collect():
+            exact.setdefault(r.probe_id, set()).add(r.vec_id)
+
+        def recall(nprobe):
+            by = {}
+            for r in similarity.ann_ivf_topk(emb01, nprobe=nprobe).collect():
+                by.setdefault(r.probe_id, set()).add(r.vec_id)
+            return float(
+                np.mean([len(by.get(p, set()) & s) / len(s) for p, s in exact.items()])
+            )
+
+        r3 = recall(3)
+        assert r3 >= 0.3, r3  # nprobe/n_clusters = 3/16 scan fraction
+        assert recall(16) == 1.0  # probing every cluster = exact
+
     def test_embedding_near_dup_matches_oracle(self, emb):
         assert_matches(
             similarity.embedding_near_dup_pairs(emb, bits=8, tables=4),
