@@ -105,6 +105,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         toks, kk = _QUERY_SETS["q_multi"]
         out["bm25_dist_q_multi"] = _dist_q(toks, kk)
 
+        def _dist_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+            """P3 in the scale path: per-shard cogrouped allowlist mask.
+            Prefilter semantics = full-corpus statistics, candidates
+            restricted before they count toward k (fetcher.rs:180-216)."""
+            from pyspark.sql import functions as F
+
+            from bm25spark.api import index_for_parquet
+            from bm25spark.distributed import search_distributed
+
+            idx = index_for_parquet(
+                spark, f"{sf_dir}/documents.parquet", "text", ["doc_id"]
+            )
+            allowed = (
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .filter(F.col("doc_id") % 2 == 0)
+                .select("doc_id")
+            )
+            return search_distributed(
+                spark, idx.index_dir, "merge spark window", 10, prefilter=allowed
+            ).select(F.col("doc_id").cast("bigint").alias("doc_id"), "score")
+
+        out["bm25_dist_q_prefilter"] = _dist_prefilter
+
     out["corpus_stats"] = lambda spark, sf: stats.corpus_stats(spark, _docs(spark, sf))
     out["term_df_top50"] = lambda spark, sf: stats.term_df(spark, _docs(spark, sf), 50)
     out["doc_fieldnorms"] = lambda spark, sf: stats.doc_fieldnorms(
@@ -264,6 +287,11 @@ def oracle_sql() -> dict[str, str]:
     if have_wand:
         toks, kk = _QUERY_SETS["q_multi"]
         out["bm25_dist_q_multi"] = oracle.bm25_topk_sql(toks, kk)
+        # prefilter = full-corpus stats, restricted candidates — the
+        # sealed_pred/live_pred generator expresses exactly that
+        out["bm25_dist_q_prefilter"] = oracle.bm25_delta_topk_sql(
+            toks, 10, sealed_pred="TRUE", live_pred="((doc_id % 2) = 0)"
+        )
 
     out["corpus_stats"] = oracle.corpus_stats_sql()
     out["term_df_top50"] = oracle.term_df_sql(50)

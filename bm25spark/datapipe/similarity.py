@@ -4,13 +4,18 @@
   all in built-in expressions (zip_with dot product in whole-stage
   codegen). The exactness baseline; at scale the probe set broadcasts
   and the scan is embarrassingly parallel.
-- :func:`ann_lsh_topk` — the scale path: multi-table, banded,
+- :func:`ann_lsh_topk` — scale path #1: multi-table, banded,
   multiprobe sign-random-projection LSH with *integer-exact* hashing,
   so the full pipeline (bucket bits included) is reproduced bit-for-bit
   by a DuckDB oracle and the driver gate hash-checks it like every
   exact operator. Recall vs the brute force is additionally gated in
   pytest; :func:`build_lsh_index` persists the bucket table partitioned
   by bucket for directory-pruned (sublinear-I/O) serving.
+- :func:`ann_ivf_topk` — scale path #2 (IVF): deterministic k-means
+  centroids as cross-engine parameters + integer-exact nearest-centroid
+  assignment; same oracle-exactness property.
+- :func:`embedding_near_dup_pairs` — the dedup-family member: banded
+  LSH candidate pairs + exact cosine-threshold verify.
 """
 
 from __future__ import annotations
