@@ -16,11 +16,14 @@ import pyarrow.compute as pc
 import pyarrow.dataset as ds
 
 
-def read_terms(terms_path: str, keys: list[bytes], buckets: list[int]):
-    """-> {term_key: {df, wand_fn, wand_tf}} for the query's keys."""
+def read_terms(terms_path: str, keys: list[bytes], buckets: list[int],
+               dataset=None):
+    """-> {term_key: {df, wand_fn, wand_tf}} for the query's keys.
+    ``dataset``: optional pre-discovered pyarrow dataset (a resident
+    server discovers the artifact's files once, not per query)."""
     if not keys:
         return {}
-    d = ds.dataset(terms_path, format="parquet")
+    d = dataset if dataset is not None else ds.dataset(terms_path, format="parquet")
     t = d.to_table(
         columns=["term_key", "df", "wand_fn", "wand_tf"],
         filter=pc.field("term_key").isin(keys),
@@ -47,11 +50,16 @@ def read_postings(
     buckets: list[int],
     shard_size: int,
     shards: list[int] | None = None,
+    dataset=None,
 ):
     """-> {term_key: dict of block arrays} (ascending (shard, ord))."""
     if not keys:
         return {}
-    d = ds.dataset(postings_path, format="parquet", partitioning="hive")
+    d = (
+        dataset
+        if dataset is not None
+        else ds.dataset(postings_path, format="parquet", partitioning="hive")
+    )
     flt = pc.field("bucket").isin(buckets) & pc.field("term_key").isin(keys)
     if shards is not None:
         flt = flt & pc.field("shard").isin(shards)

@@ -54,6 +54,8 @@ class Bm25Index:
         self._postings_cache_bytes = 0
         self._decoded_cache: dict[bytes, tuple] = {}
         self._decoded_cache_bytes = 0
+        self._terms_ds = None
+        self._postings_ds = None
         self.postings_cache_limit = int(
             os.environ.get("BM25SPARK_POSTINGS_CACHE_BYTES", 512 << 20)
         )
@@ -91,8 +93,13 @@ class Bm25Index:
             return {}
         missing = [k for k in keys if k not in self._term_cache]
         if missing:
+            if self._terms_ds is None:
+                import pyarrow.dataset as ds
+
+                self._terms_ds = ds.dataset(self._path("terms"), format="parquet")
             found = artifacts.read_terms(
-                self._path("terms"), missing, self._buckets(missing)
+                self._path("terms"), missing, self._buckets(missing),
+                dataset=self._terms_ds,
             )
             for k in missing:
                 self._term_cache[k] = found.get(k)
@@ -107,9 +114,15 @@ class Bm25Index:
             return {}
         missing = [k for k in keys if k not in self._postings_cache]
         if missing:
+            if self._postings_ds is None:
+                import pyarrow.dataset as ds
+
+                self._postings_ds = ds.dataset(
+                    self._path("postings"), format="parquet", partitioning="hive"
+                )
             found = artifacts.read_postings(
                 self._path("postings"), missing, self._buckets(missing),
-                self.shard_size,
+                self.shard_size, dataset=self._postings_ds,
             )
             for k, p in found.items():
                 size = sum(len(b) for b in p["ids_bytes"]) + sum(
