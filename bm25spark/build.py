@@ -99,6 +99,29 @@ def _stage_done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def _ensure_readable_parquet(path: str, schema, subdir: str | None = None) -> None:
+    """AQE coalesces an empty frame to zero partitions, so its parquet
+    write can produce a directory with no data files — unreadable
+    (UNABLE_TO_INFER_SCHEMA) for every later reader. Drop one empty,
+    schema-carrying file in (for hive-partitioned artifacts, under a
+    synthetic partition dir) so an *empty index* builds, loads and
+    searches cleanly — CREATE INDEX on an empty table works in the
+    reference and must work here."""
+    import glob
+
+    if glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        return
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = os.path.join(path, subdir) if subdir else path
+    os.makedirs(target, exist_ok=True)
+    pq.write_table(
+        to_arrow_schema(schema).empty_table(),
+        os.path.join(target, "part-empty.parquet"),
+    )
+
+
 def _assign_doc_ids(
     spark: SparkSession,
     df: DataFrame,
@@ -439,16 +462,17 @@ def build_index(
         )
         with_ids.persist()
 
+        docs_art = with_ids.select(
+            F.col("_iid").alias("doc_id"),
+            "shard",
+            "local_id",
+            F.col("doc_len").cast("long").alias("doc_len"),
+            "fieldnorm",
+            "content_sha256",
+            *[f"p_{c}" for c in payload_cols],
+        )
         (
-            with_ids.select(
-                F.col("_iid").alias("doc_id"),
-                "shard",
-                "local_id",
-                F.col("doc_len").cast("long").alias("doc_len"),
-                "fieldnorm",
-                "content_sha256",
-                *[f"p_{c}" for c in payload_cols],
-            )
+            docs_art
             # already range-partitioned + sorted by id (ids were
             # assigned in the order_cols range shuffle) — write as-is,
             # no second shuffle; row groups stay doc_id-clustered for
@@ -457,29 +481,27 @@ def build_index(
             .write.mode("overwrite")
             .parquet(docs_path)
         )
+        _ensure_readable_parquet(docs_path, docs_art.schema)
         # the exploded mappings staging parquet exists for resume and
         # vacuum (they re-enter through finalize_index's mappings
         # path); it reads the already-materialized cache, so it can
         # run concurrently with stage 3 instead of serializing ~10s
         # of parquet IO in front of it
         def _write_mappings():
-            (
-                with_ids.select(
-                    F.explode("terms").alias("t"),
-                    "shard",
-                    "local_id",
-                    "fieldnorm",
-                )
-                .select(
-                    F.col("t.key").alias("term_key"),
-                    "shard",
-                    "local_id",
-                    F.col("t.tf").alias("tf"),
-                    "fieldnorm",
-                )
-                .write.mode("overwrite")
-                .parquet(maps_path)
+            m = with_ids.select(
+                F.explode("terms").alias("t"),
+                "shard",
+                "local_id",
+                "fieldnorm",
+            ).select(
+                F.col("t.key").alias("term_key"),
+                "shard",
+                "local_id",
+                F.col("t.tf").alias("tf"),
+                "fieldnorm",
             )
+            m.write.mode("overwrite").parquet(maps_path)
+            _ensure_readable_parquet(maps_path, m.schema)
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -573,6 +595,11 @@ def finalize_index(
             .partitionBy("bucket")
             .parquet(postings_path)
         )
+        _ensure_readable_parquet(
+            postings_path,
+            StructType([f for f in POSTINGS_SCHEMA.fields if f.name != "bucket"]),
+            subdir="bucket=0",
+        )
 
     # ---- stages 4 + lineage: three independent jobs over the written
     # postings artifact, submitted from threads so the scheduler
@@ -597,15 +624,16 @@ def finalize_index(
             ).alias("w"),
             F.max("block_ub").alias("token_ub"),
         )
+        tsel = terms.select(
+            "term_key",
+            "bucket",
+            "df",
+            F.col("w.wand_fn").alias("wand_fn"),
+            F.col("w.wand_tf").alias("wand_tf"),
+            "token_ub",
+        )
         (
-            terms.select(
-                "term_key",
-                "bucket",
-                "df",
-                F.col("w.wand_fn").alias("wand_fn"),
-                F.col("w.wand_tf").alias("wand_tf"),
-                "token_ub",
-            )
+            tsel
             # a handful of sorted files: parallel write, and the query
             # path's Arrow key filter prunes by row-group stats (no
             # serial single-partition sort — dictionaries can be huge)
@@ -614,6 +642,7 @@ def finalize_index(
             .write.mode("overwrite")
             .parquet(terms_path)
         )
+        _ensure_readable_parquet(terms_path, tsel.schema)
 
     def _write_lineage():
         lineage = postings.groupBy("shard").agg(
@@ -631,18 +660,15 @@ def finalize_index(
             F.max("doc_id").alias("max_doc_id"),
             F.expr("bit_xor(xxhash64(content_sha256))").alias("input_fingerprint"),
         )
-        (
-            lineage.join(shard_docs, "shard", "full")
-            .orderBy("shard")
-            .write.mode("overwrite")
-            .parquet(lineage_path)
-        )
+        joined = lineage.join(shard_docs, "shard", "full").orderBy("shard")
+        joined.write.mode("overwrite").parquet(lineage_path)
+        _ensure_readable_parquet(lineage_path, joined.schema)
 
     def _write_bucket_lineage():
         # second lineage axis: per term-bucket rows (term range, block/
         # posting/byte counts) — the "term range" granularity of the
         # build, one row per postings output directory
-        (
+        bl = (
             postings.groupBy("bucket")
             .agg(
                 F.min("term_key").alias("min_term_key"),
@@ -655,9 +681,9 @@ def finalize_index(
                 ).alias("packed_bytes"),
             )
             .orderBy("bucket")
-            .write.mode("overwrite")
-            .parquet(lineage_path + "_buckets")
         )
+        bl.write.mode("overwrite").parquet(lineage_path + "_buckets")
+        _ensure_readable_parquet(lineage_path + "_buckets", bl.schema)
 
     tasks = []
     if not (resume and _stage_done(terms_path)):

@@ -45,7 +45,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .analyze import analyze_query, get_analyzer
-from .build import _assign_doc_ids, _fieldnorm_expr, finalize_index
+from .build import (
+    _assign_doc_ids,
+    _ensure_readable_parquet,
+    _fieldnorm_expr,
+    finalize_index,
+)
 from .config import Bm25Config
 from .index import Bm25Index
 from .query import quantized_dl
@@ -414,6 +419,7 @@ def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
     new_docs.repartitionByRange(max(1, parts // 4), "doc_id").sortWithinPartitions(
         "doc_id"
     ).write.parquet(os.path.join(work, "docs"))
+    _ensure_readable_parquet(os.path.join(work, "docs"), new_docs.schema)
 
     # --- new mappings: sealed relabel join ∪ delta ---
     old_maps = spark.read.parquet(os.path.join(index_dir, "mappings")).withColumn(
@@ -432,17 +438,15 @@ def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
     fns = spark.read.parquet(os.path.join(work, "docs")).select(
         F.col("doc_id").alias("gid"), "fieldnorm"
     )
-    (
-        new_maps.join(fns, "gid")
-        .select(
-            "term_key",
-            (F.col("gid") / cfg.shard_size).cast("int").alias("shard"),
-            (F.col("gid") % cfg.shard_size).cast("long").alias("local_id"),
-            "tf",
-            "fieldnorm",
-        )
-        .write.parquet(os.path.join(work, "mappings"))
+    vm = new_maps.join(fns, "gid").select(
+        "term_key",
+        (F.col("gid") / cfg.shard_size).cast("int").alias("shard"),
+        (F.col("gid") % cfg.shard_size).cast("long").alias("local_id"),
+        "tf",
+        "fieldnorm",
     )
+    vm.write.parquet(os.path.join(work, "mappings"))
+    _ensure_readable_parquet(os.path.join(work, "mappings"), vm.schema)
     relabeled.unpersist()
 
     finalize_index(spark, work, cfg, pc)

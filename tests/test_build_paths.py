@@ -35,3 +35,39 @@ def test_doc_grouped_and_mappings_paths_identical(spark, tmp_path):
         a = spark.read.parquet(os.path.join(new_dir, art))
         b = spark.read.parquet(os.path.join(old_dir, art))
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, art
+
+
+def test_empty_and_all_null_corpus_lifecycle(spark, tmp_path):
+    """CREATE INDEX on an empty table works in the reference and must
+    work here: an empty (or all-NULL-text) corpus builds a loadable
+    index whose searches return nothing, accepts inserts whose terms
+    only become searchable after vacuum (empty sealed dictionary =
+    nothing surfaces from the growing segment, search.rs:55-62), and
+    vacuums into a working one-doc index."""
+    from bm25spark.index import Bm25Index
+    from bm25spark.maintain import insert, search_with_delta, vacuum
+
+    cases = {
+        "empty": [],
+        "null": [(1, None), (2, None)],
+    }
+    for name, rows in cases.items():
+        d = str(tmp_path / f"idx_{name}")
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        build_index(spark, df, d, "text", ["doc_id"], cfg=Bm25Config(shard_size=128))
+        idx = Bm25Index(spark, d)
+        assert idx.n_docs == 0
+        assert idx.search("anything", 5) == []
+        assert idx.search_df("anything", 5).collect() == []
+        insert(
+            spark,
+            d,
+            spark.createDataFrame([(10, "hello world")], "doc_id INT, text STRING"),
+            "text",
+        )
+        # sealed dictionary is empty -> delta doc invisible until vacuum
+        assert search_with_delta(spark, d, "hello", 5, "text") == []
+        vacuum(spark, d, "text")
+        idx = Bm25Index(spark, d)
+        assert idx.n_docs == 1
+        assert [doc for doc, _ in idx.search("hello", 5)] == [0]
