@@ -72,3 +72,39 @@ class TestDistributed:
             mask[iid] = pid % 2 == 0
         want = [(pay[i], s) for i, s in idx.search("t1 t22", 25, allowed_mask=mask)]
         assert [(r.doc_id, r.score) for r in got] == want
+
+    def test_blocklist_and_prefilter_combo(self, spark, dist_index):
+        """blocked= alone (P4 inverted mask) and together with a
+        prefilter (blocked ids removed from the allowlist) both match
+        the driver kernel with the equivalent dense mask."""
+        d, rows = dist_index
+        idx = Bm25Index(spark, d)
+        pay = {
+            r.doc_id: r.p_doc_id
+            for r in idx.docs_df().select("doc_id", "p_doc_id").collect()
+        }
+        # block the internal ids of payloads divisible by 9
+        blocked_iids = [iid for iid, pid in pay.items() if pid % 9 == 0]
+        blocked = spark.createDataFrame([(i,) for i in blocked_iids], "doc_id LONG")
+
+        got = search_distributed(
+            spark, d, "t1 t22", 25, round_score=None, blocked=blocked
+        ).collect()
+        mask = np.ones(idx.n_docs, dtype=bool)
+        mask[blocked_iids] = False
+        want = [(pay[i], s) for i, s in idx.search("t1 t22", 25, allowed_mask=mask)]
+        assert [(r.doc_id, r.score) for r in got] == want
+        assert got and all(r.doc_id % 9 != 0 for r in got)
+
+        allowed = spark.createDataFrame(
+            [(i,) for i in rows if i % 2 == 0], "doc_id INT"
+        )
+        got2 = search_distributed(
+            spark, d, "t1 t22", 25, round_score=None,
+            prefilter=allowed, blocked=blocked,
+        ).collect()
+        mask2 = np.zeros(idx.n_docs, dtype=bool)
+        for iid, pid in pay.items():
+            mask2[iid] = pid % 2 == 0 and pid % 9 != 0
+        want2 = [(pay[i], s) for i, s in idx.search("t1 t22", 25, allowed_mask=mask2)]
+        assert [(r.doc_id, r.score) for r in got2] == want2
