@@ -578,10 +578,12 @@ def ann_ivf_topk(
     centroids = ivf_train(tmat, n_clusters, quant=quant)
     b_cent = spark.sparkContext.broadcast(centroids)
 
-    pr = [r for r in train if r.vec_id in set(probes)] or (
-        emb.filter(F.col("vec_id").isin(probes)).collect()
+    # probes always come from their own pruned read — reusing the
+    # training sample would silently drop any probe outside it
+    pr = sorted(
+        emb.filter(F.col("vec_id").isin(probes)).collect(),
+        key=lambda r: r.vec_id,
     )
-    pr = sorted(pr, key=lambda r: r.vec_id)
     if not pr:
         return spark.createDataFrame(
             [], "probe_id bigint, vec_id bigint, cos double"

@@ -259,7 +259,12 @@ class Bm25Index:
             if negate:
                 out = out.withColumn("score", -F.col("score"))
             return out
-        hits = self.search(query_text, k + (slack if round_score else 0), mode=mode)
+        hits = self.search(
+            query_text,
+            k + (slack if round_score else 0),
+            mode=mode,
+            max_driver_docs=limit,  # honor a caller-raised guardrail
+        )
         if round_score is not None:
             hits = [(d, round(s, round_score)) for d, s in hits]
             hits.sort(key=lambda t: (-t[1], t[0]))
