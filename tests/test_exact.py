@@ -136,6 +136,20 @@ class TestDuckDBOracle:
             spark, docs, "text", "doc_id", " ".join(toks[:10]), 30
         ).collect()
         assert [tuple(r) for r in wide] == [tuple(r) for r in narrow]
+        # prefilter passes through the wide path too
+        from pyspark.sql import functions as F
+
+        allow = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+        wide_f = exact_topk_wide(
+            spark, docs, "text", "doc_id", " ".join(toks[:10]), 30,
+            prefilter=allow,
+        ).collect()
+        narrow_f = exact_topk(
+            spark, docs, "text", "doc_id", " ".join(toks[:10]), 30,
+            prefilter=allow,
+        ).collect()
+        assert wide_f and all(r.doc_id % 2 == 0 for r in wide_f)
+        assert [tuple(r) for r in wide_f] == [tuple(r) for r in narrow_f]
 
     def test_stats(self, spark, docs):
         from bm25spark.stats import corpus_stats, term_df
