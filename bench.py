@@ -176,6 +176,33 @@ def main() -> None:
     ).collect()
     queries["dist_q_multi"] = round(time.perf_counter() - t0, 3)
 
+    # ---- growing∪sealed search (delta leg Catalyst + sealed leg
+    # distributed, tombstones as a per-shard blocklist) ----
+    from pyspark.sql import functions as F
+
+    from bm25spark.maintain import delete, insert, search_with_delta_df
+
+    insert(
+        spark,
+        f"{work}/idx_docs",
+        docs.select((F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text")
+        .limit(500),
+        "text",
+    )
+    delete(
+        spark,
+        f"{work}/idx_docs",
+        docs.select("doc_id").filter(F.col("doc_id") % 17 == 0),
+    )
+    search_with_delta_df(
+        spark, f"{work}/idx_docs", "warm up", 10, "text"
+    ).collect()
+    t0 = time.perf_counter()
+    search_with_delta_df(
+        spark, f"{work}/idx_docs", "merge spark window", 10, "text"
+    ).collect()
+    queries["delta_q_multi"] = round(time.perf_counter() - t0, 3)
+
     # ---- training-data pipeline operators (steady-state, see above) ----
     queries["dedup_minhash_pairs"] = steady(
         lambda: dedup.minhash_candidate_pairs(docs).collect()
