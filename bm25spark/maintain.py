@@ -186,6 +186,8 @@ def _delta_topk_df(
     bit-compatible with the sealed kernel's Cache math (same operation
     order), or ``None`` when no query term exists in the sealed
     dictionary."""
+    import math
+
     qkeys = analyze_query(query_text, get_analyzer(idx.meta["analyzer"]), idx.seed)
     stats = idx.term_stats(qkeys)
     present = [key for key in qkeys if key in stats]  # sorted (qkeys sorted)
@@ -193,6 +195,11 @@ def _delta_topk_df(
         return None
     pc = idx.payload_cols
     k1, b, avgdl, n = idx.k1, idx.b, idx.avgdl, idx.n_docs
+    s0s = {
+        key: math.log((float(n) + 1.0) / (float(stats[key]["df"]) + 0.5))
+        * (k1 + 1.0)
+        for key in present
+    }
 
     prep = with_doc_terms(delta, text_col, idx.meta["analyzer"], idx.seed)
     m = prep.select(
@@ -203,45 +210,83 @@ def _delta_topk_df(
         F.col("t.key").alias("term_key"),
         F.col("t.tf").alias("tf"),
     )
-    per_doc = m.groupBy(*pc).agg(
-        F.first("doc_len").cast("bigint").alias("doc_len"),
-        *[
-            F.coalesce(
-                F.max(F.when(F.col("term_key") == F.lit(key), F.col("tf"))),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias(f"_tf{i}")
-            for i, key in enumerate(present)
-        ],
-    )
-    matched = per_doc.filter(
-        F.greatest(*[F.col(f"_tf{i}") for i in range(len(present))]) > 0
-        if len(present) > 1
-        else F.col("_tf0") > 0
-    )
-    matched = quantized_dl(spark, matched, "doc_len")
     # Cache math (scoring.py): s0 = idf*(k1+1); s1 = k1*(1-b+b*qdl/avgdl);
     # contribution = tf*s0/(tf+s1) — identical operation order to the
     # sealed kernel so merged rankings are float-consistent.
-    import math
+    from .query import WIDE_QUERY_TERMS
 
-    s1 = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("qdl") / F.lit(avgdl))
-    score_terms = []
-    for i, key in enumerate(present):
-        s0 = math.log((float(n) + 1.0) / (float(stats[key]["df"]) + 0.5)) * (
-            k1 + 1.0
+    s1_of = lambda qdl_col: F.lit(k1) * (  # noqa: E731
+        F.lit(1.0 - b) + F.lit(b) * qdl_col / F.lit(avgdl)
+    )
+    if len(present) <= WIDE_QUERY_TERMS:
+        per_doc = m.groupBy(*pc).agg(
+            F.first("doc_len").cast("bigint").alias("doc_len"),
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("term_key") == F.lit(key), F.col("tf"))),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias(f"_tf{i}")
+                for i, key in enumerate(present)
+            ],
         )
-        score_terms.append(
-            F.when(
-                F.col(f"_tf{i}") > 0,
-                F.col(f"_tf{i}") * F.lit(s0) / (F.col(f"_tf{i}") + s1),
-            ).otherwise(F.lit(0.0))
+        matched = per_doc.filter(
+            F.greatest(*[F.col(f"_tf{i}") for i in range(len(present))]) > 0
+            if len(present) > 1
+            else F.col("_tf0") > 0
         )
-    total = score_terms[0]
-    for t in score_terms[1:]:
-        total = total + t
-    scored = matched.withColumn("score", total).filter(F.col("score") > 0.0)
+        matched = quantized_dl(spark, matched, "doc_len")
+        s1 = s1_of(F.col("qdl"))
+        score_terms = []
+        for i, key in enumerate(present):
+            score_terms.append(
+                F.when(
+                    F.col(f"_tf{i}") > 0,
+                    F.col(f"_tf{i}") * F.lit(s0s[key]) / (F.col(f"_tf{i}") + s1),
+                ).otherwise(F.lit(0.0))
+            )
+        total = score_terms[0]
+        for t in score_terms[1:]:
+            total = total + t
+        scored = matched.withColumn("score", total).filter(F.col("score") > 0.0)
+    else:
+        # wide-query form (same threshold as exact_topk): pinned s0 per
+        # key joins the exploded terms via a broadcast map; one
+        # hash-aggregate per doc sums the key-sorted contributions —
+        # same accumulation order as the pivot form and the sealed
+        # kernel, no per-term aggregate columns
+        s0_df = spark.createDataFrame(
+            [(key, s0) for key, s0 in sorted(s0s.items())], ["term_key", "s0"]
+        )
+        per_doc = m.groupBy(*pc).agg(
+            F.first("doc_len").cast("bigint").alias("doc_len"),
+            F.collect_list(F.struct("term_key", "tf")).alias("pairs"),
+        )
+        matched = quantized_dl(spark, per_doc, "doc_len")
+        s1 = s1_of(F.col("qdl"))
+        exploded = matched.select(
+            *pc, "qdl", F.explode("pairs").alias("p")
+        ).select(
+            *pc,
+            "qdl",
+            F.col("p.term_key").alias("term_key"),
+            F.col("p.tf").cast("bigint").alias("tf"),
+        )
+        contrib = F.col("tf") * F.col("s0") / (F.col("tf") + s1_of(F.col("qdl")))
+        scored = (
+            exploded.join(F.broadcast(s0_df), "term_key")
+            .select(*pc, "term_key", contrib.alias("c"))
+            .groupBy(*pc)
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("term_key", "c"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ).alias("score")
+            )
+            .filter(F.col("score") > 0.0)
+        )
     return (
         scored.select(*pc, "score")
         .orderBy(F.desc("score"), *pc)
