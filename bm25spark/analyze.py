@@ -35,6 +35,7 @@ import unicodedata
 from collections import Counter
 from collections.abc import Callable, Iterable
 
+from .blake3 import keyed_hash as blake3_keyed_hash
 from .config import KEY_WIDTH
 from .porter2 import stem
 
@@ -127,7 +128,27 @@ def register_analyzer(name: str, fn: Callable[[str], list[str]]) -> None:
 
 
 def intern(seed: bytes, token: bytes) -> bytes:
-    """Token bytes -> 16-byte term key (reference vector.rs:19-35)."""
+    """Token bytes -> 16-byte term key, byte-identical to the
+    reference (vector.rs:19-35): raw zero-padded copy for short
+    NUL-free tokens, else the first 16 bytes of
+    ``blake3::keyed_hash(seed, token)`` with the last byte forced
+    nonzero. blake3 is the pure-Python from-the-spec implementation in
+    :mod:`bm25spark.blake3` (the container has no blake3 lib); its
+    cost is amortized by the intern memo — once per distinct long
+    token."""
+    if len(token) < KEY_WIDTH and b"\x00" not in token:
+        return token.ljust(KEY_WIDTH, b"\x00")
+    digest = bytearray(blake3_keyed_hash(seed, token)[:KEY_WIDTH])
+    if digest[-1] == 0:
+        digest[-1] = 1
+    return bytes(digest)
+
+
+def intern_blake2b(seed: bytes, token: bytes) -> bytes:
+    """Pre-round-3 intern fallback (hashlib.blake2b keyed, 16-byte
+    digest). Kept for indexes built before the blake3 switch: term
+    keys are baked into persisted artifacts, so reopening an old index
+    needs the old map. Frozen vectors in test_core.py cover it."""
     if len(token) < KEY_WIDTH and b"\x00" not in token:
         return token.ljust(KEY_WIDTH, b"\x00")
     digest = bytearray(

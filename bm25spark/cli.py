@@ -9,7 +9,7 @@ Usage (ship the package with --py-files):
         --index-dir s3://bucket/indexes/corpus_bm25
 
 Subcommands: build | search | search-dist | search-delta | insert |
-delete | vacuum | lineage.
+delete | vacuum | gc | lineage.
 """
 
 from __future__ import annotations
@@ -67,6 +67,10 @@ def main(argv: list[str] | None = None) -> None:
     v.add_argument("--index-dir", required=True)
     v.add_argument("--text-col", required=True)
 
+    g = sub.add_parser("gc", help="reclaim the retired index generation")
+    g.add_argument("--index-dir", required=True)
+    g.add_argument("--grace-sec", type=float, default=None)
+
     ins = sub.add_parser("insert")
     ins.add_argument("--index-dir", required=True)
     ins.add_argument("--input", required=True)
@@ -122,6 +126,11 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "vacuum":
         vacuum(spark, args.index_dir, args.text_col)
         print(json.dumps({"vacuumed": args.index_dir}))
+    elif args.cmd == "gc":
+        from .maintain import gc_index
+
+        reclaimed = gc_index(args.index_dir, grace_sec=args.grace_sec)
+        print(json.dumps({"reclaimed": bool(reclaimed)}))
     elif args.cmd == "insert":
         from .maintain import delta_size, insert
 

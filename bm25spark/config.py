@@ -13,7 +13,11 @@ import hashlib
 from dataclasses import dataclass, field
 
 FORMAT_MAGIC = "bm25spark"
-FORMAT_VERSION = 1
+# v2: long-token term keys switched from the blake2b deviation to the
+# reference's keyed BLAKE3 (bm25spark/blake3.py) — v1 artifacts bake
+# blake2b keys and are not readable by a v2 engine (Bm25Index refuses
+# with a rebuild hint; intern_blake2b stays available for migration)
+FORMAT_VERSION = 2
 
 #: posting block size (docs per compressed block),
 #: /root/reference/crates/bm25/src/flush.rs:81-89

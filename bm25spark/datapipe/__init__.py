@@ -62,14 +62,25 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _ivf_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _ivf_oracle_sql(sf_dir: str | None = None) -> str:
     """Train the IVF centroids exactly as the Spark entry does (same
     rows, same order, same deterministic k-means) and inline them as
-    literals in the DuckDB oracle."""
+    literals in the DuckDB oracle. ``sf_dir`` defaults to the driver
+    gate's sf0.01, overridable via ``BM25SPARK_GATE_SF_DIR`` so
+    ``scripts/verify_gate.py [sf_dir]`` verifies at any scale (the
+    Spark entry trains on whatever dir the gate passes — the oracle
+    must train on the same one)."""
+    import os
+
     import duckdb
     import numpy as np
 
     from . import similarity
+
+    if sf_dir is None:
+        sf_dir = os.environ.get(
+            "BM25SPARK_GATE_SF_DIR", "/root/testdata/sf0.01"
+        )
 
     con = duckdb.connect()
     rows = con.execute(

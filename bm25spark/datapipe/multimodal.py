@@ -89,26 +89,31 @@ def extract_features(media_df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for doc_id, mt, blob in zip(
-                pdf["doc_id"], pdf["media_type"], pdf["media"]
-            ):
-                arr = np.frombuffer(blob, dtype=np.uint8)
-                hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
-                p = hist / max(len(arr), 1)
-                nz = p[p > 0]
-                entropy = float(-(nz * np.log2(nz)).sum())
-                out.append(
-                    (
-                        int(doc_id),
-                        mt,
-                        len(arr),
-                        round(entropy, 6),
-                        (hist / max(len(arr), 1)).round(6).tolist(),
-                    )
-                )
+            n = len(pdf)
+            blobs = pdf["media"].to_list()
+            lens = np.array([len(b) for b in blobs], dtype=np.int64)
+            # ONE bincount over (row, nibble) pairs for the whole Arrow
+            # batch — no Python loop over rows (a real decoder is
+            # per-blob by necessity; histogram math is not)
+            flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            row = np.repeat(np.arange(n, dtype=np.int64), lens)
+            hist = (
+                np.bincount(row * 16 + (flat >> 4), minlength=n * 16)
+                .reshape(n, 16)
+                .astype(np.float64)
+            )
+            p = hist / np.maximum(lens, 1).astype(np.float64)[:, None]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                logs = np.where(p > 0.0, np.log2(p, where=p > 0.0), 0.0)
+            entropy = -(p * logs).sum(axis=1)
             yield pd.DataFrame(
-                out, columns=FEATURES_SCHEMA.fieldNames()
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "n_bytes": lens,
+                    "byte_entropy": np.round(entropy, 6),
+                    "histogram16": [r.tolist() for r in np.round(p, 6)],
+                }
             )
 
     return media_df.mapInPandas(run, FEATURES_SCHEMA)

@@ -33,6 +33,15 @@ class Bm25Index:
             self.meta = json.load(f)
         if self.meta.get("magic") != "bm25spark":
             raise ValueError(f"not a bm25spark index: {index_dir}")
+        from .config import FORMAT_VERSION
+
+        if int(self.meta.get("version", 1)) != FORMAT_VERSION:
+            raise ValueError(
+                f"index {index_dir} is format v{self.meta.get('version')}, "
+                f"engine reads v{FORMAT_VERSION} (v1 term keys used the "
+                "blake2b fallback; rebuild the index, or intern with "
+                "analyze.intern_blake2b for a one-off migration)"
+            )
         self.k1 = float(self.meta["k1"])
         self.b = float(self.meta["b"])
         self.seed = bytes.fromhex(self.meta["seed"])
@@ -51,9 +60,10 @@ class Bm25Index:
         # depends on the cache).
         self._term_cache: dict[bytes, dict | None] = {}
         self._postings_cache: dict[bytes, dict] = {}
-        self._postings_cache_bytes = 0
         self._decoded_cache: dict[bytes, tuple] = {}
-        self._decoded_cache_bytes = 0
+        # ONE byte counter covers both the raw-bytes and decoded-array
+        # caches, so the documented budget is the actual ceiling
+        self._cache_bytes = 0
         self._terms_ds = None
         self._postings_ds = None
         self.postings_cache_limit = int(
@@ -113,6 +123,7 @@ class Bm25Index:
         if not keys:
             return {}
         missing = [k for k in keys if k not in self._postings_cache]
+        found: dict[bytes, dict] = {}
         if missing:
             if self._postings_ds is None:
                 import pyarrow.dataset as ds
@@ -128,16 +139,30 @@ class Bm25Index:
                 size = sum(len(b) for b in p["ids_bytes"]) + sum(
                     len(b) for b in p["tfs_bytes"]
                 )
-                if self._postings_cache_bytes + size > self.postings_cache_limit:
-                    self._postings_cache.clear()
-                    self._postings_cache_bytes = 0
-                self._postings_cache[k] = p
-                self._postings_cache_bytes += size
-        return {
-            k: self._postings_cache[k]
-            for k in keys
-            if k in self._postings_cache
-        }
+                if self._cache_admit(size):
+                    self._postings_cache[k] = p
+                    self._cache_bytes += size
+        out = {}
+        for k in keys:
+            if k in self._postings_cache:
+                out[k] = self._postings_cache[k]
+            elif k in found:
+                out[k] = found[k]
+        return out
+
+    def _cache_admit(self, size: int) -> bool:
+        """Admission control shared by the raw-postings and
+        decoded-array caches: one byte counter against
+        ``postings_cache_limit``. An entry larger than the whole budget
+        is served but never cached (no clear-then-insert blowout); when
+        the pool is full both caches reset together."""
+        if size > self.postings_cache_limit:
+            return False
+        if self._cache_bytes + size > self.postings_cache_limit:
+            self._postings_cache.clear()
+            self._decoded_cache.clear()
+            self._cache_bytes = 0
+        return True
 
     def fieldnorms(self) -> np.ndarray:
         """Dense uint8 fieldnorm array indexed by internal doc id.
@@ -176,11 +201,9 @@ class Bm25Index:
             if dec is None:
                 dec = tp.decode_all()
                 size = dec[0].nbytes + dec[1].nbytes
-                if self._decoded_cache_bytes + size > self.postings_cache_limit:
-                    self._decoded_cache.clear()
-                    self._decoded_cache_bytes = 0
-                self._decoded_cache[k] = dec
-                self._decoded_cache_bytes += size
+                if self._cache_admit(size):
+                    self._decoded_cache[k] = dec
+                    self._cache_bytes += size
             tp.decoded = dec
             out.append(tp)
         return out

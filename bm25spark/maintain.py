@@ -105,13 +105,24 @@ def _cfg_from_meta(meta: dict) -> Bm25Config:
 
 
 def insert(spark: SparkSession, index_dir: str, rows: DataFrame, text_col: str) -> None:
-    """Append documents to the growing (delta) segment — M2."""
+    """Append documents to the growing (delta) segment — M2.
+
+    Every row is stamped with ``(_seq, _rid)`` — the batch's mutation
+    sequence plus a within-batch row id — a unique per-row key. Delta
+    scoring groups on it, so two live inserts that happen to share a
+    payload key score as two independent pseudo-docs (the reference's
+    heap semantics: each inserted tuple is its own document), matching
+    what vacuum produces when it gives each row its own doc_id."""
     idx = Bm25Index(spark, index_dir)
     keep = list(dict.fromkeys([*idx.payload_cols, text_col]))
     seq = _next_seq(index_dir)
-    rows.select(*keep).withColumn("_seq", F.lit(seq).cast("long")).write.mode(
-        "append"
-    ).parquet(_delta_path(index_dir))
+    (
+        rows.select(*keep)
+        .withColumn("_seq", F.lit(seq).cast("long"))
+        .withColumn("_rid", F.monotonically_increasing_id())
+        .write.mode("append")
+        .parquet(_delta_path(index_dir))
+    )
 
 
 def delete(spark: SparkSession, index_dir: str, keys: DataFrame) -> None:
@@ -164,7 +175,16 @@ def _live_delta(spark: SparkSession, idx: Bm25Index, index_dir: str) -> DataFram
             )
             .drop("_tomb_seq")
         )
-    return delta.drop("_seq")
+    # unique per-row key for downstream grouping / deterministic id
+    # assignment ("_rid" may be absent in pre-upgrade delta dirs)
+    rid = (
+        F.col("_rid").cast("string")
+        if "_rid" in delta.columns
+        else F.lit("0")
+    )
+    return delta.withColumn(
+        "_rowid", F.concat_ws("#", F.col("_seq").cast("string"), rid)
+    ).drop("_seq", "_rid")
 
 
 def _delta_topk_df(
@@ -202,9 +222,14 @@ def _delta_topk_df(
     }
 
     prep = with_doc_terms(delta, text_col, idx.meta["analyzer"], idx.seed)
+    # group on the unique per-row key (_rowid), NOT the payload
+    # columns: two live inserts sharing a payload key are two
+    # independent pseudo-docs (each with its own doc_len/tf), exactly
+    # as vacuum will score them once each has its own doc_id
     m = prep.select(
-        *pc, "doc_len", F.explode("terms").alias("t")
+        "_rowid", *pc, "doc_len", F.explode("terms").alias("t")
     ).select(
+        "_rowid",
         *pc,
         "doc_len",
         F.col("t.key").alias("term_key"),
@@ -219,7 +244,8 @@ def _delta_topk_df(
         F.lit(1.0 - b) + F.lit(b) * qdl_col / F.lit(avgdl)
     )
     if len(present) <= WIDE_QUERY_TERMS:
-        per_doc = m.groupBy(*pc).agg(
+        per_doc = m.groupBy("_rowid").agg(
+            *[F.first(c).alias(c) for c in pc],
             F.first("doc_len").cast("bigint").alias("doc_len"),
             *[
                 F.coalesce(
@@ -259,15 +285,17 @@ def _delta_topk_df(
         s0_df = spark.createDataFrame(
             [(key, s0) for key, s0 in sorted(s0s.items())], ["term_key", "s0"]
         )
-        per_doc = m.groupBy(*pc).agg(
+        per_doc = m.groupBy("_rowid").agg(
+            *[F.first(c).alias(c) for c in pc],
             F.first("doc_len").cast("bigint").alias("doc_len"),
             F.collect_list(F.struct("term_key", "tf")).alias("pairs"),
         )
         matched = quantized_dl(spark, per_doc, "doc_len")
         s1 = s1_of(F.col("qdl"))
         exploded = matched.select(
-            *pc, "qdl", F.explode("pairs").alias("p")
+            "_rowid", *pc, "qdl", F.explode("pairs").alias("p")
         ).select(
+            "_rowid",
             *pc,
             "qdl",
             F.col("p.term_key").alias("term_key"),
@@ -276,14 +304,15 @@ def _delta_topk_df(
         contrib = F.col("tf") * F.col("s0") / (F.col("tf") + s1_of(F.col("qdl")))
         scored = (
             exploded.join(F.broadcast(s0_df), "term_key")
-            .select(*pc, "term_key", contrib.alias("c"))
-            .groupBy(*pc)
+            .select("_rowid", *pc, "term_key", contrib.alias("c"))
+            .groupBy("_rowid")
             .agg(
+                *[F.first(c).alias(c) for c in pc],
                 F.aggregate(
                     F.array_sort(F.collect_list(F.struct("term_key", "c"))),
                     F.lit(0.0),
                     lambda acc, x: acc + x["c"],
-                ).alias("score")
+                ).alias("score"),
             )
             .filter(F.col("score") > 0.0)
         )
@@ -400,12 +429,59 @@ def maybe_vacuum(
     return True
 
 
+def gc_index(index_dir: str, grace_sec: float | None = None) -> bool:
+    """Delete the retired previous generation's artifact dirs once the
+    grace period has elapsed (``BM25SPARK_VACUUM_GRACE_SEC``, default
+    0). Called automatically at the start of every vacuum, so disk
+    holds at most two generations; call explicitly to reclaim sooner.
+    Returns True when something was reclaimed."""
+    import json as _json
+    import time as _time
+
+    grace = (
+        float(os.environ.get("BM25SPARK_VACUUM_GRACE_SEC", "0"))
+        if grace_sec is None
+        else grace_sec
+    )
+    mp = os.path.join(index_dir, "meta.json")
+    with open(mp) as f:
+        meta = _json.load(f)
+    retired = meta.get("retired")
+    if not retired or _time.time() - float(retired["at"]) < grace:
+        return False
+    root = os.path.realpath(index_dir)
+    for rel in retired["paths"]:
+        tgt = os.path.realpath(os.path.join(index_dir, rel))
+        if tgt.startswith(root + os.sep):  # never step outside the index
+            shutil.rmtree(tgt, ignore_errors=True)
+    meta.pop("retired", None)
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(meta, f, indent=2)
+    os.replace(tmp, mp)
+    return True
+
+
 def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
-    """M4: merge delta + drop tombstones + relabel + rebuild, swap dirs."""
+    """M4: merge delta + drop tombstones + relabel + rebuild, then
+    publish the new artifacts as a *versioned generation*.
+
+    Concurrent-reader-safe publish (the reference gets this from
+    PostgreSQL MVCC; a filesystem/object-store index needs it built
+    in): the new artifacts land in ``index_dir/gen{N}/`` and the only
+    mutation to the live tree is an atomic ``meta.json`` replace that
+    repoints the artifact paths (publish-last, like build.rs:60-70).
+    A ``Bm25Index`` opened before the vacuum holds the old meta and
+    keeps reading the old generation's files, which stay on disk until
+    :func:`gc_index` reclaims them after a grace period (the next
+    vacuum GCs its grandparent automatically)."""
     idx = Bm25Index(spark, index_dir)
     cfg = _cfg_from_meta(idx.meta)
     pc = idx.payload_cols
-    work = index_dir.rstrip("/") + ".vacuum"
+    gen = int(idx.meta.get("generation", 0)) + 1
+    # reclaim the grandparent generation (if its grace elapsed)
+    gc_index(index_dir)
+    work = os.path.join(index_dir, f"gen{gen}.build")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work)
 
@@ -426,7 +502,11 @@ def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
     delta = _live_delta(spark, idx, index_dir)
     if delta is not None and delta.count() > 0:
         prep = with_doc_terms(delta, text_col, cfg.analyzer, cfg.seed)
-        dass = _assign_doc_ids(spark, prep, pc, parts, pin_output=True).withColumn(
+        # _rowid makes the order key unique even when payload keys
+        # repeat, so every delta row gets its own deterministic doc_id
+        dass = _assign_doc_ids(
+            spark, prep, [*pc, "_rowid"], parts, pin_output=True
+        ).withColumn(
             "_iid", F.col("_iid") + F.lit(n_sealed)
         )
         dass = dass.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
@@ -467,7 +547,7 @@ def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
     _ensure_readable_parquet(os.path.join(work, "docs"), new_docs.schema)
 
     # --- new mappings: sealed relabel join ∪ delta ---
-    old_maps = spark.read.parquet(os.path.join(index_dir, "mappings")).withColumn(
+    old_maps = spark.read.parquet(idx._path("mappings")).withColumn(
         "gid",
         F.col("shard").cast("long") * cfg.shard_size + F.col("local_id"),
     )
@@ -496,10 +576,38 @@ def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
 
     finalize_index(spark, work, cfg, pc)
 
-    # --- atomic swap (publish-last) ---
-    old = index_dir.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(index_dir, old)
-    os.rename(work, index_dir)
-    shutil.rmtree(old)
+    # --- versioned publish (publish-last) ---
+    import json as _json
+    import time as _time
+
+    gen_dir = os.path.join(index_dir, f"gen{gen}")
+    shutil.rmtree(gen_dir, ignore_errors=True)
+    os.rename(work, gen_dir)  # same parent: atomic
+    with open(os.path.join(gen_dir, "meta.json")) as f:
+        new_meta = _json.load(f)
+    new_meta["generation"] = gen
+    new_meta["paths"] = {
+        k: f"gen{gen}/{v}" for k, v in new_meta["paths"].items()
+    }
+    # the outgoing generation's top-level dirs, kept on disk for
+    # concurrent readers until gc_index's grace elapses
+    new_meta["retired"] = {
+        "paths": sorted({p.split("/")[0] for p in idx.meta["paths"].values()}),
+        "at": _time.time(),
+    }
+    tmp = os.path.join(index_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(new_meta, f, indent=2)
+    os.replace(tmp, os.path.join(index_dir, "meta.json"))
+
+    # the growing segment is absorbed into gen{N}: reset it. (A reader
+    # that opened the index before this point keeps its sealed-artifact
+    # view; only the tiny window between the meta replace and this
+    # reset can show a delta row twice to a *newly opened* delta-aware
+    # search — the single-driver mutation model never hits it.)
+    for p in (_delta_path, _tomb_path, _delta_tomb_path):
+        shutil.rmtree(p(index_dir), ignore_errors=True)
+    seqp = _seq_path(index_dir)
+    if os.path.exists(seqp):
+        os.remove(seqp)
     return index_dir

@@ -39,6 +39,31 @@ _FN_RANGES = [
 ]
 
 
+#: persisted per-doc frames from in-flight exact queries. Each new
+#: exact query drains the previous entry, so a long-lived session
+#: never accumulates cached blocks (one frame is live at a time);
+#: :func:`release_caches` drains explicitly.
+_live_persists: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    release_caches()
+    df = df.persist()
+    _live_persists.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist any per-doc frame left behind by a prior
+    ``exact_topk`` call (its result plan was lazy, so the persist
+    could not be dropped inside the call itself)."""
+    while _live_persists:
+        try:
+            _live_persists.pop().unpersist()
+        except Exception:
+            pass
+
+
 def quantized_dl(spark: SparkSession, df: DataFrame, dl_col: str = "doc_len"):
     """Join-in the fieldnorm-quantized doc length as ``qdl``.
 
@@ -98,10 +123,12 @@ def exact_topk_wide(
     into a thousand-expression projection. Shape: query terms join the
     mappings via a broadcast map; one hash-aggregate per doc collects
     (doc_len, matched (term, idf, tf) pairs); the per-doc sum runs over
-    the token-sorted pair array — same accumulation order as the
-    narrow path, so results agree to float precision (tested at
-    round-4 equality). One extra shuffle vs the narrow path; still
-    zero corpus-side joins."""
+    the array_sort'ed pair array — i.e. interned-key byte order for
+    non-simple analyzers, token order for simple, which is exactly the
+    order the narrow path accumulates in (it sorts its per-term
+    expressions by the same key), so the two forms agree bit-for-bit
+    across the 64-term threshold. One extra shuffle vs the narrow
+    path; still zero corpus-side joins."""
     cfg = cfg or Bm25Config()
     analyzer = get_analyzer(cfg.analyzer)
     qtokens = sorted(set(analyzer(query_text)))
@@ -134,7 +161,7 @@ def exact_topk_wide(
             F.when(F.col("term").isin(qlits), F.struct("term", "tf"))
         ).alias("pairs"),
     )
-    per_doc = per_doc.persist()
+    per_doc = _persist_tracked(per_doc)
     # pass 1: sum_dl in one job over the aggregated frame
     sums = per_doc.agg(F.sum("doc_len").alias("s")).first()
     avgdl = float(sums["s"] or 0) / float(n_docs)
@@ -266,7 +293,11 @@ def exact_topk(
     else:
         from .analyze import intern_str
 
-        qtokens = [intern_str(cfg.seed, t) for t in qtokens]  # type: ignore[assignment]
+        # sorted by interned key bytes — the SAME accumulation order as
+        # exact_topk_wide's array_sort and _delta_topk_df's sorted
+        # qkeys, so scores agree bit-for-bit across the 64-term
+        # threshold and the delta path
+        qtokens = sorted(intern_str(cfg.seed, t) for t in qtokens)  # type: ignore[assignment]
         m = tokenize_udf_mappings(docs, text_col, id_col, cfg)
         per_doc = m.groupBy("doc_id").agg(
             F.first("doc_len").cast("bigint").alias("doc_len"),
@@ -282,8 +313,9 @@ def exact_topk(
         )
     # Tokenization + the single doc_id shuffle (with map-side partial
     # aggregation) happen exactly once; both downstream jobs read the
-    # cached per-doc rows.
-    per_doc = per_doc.persist()
+    # cached per-doc rows. Tracked: the next exact query (or an
+    # explicit release_caches()) unpersists it.
+    per_doc = _persist_tracked(per_doc)
 
     # Pass 1a: N over the raw table (zero-token docs still count toward
     # N and avgdl with dl = 0 — matching the reference's NULL-skip but

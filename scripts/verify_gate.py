@@ -46,6 +46,9 @@ def main() -> int:
 
     spark = get_spark("verify-gate", cores=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    # trained-parameter oracles (IVF centroids) must train on the
+    # same sf dir the Spark entries run at
+    os.environ["BM25SPARK_GATE_SF_DIR"] = sf
     qs, osql = E.queries(), E.oracle_sql()
 
     con = duckdb.connect()

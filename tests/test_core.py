@@ -83,16 +83,13 @@ class TestIntern:
 
     def test_long_token_cross_engine_vectors(self):
         """Pinned vectors for the >=16-byte (hashed) path under the
-        default index seed, committed as the cross-engine contract for
-        the DOCUMENTED DEVIATION from the reference: vector.rs:19-35
-        keys long tokens with keyed *blake3*; this container has no
-        blake3, so the engine uses hashlib.blake2b(key=seed,
-        digest_size=16) with the same raw-short-token fast path and the
-        same forced-nonzero last byte. Interning is a pure, consistent
-        token->key map applied identically at build and query time, so
-        rank identity is unaffected; only long-token index artifacts
-        are not byte-comparable with the reference. Any change to the
-        hash breaks every persisted index -> these vectors are frozen.
+        default index seed. Round 3 switched the long-token hash from
+        the documented blake2b deviation to keyed BLAKE3
+        (bm25spark/blake3.py, pure-Python from the public spec), so
+        term keys now follow the reference's exact construction
+        (vector.rs:19-35: first 16 bytes of blake3::keyed_hash, last
+        byte forced nonzero). Any change to the hash breaks every
+        persisted index -> these vectors are frozen.
         """
         from bm25spark.analyze import intern_str
 
@@ -103,17 +100,122 @@ class TestIntern:
         )
         vectors = {
             "supercalifragilisticexpialidocious":
-                "f2f96016088c67e8d19a74486234a441",
-            "a" * 16: "2966e6ffb0fb87bc6241660da2540e09",
+                "2f3c13ab41e60d871acba0dfe7f6ed72",
+            "a" * 16: "ce60f92a3322912a83ab03241896fcaa",
             "interprocedural_analysis_pass":
-                "85e63fce8a82133261bcfaa1c38a7574",
+                "7c89401ef655f6c25f05111e5422b579",
             "ThisIsAVeryLongCamelCaseIdentifierName":
-                "116137f764d4841b7582cb535c570075",
+                "556aead549153401f5fb1d40bec6db34",
             # NUL forces the hash path even under 16 bytes
-            "z" * 15 + "\x00": "688b7d040da05da6ba6a462905697389",
+            "z" * 15 + "\x00": "ec8d5d0f9a3313f907094de57eb6cc42",
         }
         for tok, want in vectors.items():
             assert intern_str(seed, tok).hex() == want, tok
+
+    def test_blake2b_fallback_vectors_frozen(self):
+        """The pre-round-3 blake2b intern stays available (indexes
+        persisted before the blake3 switch bake its keys into their
+        artifacts); its original frozen vectors still hold."""
+        from bm25spark.analyze import intern_blake2b
+
+        seed = derive_seed("bm25spark")
+        vectors = {
+            b"supercalifragilisticexpialidocious":
+                "f2f96016088c67e8d19a74486234a441",
+            b"a" * 16: "2966e6ffb0fb87bc6241660da2540e09",
+            b"z" * 15 + b"\x00": "688b7d040da05da6ba6a462905697389",
+        }
+        for tok, want in vectors.items():
+            assert intern_blake2b(seed, tok).hex() == want, tok
+
+
+class TestBlake3:
+    """bm25spark.blake3 — pure-Python BLAKE3 (public spec)."""
+
+    def test_public_known_answers(self):
+        """Known-answer digests published with the BLAKE3 reference
+        implementation (unkeyed mode; the empty-input digest is the
+        most widely cited BLAKE3 constant)."""
+        from bm25spark.blake3 import blake3_hash
+
+        assert blake3_hash(b"").hex() == (
+            "af1349b9f5f9a1a6a0404dea36dcc949"
+            "9bcb25c9adc112b7cc9a93cae41f3262"
+        )
+        assert blake3_hash(b"abc").hex() == (
+            "6437b3ac38465133ffb63b75273a8db5"
+            "48c558465d79db03fd359c6cd5bd9d85"
+        )
+        assert blake3_hash(b"hello world").hex() == (
+            "d74981efa70a0c880b8d8c1985d075db"
+            "cbf679b99a5f9914e5aaf96b831a9e24"
+        )
+
+    def test_keyed_empty_official_vector(self):
+        """First vector of the official test_vectors.json (key =
+        "whats the Elvish word for friend", empty input)."""
+        from bm25spark.blake3 import keyed_hash
+
+        assert keyed_hash(
+            b"whats the Elvish word for friend", b""
+        ).hex().startswith("92b2b75604ed3c761f9d6f62392c8a92")
+
+    def test_tree_structure_against_chunk_stack(self):
+        """Structural differential: the recursive tree in blake3.py vs
+        an independent iterative chunk-stack reduction (the other
+        canonical formulation), across block/chunk boundaries."""
+        from bm25spark.blake3 import (
+            CHUNK_LEN,
+            IV,
+            KEYED_HASH,
+            PARENT,
+            ROOT,
+            _chunk_cv,
+            _compress,
+            keyed_hash,
+        )
+        import struct
+
+        key = bytes(range(32))
+        kw = struct.unpack("<8I", key)
+
+        def parent(l, r, flags=0):
+            return _compress(
+                kw, (*l, *r), 0, 64, KEYED_HASH | PARENT | flags
+            )[:8]
+
+        def stack_hash(data: bytes) -> bytes:
+            """Incremental formulation (reference_impl.rs's Hasher):
+            binary-counter merge while absorbing, then a right-to-left
+            finalize with ROOT on the last parent."""
+            n = max(1, (len(data) + CHUNK_LEN - 1) // CHUNK_LEN)
+            if n == 1:
+                return struct.pack(
+                    "<8I", *_chunk_cv(kw, KEYED_HASH, data, 0, True)
+                )
+            stack, total = [], 0
+            for i in range(n - 1):
+                cv = _chunk_cv(
+                    kw, KEYED_HASH,
+                    data[i * CHUNK_LEN:(i + 1) * CHUNK_LEN], i, False,
+                )
+                total += 1
+                t = total
+                while t & 1 == 0:
+                    cv = parent(stack.pop(), cv)
+                    t >>= 1
+                stack.append(cv)
+            cv = _chunk_cv(
+                kw, KEYED_HASH, data[(n - 1) * CHUNK_LEN:], n - 1, False
+            )
+            while len(stack) > 1:
+                cv = parent(stack.pop(), cv)
+            return struct.pack("<8I", *parent(stack.pop(), cv, ROOT))
+
+        pat = bytes(i % 251 for i in range(9000))
+        for ln in (0, 1, 63, 64, 65, 127, 128, 1023, 1024, 1025,
+                   2048, 2049, 3072, 3073, 4096, 4097, 5121, 8192):
+            assert keyed_hash(key, pat[:ln]) == stack_hash(pat[:ln]), ln
 
 
 class TestPacking:

@@ -172,6 +172,47 @@ class TestSimilarity:
         r8 = self._recalls(emb01, bits=8, tables=8, multiprobe=1)
         assert float(np.mean(r8)) >= float(np.mean(r4))
 
+    def test_lsh_clustered_recall_gate(self, spark):
+        """Recall gate on *clustered* data — the realistic embedding
+        shape (the isotropic gate above is LSH's worst case). Planted:
+        40 clusters x 100 points, noise sigma 0.05, probe ids
+        interleaved across clusters. Bar: recall@10 >= 0.8 at a <= 5%
+        candidate scan fraction. Deterministic end to end (seeded rng,
+        integer planes/quantization)."""
+        rng = np.random.default_rng(42)
+        centers = rng.normal(size=(40, 64))
+        pts = (
+            centers[:, None, :] + 0.05 * rng.normal(size=(40, 100, 64))
+        ).transpose(1, 0, 2).reshape(-1, 64)  # id i -> cluster i % 40
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+            "vec_id bigint, embedding array<double>",
+        )
+        bits, tables, multiprobe = 14, 8, 1
+        recalls = self._recalls(emb, bits=bits, tables=tables, multiprobe=multiprobe)
+        assert float(np.mean(recalls)) >= 0.8, np.mean(recalls)
+
+        planes = similarity.lsh_planes(64, bits * tables)
+        pm = pts[:10]
+        rows = similarity._probe_bucket_rows(
+            np.arange(10),
+            similarity._tagged_buckets(pm, planes, bits, tables, 1024),
+            bits,
+            multiprobe,
+        )
+        probe_df = spark.createDataFrame(rows, "probe_id bigint, tb bigint")
+        cands = (
+            similarity.lsh_tagged_df(emb, planes, bits, tables)
+            .join(F.broadcast(probe_df), "tb")
+            .select("probe_id", "vec_id")
+            .distinct()
+        )
+        fracs = [
+            r["count"] / 4000.0
+            for r in cands.groupBy("probe_id").count().collect()
+        ]
+        assert float(np.mean(fracs)) <= 0.05, fracs
+
     def test_lsh_bits_scale_with_corpus(self):
         assert similarity.lsh_bits_for(500) == 8
         assert similarity.lsh_bits_for(1_000_000) == 14
@@ -233,6 +274,32 @@ class TestSimilarity:
         assert r3 >= 0.3, r3  # nprobe/n_clusters = 3/16 scan fraction
         assert recall(16) == 1.0  # probing every cluster = exact
 
+    def test_ivf_train_matmul_exact_and_bounded(self):
+        """The ||q||^2 - 2q.c + ||c||^2 matmul distance must equal the
+        naive broadcast tensor bit-for-bit (integer-exact under 2^53),
+        and training at the default sample size must never allocate
+        the O(sample*k*dim) tensor (~2 GB at 65536x16x256) — peak
+        traced memory stays within a few input-sized buffers."""
+        import tracemalloc
+
+        from bm25spark.datapipe.similarity import _sq_dists, ivf_train
+
+        rng = np.random.default_rng(7)
+        q = rng.integers(-1024, 1024, size=(257, 33)).astype(np.int64)
+        c = rng.integers(-1024, 1024, size=(16, 33)).astype(np.int64)
+        naive = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assert np.array_equal(_sq_dists(q, c), naive)
+
+        n, d = 65536, 256
+        vecs = rng.random((n, d))
+        naive_bytes = n * 16 * d * 8  # what the old broadcast form built
+        tracemalloc.start()
+        cents = ivf_train(vecs, 16, iters=2)
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert cents.shape == (16, d)
+        assert peak < naive_bytes // 2, f"peak {peak} vs naive {naive_bytes}"
+
     def test_embedding_near_dup_matches_oracle(self, emb):
         assert_matches(
             similarity.embedding_near_dup_pairs(emb, bits=8, tables=4),
@@ -286,6 +353,36 @@ class TestMultimodal:
         a = sorted(map(repr, multimodal.extract_features(media).collect()))
         b = sorted(map(repr, multimodal.extract_features(media).collect()))
         assert a == b
+
+    def test_batch_vectorized_equals_per_row(self, spark, docs):
+        """The one-bincount-per-batch vectorization must reproduce the
+        per-row formulation exactly (including empty and skewed-length
+        blobs)."""
+        media = multimodal.attach_fake_media(docs.limit(25))
+        got = {r.doc_id: r for r in multimodal.extract_features(media).collect()}
+        for row in media.collect():
+            arr = np.frombuffer(row.media, dtype=np.uint8)
+            hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
+            p = hist / max(len(arr), 1)
+            nz = p[p > 0]
+            want_entropy = round(float(-(nz * np.log2(nz)).sum()), 6)
+            r = got[row.doc_id]
+            assert r.n_bytes == len(arr)
+            assert r.byte_entropy == pytest.approx(want_entropy, abs=0)
+            assert r.histogram16 == p.round(6).tolist()
+
+    def test_empty_blob_batch(self, spark):
+        """Zero-length media must not break the offsets bincount."""
+        media = spark.createDataFrame(
+            [(1, "image/png", 4, 4, bytearray(b"")),
+             (2, "image/png", 4, 4, bytearray(b"\x00\xff\xff"))],
+            multimodal.MEDIA_SCHEMA,
+        )
+        feats = {r.doc_id: r for r in multimodal.extract_features(media).collect()}
+        assert feats[1].n_bytes == 0 and feats[1].byte_entropy == 0.0
+        assert feats[2].n_bytes == 3
+        assert feats[2].histogram16[0] == pytest.approx(1 / 3, abs=1e-6)
+        assert feats[2].histogram16[15] == pytest.approx(2 / 3, abs=1e-6)
 
     def test_frame_sample_plan(self, spark, docs):
         media = multimodal.attach_fake_media(docs.limit(30))

@@ -151,6 +151,25 @@ class TestDuckDBOracle:
         assert wide_f and all(r.doc_id % 2 == 0 for r in wide_f)
         assert [tuple(r) for r in wide_f] == [tuple(r) for r in narrow_f]
 
+    def test_no_cache_growth_across_queries(self, spark, docs):
+        """Sequential exact queries must not accumulate persisted
+        frames: each call's per-doc frame is tracked and dropped by the
+        next call (release_caches drains explicitly)."""
+        from bm25spark.query import release_caches
+
+        def n_persisted() -> int:
+            return len(
+                spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+            )
+
+        release_caches()
+        base = n_persisted()
+        for q in ["merge", "spark window", "data", "query merge", "table"]:
+            exact_topk(spark, docs, "text", "doc_id", q, 5).collect()
+            assert n_persisted() <= base + 1  # only the live query's frame
+        release_caches()
+        assert n_persisted() <= base
+
     def test_stats(self, spark, docs):
         from bm25spark.stats import corpus_stats, term_df
 

@@ -105,6 +105,28 @@ def lifecycle(spark, tmp_path):
     return d, PyOracle(rows), rnd
 
 
+def _score_each(oracle, texts, qtokens, k1=1.2, b=0.75):
+    """Score each text independently with the oracle's *sealed* stats
+    (the delta-scoring rule): one score per input text."""
+    tf = {i: Counter(t.split()) for i, t in oracle.sealed.items()}
+    n = len(oracle.sealed)
+    avgdl = sum(sum(c.values()) for c in tf.values()) / n
+    sealed_df = {t: sum(1 for c in tf.values() if c[t]) for t in set(qtokens)}
+    out = []
+    for text in texts:
+        counts = Counter(text.split())
+        fn = int(length_to_fieldnorm(sum(counts.values())))
+        s = 0.0
+        for t in sorted(set(qtokens)):
+            df = sealed_df.get(t, 0)
+            if df and counts[t]:
+                s += float(idf(n, df)) * float(
+                    tf_score(fn, counts[t], k1, b, avgdl)
+                )
+        out.append(s)
+    return out
+
+
 def canon(hits, nd=9):
     return sorted(((round(s, nd), i) for i, s in hits), key=lambda t: (-t[0], t[1]))
 
@@ -255,6 +277,89 @@ class TestLifecycle:
             for r in idx.search_df("t1 t2", 10, max_driver_docs=10).collect()
         ]
         assert via_driver == via_routed
+
+    def test_duplicate_key_delta_rows_score_independently(self, spark, lifecycle):
+        """Two live inserts sharing a payload key are two independent
+        pseudo-docs: each scored with its own doc_len/tf against the
+        sealed stats (reference heap semantics — every inserted tuple
+        is its own document), both before vacuum (grouped on the
+        per-row id, not the payload key) and after (each gets its own
+        doc_id)."""
+        d, oracle, rnd = lifecycle
+        texts = ["t1 t1 t1", "t1 t2 t2 t2 t2 t2 t2 t2"]
+        for t in texts:
+            insert(
+                spark,
+                d,
+                spark.createDataFrame([(777, t)], "doc_id INT, text STRING"),
+                "text",
+            )
+        got = search_with_delta(spark, d, "t1", 300, "text")
+        dup = sorted(round(s, 9) for p, s in got if p[0] == 777)
+        assert len(dup) == 2 and dup[0] != dup[1]
+        # expected: each row scored separately with sealed stats
+        want = sorted(round(s, 9) for s in _score_each(oracle, texts, ["t1"]))
+        assert dup == want
+        vacuum(spark, d, "text")
+        got = search_with_delta(spark, d, "t1", 300, "text")
+        assert sum(1 for p, _ in got if p[0] == 777) == 2
+
+    def test_open_index_survives_vacuum(self, spark, lifecycle):
+        """Versioned publish: a Bm25Index opened before a vacuum keeps
+        answering queries from the retired generation (its files stay
+        on disk until gc_index's grace elapses); a fresh open sees the
+        new generation."""
+        d, oracle, rnd = lifecycle
+        old_idx = Bm25Index(spark, d)
+        before = old_idx.search("t1 t2", 10)
+        insert(
+            spark,
+            d,
+            spark.createDataFrame([(4242, "t1 t1 t2")], "doc_id INT, text STRING"),
+            "text",
+        )
+        vacuum(spark, d, "text")
+        # the pre-vacuum handle still reads its own (old) generation
+        assert old_idx.search("t1 t2", 10) == before
+        assert old_idx.docs_df().count() == old_idx.n_docs
+        # a fresh handle sees the compacted generation
+        new_idx = Bm25Index(spark, d)
+        assert new_idx.n_docs == old_idx.n_docs + 1
+        assert new_idx.meta["generation"] == 1
+        assert new_idx.meta["paths"]["docs"].startswith("gen1/")
+
+    def test_gc_reclaims_retired_generation(self, spark, lifecycle):
+        import os
+
+        from bm25spark.maintain import gc_index
+
+        d, oracle, rnd = lifecycle
+        insert(
+            spark,
+            d,
+            spark.createDataFrame([(5000, "t1 t3")], "doc_id INT, text STRING"),
+            "text",
+        )
+        vacuum(spark, d, "text")
+        # retired gen-0 dirs still on disk for concurrent readers
+        assert os.path.exists(os.path.join(d, "docs"))
+        # grace not elapsed -> nothing reclaimed
+        assert gc_index(d, grace_sec=3600) is False
+        assert os.path.exists(os.path.join(d, "docs"))
+        assert gc_index(d, grace_sec=0) is True
+        assert not os.path.exists(os.path.join(d, "docs"))
+        assert not os.path.exists(os.path.join(d, "postings"))
+        # gen1 alive and well
+        idx = Bm25Index(spark, d)
+        assert idx.search("t1", 5)
+        # second vacuum retires gen1, publishes gen2
+        vacuum(spark, d, "text")
+        idx2 = Bm25Index(spark, d)
+        assert idx2.meta["generation"] == 2
+        assert os.path.exists(os.path.join(d, "gen1"))
+        gc_index(d, grace_sec=0)
+        assert not os.path.exists(os.path.join(d, "gen1"))
+        assert idx2.search("t1", 5)
 
     def test_delete_hides_immediately_stats_stale(self, spark, lifecycle):
         d, oracle, rnd = lifecycle
