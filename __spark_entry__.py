@@ -168,6 +168,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bm25_golden_slt_passages"] = _golden_passages
 
+    def _unicode_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Built-in ``unicode`` analyzer (CJK character bigrams +
+        alphanumeric words — the self-contained analogue of the
+        reference's jieba/lindera tokenizer configs, README.md:174-344)
+        proven end to end: exact BM25 over the CJK micro-corpus,
+        query 全文検索, against a DuckDB oracle that re-implements the
+        bigram tokenization in SQL."""
+        from bm25spark.config import Bm25Config
+        from bm25spark.fixtures import CJK_PASSAGES
+        from bm25spark.query import exact_topk
+
+        df = spark.createDataFrame(CJK_PASSAGES, "doc_id INT, text STRING")
+        return exact_topk(
+            spark, df, "text", "doc_id", "全文検索", 5,
+            cfg=Bm25Config(analyzer="unicode"),
+        )
+
+    out["bm25_unicode_cjk"] = _unicode_cjk
+
     def _delta_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         """O6/Q4 gate: sealed index over doc_id%3!=0, delta = the %3==0
         docs, delete every %7==0 key (tombstones sealed docs AND masks
@@ -308,6 +327,13 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_golden_slt_passages"] = (
         "SELECT * FROM (VALUES (1, 8), (2, 9), (3, 4), (4, 1), (5, 7), (6, 2))"
         " AS t(rank, doc_id) ORDER BY rank"
+    )
+
+    from bm25spark.analyze import tokenize_unicode
+    from bm25spark.fixtures import CJK_PASSAGES
+
+    out["bm25_unicode_cjk"] = oracle.bm25_unicode_topk_sql(
+        CJK_PASSAGES, tokenize_unicode("全文検索"), 5
     )
 
     # golden values copied verbatim from the reference's sqllogictest

@@ -99,10 +99,57 @@ def tokenize_english(text: str) -> list[str]:
     return out
 
 
+# Unicode ranges treated as unsegmented CJK text (Han, Hiragana,
+# Katakana incl. halfwidth, Hangul syllables/jamo, CJK extensions).
+_CJK_RE = re.compile(
+    "["
+    "⺀-⻿"  # CJK radicals
+    "぀-ヿ"  # hiragana + katakana
+    "㄰-㆏"  # hangul compat jamo
+    "㐀-䶿"  # CJK ext A
+    "一-鿿"  # CJK unified
+    "가-힯"  # hangul syllables
+    "豈-﫿"  # CJK compat
+    "･-ﾟ"  # halfwidth katakana
+    "]+"
+)
+_UNI_WORD_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+
+def tokenize_unicode(text: str) -> list[str]:
+    """Language-agnostic analyzer: alphanumeric words for segmented
+    scripts + overlapping character bigrams for CJK runs — the classic
+    CJK-bigram indexing strategy (Lucene's CJKAnalyzer approach),
+    which is the self-contained analogue of the reference's external
+    jieba/lindera tokenizer configs (README.md:174-344). Dictionary
+    segmenters plug in via :func:`register_analyzer`; this built-in
+    guarantees every script is at least searchable out of the box.
+
+    NFKC-normalized, lowercased. A lone CJK char (run length 1) is
+    emitted as a unigram so it stays findable."""
+    text = unicodedata.normalize("NFKC", text).lower()
+    out: list[str] = []
+    for w in _UNI_WORD_RE.findall(text):
+        pos = 0
+        for m in _CJK_RE.finditer(w):
+            if m.start() > pos:
+                out.append(w[pos:m.start()])
+            run = m.group()
+            if len(run) == 1:
+                out.append(run)
+            else:
+                out.extend(run[i:i + 2] for i in range(len(run) - 1))
+            pos = m.end()
+        if pos < len(w):
+            out.append(w[pos:])
+    return out
+
+
 ANALYZERS: dict[str, Callable[[str], list[str]]] = {
     "simple": tokenize_simple,
     "code": tokenize_code,
     "english": tokenize_english,
+    "unicode": tokenize_unicode,
 }
 
 

@@ -54,7 +54,9 @@ class _OffsetMask:
 
 
 class _OffsetFieldnorms:
-    """Global-id-indexable view over one shard's fieldnorm slice."""
+    """Global-id-indexable view over one shard's fieldnorm slice.
+    Exposes ``base``/``__len__`` so the taat kernel's dense path can
+    allocate a shard-local accumulator and map ids onto it."""
 
     __slots__ = ("base", "arr")
 
@@ -64,6 +66,9 @@ class _OffsetFieldnorms:
 
     def __getitem__(self, idx):
         return self.arr[np.asarray(idx) - self.base]
+
+    def __len__(self):
+        return len(self.arr)
 
 
 def search_distributed(

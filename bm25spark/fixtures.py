@@ -91,3 +91,20 @@ def synth_corpus(
     return base.mapInPandas(
         gen, "repo STRING, path STRING, commit STRING, lang STRING, content STRING"
     )
+
+
+#: Micro-corpus for the ``unicode`` (CJK-bigram) analyzer gate entry.
+#: Every whitespace-separated word is single-script (pure CJK or pure
+#: latin) so the DuckDB oracle's word-level bigram expansion
+#: (oracle._unicode_tok_cte) is exactly equivalent to
+#: analyze.tokenize_unicode; no NFKC-sensitive characters.
+CJK_PASSAGES: list[tuple[int, str]] = [
+    (0, "全文検索エンジンを構築する"),
+    (1, "分散処理で全文検索を高速化する設計"),
+    (2, "machine learning データ パイプライン"),
+    (3, "검색 엔진 최적화 기법"),
+    (4, "中文信息检索系统"),
+    (5, "全文検索と分散処理の比較"),
+    (6, "spark による大規模データ処理"),
+    (7, "検索 とは 情報 を 探す こと"),
+]

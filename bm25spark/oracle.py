@@ -140,6 +140,100 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+#: SQL-side regex class mirroring analyze._CJK_RE codepoint-for-
+#: codepoint (explicit ranges, NOT \p{Katakana} etc.: script classes
+#: exclude script=Common chars like the prolonged sound mark U+30FC
+#: that the block ranges deliberately include)
+_CJK_SQL_CLASS = (
+    r"[\x{2E80}-\x{2EFF}\x{3040}-\x{30FF}\x{3130}-\x{318F}"
+    r"\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}"
+    r"\x{F900}-\x{FAFF}\x{FF65}-\x{FF9F}]"
+)
+
+
+def _unicode_tok_cte(corpus_values: str) -> str:
+    r"""Tokenization CTEs replicating ``analyze.tokenize_unicode`` over
+    an inline VALUES corpus: alphanumeric words (``[\p{L}\p{N}]+`` =
+    Python's ``[^\W_]+``), CJK words expanded into overlapping
+    character bigrams (lone CJK char stays a unigram). Valid as long
+    as every corpus word is single-script (no mixed CJK+latin runs) —
+    the micro-corpus is constructed that way."""
+    return f"""
+corpus(doc_id, text) AS (VALUES {corpus_values}),
+words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+')) AS w
+  FROM corpus WHERE text IS NOT NULL
+),
+tok AS (
+  SELECT doc_id, w AS token FROM words
+  WHERE NOT regexp_matches(w, '^{_CJK_SQL_CLASS}+$')
+  UNION ALL
+  SELECT doc_id, w FROM words
+  WHERE regexp_matches(w, '^{_CJK_SQL_CLASS}+$') AND length(w) = 1
+  UNION ALL
+  SELECT doc_id, substr(w, i::INT, 2) AS token
+  FROM words CROSS JOIN LATERAL unnest(range(1, length(w)::BIGINT)) AS t(i)
+  WHERE regexp_matches(w, '^{_CJK_SQL_CLASS}+$') AND length(w) >= 2
+),
+tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf
+  FROM tok WHERE token <> '' GROUP BY 1, 2
+),
+dl AS (
+  SELECT c.doc_id, coalesce(sum(tf.tf), 0)::BIGINT AS doc_len
+  FROM corpus c LEFT JOIN tf ON c.doc_id = tf.doc_id
+  WHERE c.text IS NOT NULL GROUP BY 1
+)"""
+
+
+def bm25_unicode_topk_sql(
+    corpus_rows: list[tuple[int, str]],
+    query_tokens: list[str],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """BM25 top-k oracle under the ``unicode`` (CJK-bigram) analyzer
+    over an inline micro-corpus — proves the analyzer end to end in a
+    second engine (same scoring shape as :func:`bm25_topk_sql`)."""
+    cv = ",".join(
+        f"({int(i)}, '" + t.replace("'", "''") + "')" for i, t in corpus_rows
+    )
+    qvals = ",".join(
+        "('" + t.replace("'", "''") + "')" for t in sorted(set(query_tokens))
+    )
+    return f"""
+WITH {_unicode_tok_cte(cv)},
+fn(lo, hi, qdl) AS (VALUES {fieldnorm_values_sql()}),
+qdl AS (
+  SELECT dl.doc_id, fn.qdl FROM dl
+  JOIN fn ON dl.doc_len >= fn.lo AND dl.doc_len < fn.hi
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(doc_len)::DOUBLE / count(*) AS avgdl FROM dl
+),
+q(token) AS (VALUES {qvals}),
+dfs AS (
+  SELECT token, count(*)::BIGINT AS df FROM tf
+  WHERE token IN (SELECT token FROM q) GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((s.n + 1.0) / (dfs.df + 0.5))
+             * (tf.tf * ({k1} + 1.0))
+               / (tf.tf + {k1} * (1.0 - {b} + {b} * qdl.qdl / s.avgdl))) AS raw
+  FROM tf
+  JOIN dfs USING (token)
+  JOIN qdl ON tf.doc_id = qdl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT doc_id::BIGINT AS doc_id, round(raw, 4) AS score
+FROM scored WHERE raw > 0
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 def corpus_stats_sql(
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
 ) -> str:

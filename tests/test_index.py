@@ -219,6 +219,65 @@ class TestBuildProperties:
                 assert x.max_doc < y.min_doc
 
 
+def test_taat_dense_and_sparse_bit_identical(spark, tmp_path):
+    """The dense-accumulator and candidate-union forms of the taat
+    kernel must return the same (id, score) lists bit-for-bit — on
+    plain queries, with a prefilter mask, and at k beyond the
+    candidate count."""
+    from bm25spark.wand import taat_topk
+
+    rnd = random.Random(7)
+    rows = [
+        (i, " ".join(f"w{rnd.randrange(40)}" for _ in range(25)))
+        for i in range(300)
+    ]
+    d = str(tmp_path / "idx_dense")
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    build_index(spark, df, d, "text", ["doc_id"], cfg=Bm25Config(shard_size=128))
+    idx = Bm25Index(spark, d)
+    fns = idx.fieldnorms()
+    mask = np.zeros(idx.n_docs, dtype=bool)
+    mask[::3] = True
+    for q in ["w1 w2 w3", "w0 w39", "w5 w6 w7 w8 w9"]:
+        terms = idx.term_postings(q)
+        for am in (None, mask):
+            for k in (10, 1000):
+                a = taat_topk(terms, fns, k, allowed_mask=am, dense=True)
+                b = taat_topk(terms, fns, k, allowed_mask=am, dense=False)
+                assert a == b, (q, k, am is not None)
+
+
+def test_unicode_analyzer_end_to_end(spark, tmp_path):
+    """Built-in ``unicode`` analyzer (CJK bigrams + alphanumeric
+    words): build + WAND search + exact scorer agree, and CJK queries
+    retrieve CJK documents — the self-contained counterpart of the
+    reference's jieba/lindera tokenizer configs (README.md:174-344)."""
+    rows = [
+        (0, "全文検索エンジンを構築する"),
+        (1, "分散処理で全文検索を高速化する設計"),
+        (2, "machine learning pipelines"),
+        (3, "검색 엔진 최적화"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    d = str(tmp_path / "idx_uni")
+    cfg = Bm25Config(analyzer="unicode", shard_size=128)
+    build_index(spark, df, d, "text", ["doc_id"], cfg=cfg)
+    idx = Bm25Index(spark, d)
+
+    hits = idx.search("全文検索", 10)
+    assert {i for i, _ in hits} == {0, 1}
+    assert [i for i, _ in idx.search("검색 엔진", 10)] == [3]
+    assert [i for i, _ in idx.search("machine learning", 10)] == [2]
+
+    # indexed WAND vs exact Catalyst scorer: rank- and score-identical
+    exact = exact_topk(
+        spark, df, "text", "doc_id", "全文検索", 10, cfg=cfg, round_score=None
+    ).collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in exact] == [
+        (i, round(s, 9)) for i, s in hits
+    ]
+
+
 def test_custom_analyzer_end_to_end(spark, tmp_path):
     """register_analyzer: the pluggable-analyzer extension point (the
     reference delegates tokenization to external pg_tokenizer configs;
