@@ -42,6 +42,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
             _docs(s, d)
         ),
+        "dedup_components": lambda s, d: dedup.dedup_components(_docs(s, d)),
         "ann_cosine_topk": lambda s, d: similarity.ann_cosine_topk(_emb(s, d)),
         "ann_cosine_topk_kernel": lambda s, d: similarity.ann_cosine_topk_kernel(
             _emb(s, d)
@@ -102,6 +103,8 @@ def oracle_registry() -> dict[str, str]:
         "dedup_simhash": dedup.simhash_sql(),
         "dedup_simhash_pairs": dedup.simhash_hamming_pairs_sql(),
         "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
+        # components of the candidate-pair graph via a recursive CTE
+        "dedup_components": dedup.dedup_components_sql(),
         "ann_cosine_topk": similarity.ann_cosine_topk_sql(),
         # the NumPy-matmul scale path computes the identical result
         # (verified rank-identical at sf0.001/0.01/0.1), same oracle

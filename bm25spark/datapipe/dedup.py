@@ -23,14 +23,16 @@ N_BANDS = 4  # 2 rows per band
 SHINGLE_WORDS = 3
 SIMHASH_BITS = 16
 
-# Classic one-base-hash MinHash: h = first 8 hex chars of md5(shingle)
-# as uint32, then h_j = (A_j*h + B_j) mod P. One md5 per shingle
-# instead of N_HASHES; A_j*h + B_j < 2^62 + 2^31 so the arithmetic
-# never overflows int64 (Spark runs ANSI mode). P = 2^61 - 1 (prime).
-MINHASH_P = (1 << 61) - 1
-MINHASH_A = [1103515245, 1299709, 15485863, 32452843,
-             49979687, 67867967, 86028121, 104395301]
-MINHASH_B = [12345, 67890, 111111, 222222, 333333, 444444, 555555, 666666]
+# Eight genuinely independent 32-bit hashes per shingle: slice the
+# 128-bit md5(shingle) into four 8-hex windows, and md5(shingle||'#')
+# into four more. (The earlier affine construction
+# (A_j*h + B_j) mod (2^61-1) was silently degenerate: with h < 2^32
+# and small A_j the product never wraps the modulus, so every
+# "independent" component was a monotone function of the SAME base
+# hash — all eight minima landed on one shingle, collapsing the
+# signature to a single-hash equality test. Two md5s per shingle cost
+# ~the same and are exactly replicable in DuckDB.)
+_MINHASH_SALT = "#"
 
 
 # ---------------------------------------------------------------- exact ----
@@ -108,26 +110,27 @@ def _signatures(docs: DataFrame) -> DataFrame:
     """Per-doc MinHash signature, unsorted. Explode + hash-aggregate:
     both the explode and the min() aggregation run inside whole-stage
     codegen (measurably faster than in-row higher-order functions,
-    which Spark evaluates interpreted). One md5 per shingle, eight
-    cheap affine transforms, one shuffle on doc_id with map-side
-    partial min. Docs with no shingles get no row (matching the SQL
-    oracle)."""
+    which Spark evaluates interpreted). Two md5s per shingle sliced
+    into eight independent 32-bit hashes (see the module comment for
+    why the old affine transforms were degenerate), one shuffle on
+    doc_id with map-side partial min. Docs with no shingles get no
+    row (matching the SQL oracle)."""
     ex = (
         _with_shingles(docs)
         .select("doc_id", F.explode("_sh").alias("shingle"))
         .select(
             "doc_id",
-            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
-            .cast("bigint")
-            .alias("h"),
+            F.md5("shingle").alias("m0"),
+            F.md5(F.concat(F.col("shingle"), F.lit(_MINHASH_SALT))).alias(
+                "m1"
+            ),
         )
     )
     aggs = [
         F.min(
-            F.pmod(
-                F.col("h") * F.lit(MINHASH_A[j]) + F.lit(MINHASH_B[j]),
-                F.lit(MINHASH_P),
-            )
+            F.conv(
+                F.substring(F.col(f"m{j // 4}"), (j % 4) * 8 + 1, 8), 16, 10
+            ).cast("bigint")
         ).alias(f"sig{j}")
         for j in range(N_HASHES)
     ]
@@ -135,20 +138,22 @@ def _signatures(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """Per-doc MinHash signature: sig_j = min over shingles of
-    (A_j * h(shingle) + B_j) mod P with h = md5-prefix-uint32,
-    j in 0..7. Docs with no shingles get no row (matching the SQL
-    oracle)."""
+    """Per-doc MinHash signature: sig_j = min over shingles of the
+    j-th independent 32-bit hash (8-hex slice of md5(shingle) /
+    md5(shingle || '#')), j in 0..7. Docs with no shingles get no row
+    (matching the SQL oracle)."""
     return _signatures(docs).orderBy("doc_id")
 
 
 _SIG_AGGS_SQL = ",\n       ".join(
-    f"min((h * {MINHASH_A[j]} + {MINHASH_B[j]}) % {MINHASH_P}) AS sig{j}"
+    f"min(('0x' || substr(m{j // 4}, {(j % 4) * 8 + 1}, 8))::BIGINT)"
+    f" AS sig{j}"
     for j in range(N_HASHES)
 )
-_HASHED_SQL = """
+_HASHED_SQL = f"""
 hashed AS (
-  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+  SELECT doc_id, md5(shingle) AS m0,
+         md5(shingle || '{_MINHASH_SALT}') AS m1
   FROM shing
 )"""
 
@@ -443,4 +448,120 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 ORDER BY jaccard DESC, i.doc_a, i.doc_b
 LIMIT {limit}
+"""
+
+
+# ------------------------------------------------- connected components ----
+
+def dedup_components(docs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Duplicate *clusters* from the MinHash candidate-pair graph:
+    every doc that appears in at least one candidate pair, labeled
+    with its component id = the minimum doc_id reachable through
+    candidate edges — the canonical-keeper assignment a dedup pipeline
+    applies after pair generation (keep ``doc_id == component_id``,
+    drop the rest).
+
+    Iterative min-label propagation: each round is one join + one
+    min-aggregate + a changed-count; rounds needed = graph diameter,
+    and duplicate clusters are near-cliques (docs sharing bands), so
+    it converges in 2-3 rounds in practice. Labels are eagerly
+    local-checkpointed each round so the plan doesn't grow with the
+    iteration count (the standard hygiene for iterative Spark
+    algorithms); for adversarial long-chain graphs swap in the
+    large-star/small-star formulation — same join shape, O(log n)
+    rounds.
+
+    Returns (doc_id, component_id) sorted by doc_id.
+    """
+    pairs = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"), F.col("label").alias("nl")
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nl").alias("nmin"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        merged = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                "label",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("new_label"),
+            )
+            .persist()
+        )
+        changed = merged.filter(F.col("new_label") != F.col("label")).count()
+        labels = merged.select(
+            "doc_id", F.col("new_label").alias("label")
+        ).localCheckpoint(eager=True)
+        merged.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return (
+        labels.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("label").cast("bigint").alias("component_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_components_sql() -> str:
+    """Recursive-CTE oracle: component id = min vertex reachable in
+    the (symmetrized) candidate-pair graph. The pair generation is the
+    same CTE chain `minhash_candidate_pairs_sql` hash-matches."""
+    band_exprs = ",\n         ".join(
+        f"md5(sig{2*b}::VARCHAR || '|' || sig{2*b+1}::VARCHAR) AS band{b}"
+        for b in range(N_BANDS)
+    )
+    band_list = ", ".join(f"band{b}" for b in range(N_BANDS))
+    return f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+{_HASHED_SQL},
+sig AS (
+  SELECT doc_id::BIGINT AS doc_id, {_SIG_AGGS_SQL}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, {band_exprs} FROM sig
+),
+stacked AS (
+  SELECT doc_id, unnest([{band_list}]) AS band_hash FROM bands
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM stacked a JOIN stacked b USING (band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(v, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.v, e.dst FROM walk w JOIN edges e ON e.src = w.r
+)
+SELECT v::BIGINT AS doc_id, min(r)::BIGINT AS component_id
+FROM walk GROUP BY v ORDER BY doc_id
 """

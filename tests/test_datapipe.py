@@ -70,6 +70,73 @@ class TestDedup:
         pairs = dedup.minhash_candidate_pairs(df).collect()
         assert any(r.doc_a == 1 and r.doc_b == 2 and r.est_jaccard > 0.5 for r in pairs)
 
+    def test_minhash_components_are_independent(self, spark):
+        """Regression for the degenerate affine construction (all 8
+        components were monotone functions of ONE base hash, so any
+        two docs sharing just the min-hash shingle got identical
+        signatures and est_jaccard 1.0): for a planted pair with
+        ~50% shingle overlap, the number of equal components must be
+        strictly between 0 and 8 and the estimate must be closer to
+        0.5 than to either extreme."""
+        w = [f"w{i}" for i in range(96)]
+        rows = [(1, " ".join(w[:64])), (2, " ".join(w[32:96]))]
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        s = {r.doc_id: [r[f"sig{j}"] for j in range(8)]
+             for r in dedup.minhash_signatures(df).collect()}
+        eq = sum(1 for a, b in zip(s[1], s[2]) if a == b)
+        # true shingle jaccard = 30/(62+62-30) ~ 0.32
+        assert 0 < eq < 8, s
+        assert eq / 8 <= 0.75
+
+    def test_components_match_oracle(self, docs):
+        assert_matches(dedup.dedup_components(docs), dedup.dedup_components_sql())
+
+    def test_components_equal_union_find(self, spark, docs):
+        """The Spark label propagation must produce exactly the
+        transitive closure of the candidate-pair graph: compare
+        against a driver-side union-find over the same pairs (chain
+        corpus planted so multi-hop merges actually occur)."""
+        words = [f"w{i}" for i in range(200)]
+        planted = [
+            (10000 + i, " ".join(words[12 * i: 12 * i + 60])) for i in range(8)
+        ]
+        existing = [
+            (int(r["doc_id"]), r["text"]) for r in docs.limit(60).collect()
+        ]
+        df = spark.createDataFrame(
+            planted + existing, "doc_id INT, text STRING"
+        )
+        pairs = [
+            (r.doc_a, r.doc_b)
+            for r in dedup.minhash_candidate_pairs(df).collect()
+        ]
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in parent}
+        got = {
+            r.doc_id: r.component_id
+            for r in dedup.dedup_components(df).collect()
+        }
+        assert got == want
+        # multi-hop merge actually exercised: some doc's component id
+        # is not one of its direct pair partners
+        pair_set = {(a, b) for a, b in pairs}
+        assert any(
+            cid != d and (min(d, cid), max(d, cid)) not in pair_set
+            for d, cid in got.items()
+        )
+
     def test_simhash(self, docs):
         assert_matches(dedup.simhash(docs), dedup.simhash_sql())
 
