@@ -187,6 +187,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bm25_unicode_cjk"] = _unicode_cjk
 
+    def _tokenize_mappings(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The reference's tokenize()::bm25vector surface
+        (README.md:54-56) in relational form: (doc_id, token, tf)."""
+        from pyspark.sql import functions as F
+
+        from bm25spark.api import tokenize_mappings_df
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return tokenize_mappings_df(docs).select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+        )
+
+    out["bm25_tokenize_mappings"] = _tokenize_mappings
+
     def _delta_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         """O6/Q4 gate: sealed index over doc_id%3!=0, delta = the %3==0
         docs, delete every %7==0 key (tombstones sealed docs AND masks
@@ -312,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
             toks, 10, sealed_pred="TRUE", live_pred="((doc_id % 2) = 0)"
         )
 
+    out["bm25_tokenize_mappings"] = oracle.tokenize_mappings_sql()
     out["corpus_stats"] = oracle.corpus_stats_sql()
     out["term_df_top50"] = oracle.term_df_sql(50)
     out["doc_fieldnorms"] = oracle.doc_fieldnorm_sql()

@@ -81,3 +81,49 @@ def wand_topk_df(
     return out.select(
         F.col(id_col).cast("bigint").alias("doc_id"), F.col("score")
     )
+
+
+def tokenize_df(
+    df: DataFrame,
+    text_col: str = "text",
+    analyzer: str = "english",
+    cfg: Bm25Config | None = None,
+) -> DataFrame:
+    """The reference's ``tokenize(text, tokenizer)::bm25vector``
+    surface (README.md:54-56): adds a ``terms`` column — the sparse
+    document vector as a sorted array<struct<key:binary, tf:int>>,
+    token ids interned exactly like the index build — plus the
+    summed ``doc_len``. One Arrow-batched UDF; NULL text rows are
+    dropped like the build's NULL skip."""
+    from .udfs import with_doc_terms
+
+    cfg = cfg or Bm25Config(analyzer=analyzer)
+    return with_doc_terms(df, text_col, cfg.analyzer, cfg.seed)
+
+
+def tokenize_mappings_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "simple",
+    cfg: Bm25Config | None = None,
+) -> DataFrame:
+    """Exploded bm25vector view: one row per (doc, token) with its
+    term frequency — the relational form of ``tokenize()`` output
+    (and of the reference's bm25vector '{id:tf}' display). With the
+    ``simple`` analyzer the token column is the readable token string
+    (SQL-replicable end to end); other analyzers emit interned keys."""
+    from pyspark.sql import functions as F
+
+    cfg = cfg or Bm25Config(analyzer=analyzer)
+    if cfg.analyzer == "simple":
+        from .query import tokenize_simple_sql
+
+        return tokenize_simple_sql(
+            df.filter(F.col(text_col).isNotNull()), text_col, id_col
+        ).orderBy("doc_id", "token")
+    from .query import tokenize_udf_mappings
+
+    return tokenize_udf_mappings(df, text_col, id_col, cfg).orderBy(
+        "doc_id", "term_key"
+    )

@@ -60,6 +60,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": lambda s, d: textstats.text_stats(_docs(s, d)),
         "text_quality": lambda s, d: textstats.text_quality(_docs(s, d)),
         "text_fingerprint": lambda s, d: textstats.text_fingerprint(_docs(s, d)),
+        "text_pii_flags": lambda s, d: textstats.text_pii_flags(_docs(s, d)),
     }
 
 
@@ -123,4 +124,5 @@ def oracle_registry() -> dict[str, str]:
         "text_stats": textstats.text_stats_sql(),
         "text_quality": textstats.text_quality_sql(),
         "text_fingerprint": textstats.text_fingerprint_sql(),
+        "text_pii_flags": textstats.text_pii_flags_sql(),
     }

@@ -175,3 +175,53 @@ SELECT doc_id::BIGINT AS doc_id,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
 FROM documents WHERE text IS NOT NULL ORDER BY doc_id
 """
+
+
+# ------------------------------------------------------------- PII flags ----
+
+# Patterns chosen to mean the same thing under Java regex (Spark) and
+# RE2 (DuckDB): no lookarounds, no \s (the engines' \s classes
+# differ by \x0B), explicit character classes only.
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_urls": r"https?://[^ \t\n\r]+",
+    "n_ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "n_phones": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+}
+
+
+def text_pii_flags(docs: DataFrame) -> DataFrame:
+    """Per-doc PII indicator counts (emails / URLs / IPv4 / phone-like
+    digit runs) — the redaction-or-drop gate of a training-data
+    pipeline. Pure codegen ``regexp_count`` expressions; both engines
+    count non-overlapping leftmost matches, so the DuckDB oracle is
+    exact."""
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("bigint").alias(name)
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), *counts
+    )
+    any_pii = None
+    for name in PII_PATTERNS:
+        c = F.col(name) > 0
+        any_pii = c if any_pii is None else (any_pii | c)
+    return out.withColumn("has_pii", any_pii).orderBy("doc_id")
+
+
+def text_pii_flags_sql() -> str:
+    cols = ",\n       ".join(
+        f"length(regexp_extract_all(text, '{pat}'))::BIGINT AS {name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    flags = " OR ".join(f"{name} > 0" for name in PII_PATTERNS)
+    return f"""
+WITH c AS (
+  SELECT doc_id::BIGINT AS doc_id,
+       {cols}
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, n_emails, n_urls, n_ipv4, n_phones, ({flags}) AS has_pii
+FROM c ORDER BY doc_id
+"""

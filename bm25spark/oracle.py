@@ -234,6 +234,19 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+def tokenize_mappings_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """Oracle for the ``tokenize()`` surface (exploded bm25vector
+    rows): one (doc, token, tf) row per distinct token, simple
+    analyzer."""
+    return f"""
+WITH {_tok_cte(table, id_col, text_col)}
+SELECT doc_id::BIGINT AS doc_id, token, tf::BIGINT AS tf
+FROM tf ORDER BY doc_id, token
+"""
+
+
 def corpus_stats_sql(
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
 ) -> str:

@@ -158,6 +158,26 @@ class TestTextStats:
             textstats.text_fingerprint(docs), textstats.text_fingerprint_sql()
         )
 
+    def test_pii_flags_match_oracle(self, docs):
+        assert_matches(
+            textstats.text_pii_flags(docs), textstats.text_pii_flags_sql()
+        )
+
+    def test_pii_flags_planted(self, spark):
+        rows = [
+            (1, "contact alice@example.com or bob.smith+x@sub.domain.org"),
+            (2, "see https://example.com/a?b=1 and host 10.0.0.1 today"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "clean text with no identifiers at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        got = {r.doc_id: r for r in textstats.text_pii_flags(df).collect()}
+        assert got[1].n_emails == 2 and got[1].has_pii
+        assert got[2].n_urls == 1 and got[2].n_ipv4 == 1 and got[2].has_pii
+        assert got[3].n_phones == 1 and got[3].has_pii
+        assert not got[4].has_pii
+        assert got[4].n_emails == got[4].n_urls == got[4].n_ipv4 == 0
+
     def test_fingerprint_collapses_whitespace(self, spark):
         df = spark.createDataFrame(
             [(1, "Hello  world"), (2, "hello world"), (3, "other")],
