@@ -56,6 +56,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": lambda s, d: similarity.embedding_near_dup_pairs(
             _emb(s, d), bits=8, tables=4
         ),
+        "dedup_embedding_components": lambda s, d: similarity.embedding_components(
+            _emb(s, d), bits=8, tables=4
+        ),
         "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(_emb(s, d)),
         "text_stats": lambda s, d: textstats.text_stats(_docs(s, d)),
         "text_quality": lambda s, d: textstats.text_quality(_docs(s, d)),
@@ -114,6 +117,9 @@ def oracle_registry() -> dict[str, str]:
         # (bucket bits, multiprobe, re-rank) bit-for-bit
         "ann_lsh_topk": similarity.ann_lsh_topk_sql(dim=64, bits=8, tables=4),
         "dedup_embedding_pairs": similarity.embedding_near_dup_pairs_sql(
+            dim=64, bits=8, tables=4
+        ),
+        "dedup_embedding_components": similarity.embedding_components_sql(
             dim=64, bits=8, tables=4
         ),
         # IVF centroids are trained parameters: regenerate them here

@@ -453,54 +453,55 @@ LIMIT {limit}
 
 # ------------------------------------------------- connected components ----
 
-def dedup_components(docs: DataFrame, max_iters: int = 20) -> DataFrame:
-    """Duplicate *clusters* from the MinHash candidate-pair graph:
-    every doc that appears in at least one candidate pair, labeled
-    with its component id = the minimum doc_id reachable through
-    candidate edges — the canonical-keeper assignment a dedup pipeline
-    applies after pair generation (keep ``doc_id == component_id``,
-    drop the rest).
+def connected_components(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    out_id: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected pair graph: every vertex
+    appearing in at least one pair, labeled with its component id =
+    the minimum vertex id reachable through pair edges.
 
     Iterative min-label propagation: each round is one join + one
     min-aggregate + a changed-count; rounds needed = graph diameter,
-    and duplicate clusters are near-cliques (docs sharing bands), so
-    it converges in 2-3 rounds in practice. Labels are eagerly
-    local-checkpointed each round so the plan doesn't grow with the
-    iteration count (the standard hygiene for iterative Spark
+    and duplicate clusters are near-cliques (docs sharing
+    bands/buckets), so it converges in 2-3 rounds in practice. Labels
+    are eagerly local-checkpointed each round so the plan doesn't grow
+    with the iteration count (the standard hygiene for iterative Spark
     algorithms); for adversarial long-chain graphs swap in the
     large-star/small-star formulation — same join shape, O(log n)
     rounds.
 
-    Returns (doc_id, component_id) sorted by doc_id.
+    Returns (out_id, component_id) sorted by out_id.
     """
-    pairs = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
+    p = pairs.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+    edges = p.unionByName(
+        p.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
     ).persist()
     labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
+        edges.select(F.col("_a").alias("_v"))
         .distinct()
-        .withColumn("label", F.col("doc_id"))
+        .withColumn("label", F.col("_v"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         neigh = (
             edges.join(
                 labels.select(
-                    F.col("doc_id").alias("doc_b"), F.col("label").alias("nl")
+                    F.col("_v").alias("_b"), F.col("label").alias("nl")
                 ),
-                "doc_b",
+                "_b",
             )
-            .groupBy("doc_a")
+            .groupBy("_a")
             .agg(F.min("nl").alias("nmin"))
-            .withColumnRenamed("doc_a", "doc_id")
+            .withColumnRenamed("_a", "_v")
         )
         merged = (
-            labels.join(neigh, "doc_id", "left")
+            labels.join(neigh, "_v", "left")
             .select(
-                "doc_id",
+                "_v",
                 "label",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
@@ -510,7 +511,7 @@ def dedup_components(docs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         changed = merged.filter(F.col("new_label") != F.col("label")).count()
         labels = merged.select(
-            "doc_id", F.col("new_label").alias("label")
+            "_v", F.col("new_label").alias("label")
         ).localCheckpoint(eager=True)
         merged.unpersist()
         if changed == 0:
@@ -518,10 +519,24 @@ def dedup_components(docs: DataFrame, max_iters: int = 20) -> DataFrame:
     edges.unpersist()
     return (
         labels.select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("_v").cast("bigint").alias(out_id),
             F.col("label").cast("bigint").alias("component_id"),
         )
-        .orderBy("doc_id")
+        .orderBy(out_id)
+    )
+
+
+def dedup_components(docs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Duplicate *clusters* from the MinHash candidate-pair graph —
+    the canonical-keeper assignment a dedup pipeline applies after
+    pair generation (keep ``doc_id == component_id``, drop the rest).
+    See :func:`connected_components` for the propagation scheme.
+
+    Returns (doc_id, component_id) sorted by doc_id.
+    """
+    pairs = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    return connected_components(
+        pairs, "doc_a", "doc_b", out_id="doc_id", max_iters=max_iters
     )
 
 

@@ -912,3 +912,61 @@ ranked AS (
 SELECT probe_id, vec_id, cos FROM ranked WHERE rn <= {k}
 ORDER BY probe_id, cos DESC, vec_id
 """
+
+
+def embedding_components(
+    emb: DataFrame,
+    threshold: float = NEAR_DUP_THRESHOLD,
+    bits: int | None = None,
+    tables: int = LSH_TABLES,
+    quant: int = LSH_QUANT,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Embedding near-duplicate *clusters*: connected components of
+    the :func:`embedding_near_dup_pairs` graph (LSH-banded candidates,
+    exact rounded-cosine verify), labeled by the minimum vec_id —
+    the keep-one-per-cluster assignment for embedding-level dedup,
+    symmetric with the text-side ``dedup.dedup_components``.
+
+    Returns (vec_id, component_id) sorted by vec_id.
+    """
+    from .dedup import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=threshold, bits=bits, tables=tables, quant=quant
+    ).select("a", "b")
+    return connected_components(
+        pairs, "a", "b", out_id="vec_id", max_iters=max_iters
+    )
+
+
+def embedding_components_sql(
+    dim: int = 64,
+    threshold: float = NEAR_DUP_THRESHOLD,
+    bits: int = 8,
+    tables: int = LSH_TABLES,
+    quant: int = LSH_QUANT,
+) -> str:
+    """Recursive-CTE oracle over the exact pair query
+    ``embedding_near_dup_pairs_sql`` hash-matches: component id = min
+    vertex reachable in the symmetrized near-dup graph."""
+    pairs_sql = embedding_near_dup_pairs_sql(
+        dim=dim, threshold=threshold, bits=bits, tables=tables, quant=quant
+    )
+    return f"""
+WITH RECURSIVE pr AS (
+{pairs_sql}
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pr
+  UNION
+  SELECT b, a FROM pr
+),
+walk(v, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.v, e.dst FROM walk w JOIN edges e ON e.src = w.r
+)
+SELECT v::BIGINT AS vec_id, min(r)::BIGINT AS component_id
+FROM walk GROUP BY v ORDER BY vec_id
+"""

@@ -387,6 +387,32 @@ class TestSimilarity:
         assert cents.shape == (16, d)
         assert peak < naive_bytes // 2, f"peak {peak} vs naive {naive_bytes}"
 
+    def test_embedding_components_match_oracle(self, emb):
+        assert_matches(
+            similarity.embedding_components(emb, bits=8, tables=4),
+            similarity.embedding_components_sql(dim=64, bits=8, tables=4),
+        )
+
+    def test_embedding_components_cluster_planted(self, spark):
+        """Three near-identical planted vectors must land in ONE
+        component labeled by the smallest id (pairwise angles tiny, so
+        every pair collides in every table and passes the verify)."""
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=64)
+        rows = [(9001 + i, (base + 0.001 * rng.normal(size=64)).tolist())
+                for i in range(3)]
+        rows += [(i, rng.normal(size=64).tolist()) for i in range(40)]
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+        comp = {
+            r.vec_id: r.component_id
+            for r in similarity.embedding_components(
+                emb, bits=8, tables=4
+            ).collect()
+        }
+        assert comp[9001] == comp[9002] == comp[9003] == 9001
+
     def test_embedding_near_dup_matches_oracle(self, emb):
         assert_matches(
             similarity.embedding_near_dup_pairs(emb, bits=8, tables=4),
