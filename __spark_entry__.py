@@ -105,6 +105,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         toks, kk = _QUERY_SETS["q_multi"]
         out["bm25_dist_q_multi"] = _dist_q(toks, kk)
 
+        def _dist_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+            """Batched serving: every _QUERY_SETS query answered by ONE
+            Spark job (per-shard tasks decode each term once and run
+            the kernel once per query); per-query results identical to
+            the single-query path."""
+            from pyspark.sql import functions as F
+
+            from bm25spark.api import index_for_parquet
+            from bm25spark.distributed import search_distributed_batch
+
+            idx = index_for_parquet(
+                spark, f"{sf_dir}/documents.parquet", "text", ["doc_id"]
+            )
+            qs = {
+                name: " ".join(tokens)
+                for name, (tokens, _) in _QUERY_SETS.items()
+            }
+            return search_distributed_batch(spark, idx.index_dir, qs, 10).select(
+                "query_id",
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                "score",
+            )
+
+        out["bm25_dist_batch"] = _dist_batch
+
         def _dist_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             """P3 in the scale path: per-shard cogrouped allowlist mask.
             Prefilter semantics = full-corpus statistics, candidates
@@ -322,6 +347,13 @@ def oracle_sql() -> dict[str, str]:
     if have_wand:
         toks, kk = _QUERY_SETS["q_multi"]
         out["bm25_dist_q_multi"] = oracle.bm25_topk_sql(toks, kk)
+        # batched serving oracle: per-query single oracles, unioned
+        out["bm25_dist_batch"] = "\nUNION ALL\n".join(
+            f"SELECT '{name}' AS query_id, * FROM ("
+            + oracle.bm25_topk_sql(tokens, 10)
+            + ")"
+            for name, (tokens, _) in _QUERY_SETS.items()
+        ) + "\nORDER BY query_id, score DESC, doc_id"
         # prefilter = full-corpus stats, restricted candidates — the
         # sealed_pred/live_pred generator expresses exactly that
         out["bm25_dist_q_prefilter"] = oracle.bm25_delta_topk_sql(

@@ -252,3 +252,163 @@ def search_distributed(
         )
         .orderBy(F.desc("score"), *idx.payload_cols)
     )
+
+
+def search_distributed_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[str, str],
+    k: int,
+    round_score: int | None = 4,
+) -> DataFrame:
+    """Batched distributed top-k: M queries answered by ONE Spark job.
+
+    The serving shape for query throughput on the scale path: per-query
+    job-scheduling overhead amortizes across the batch, each shard task
+    reads its posting blocks once (the union of all queries' terms,
+    still bucket/key-pruned), decodes each term once, and runs the
+    taat kernel once per query against the shared decoded arrays. The
+    per-shard output is O(M * k) rows; the global cut is a window per
+    query_id and the payload join broadcasts the M*k-row side.
+
+    ``queries``: {query_id: query_text}. Returns
+    (query_id, payload cols..., score), ordered by
+    (query_id, score desc, payload cols) — per-query results identical
+    to :func:`search_distributed` (asserted in tests).
+    """
+    from pyspark.sql import Window
+
+    idx = Bm25Index(spark, index_dir)
+    all_keys: set[bytes] = set()
+    qkeys: dict[str, list[bytes]] = {}
+    for qid, text in queries.items():
+        qkeys[qid] = idx.query_keys(text)
+        all_keys.update(qkeys[qid])
+    stats = idx.term_stats(sorted(all_keys))
+    present = sorted(key for key in all_keys if key in stats)
+    qterms = {
+        qid: [key for key in keys if key in stats]
+        for qid, keys in qkeys.items()
+    }
+    qterms = {qid: keys for qid, keys in qterms.items() if keys}
+    out_cols = "query_id STRING, doc_id BIGINT, score DOUBLE"
+    if not qterms:
+        return spark.createDataFrame(
+            [],
+            f"query_id STRING, "
+            + ", ".join(f"{c} {idx.docs_df().schema[f'p_{c}'].dataType.simpleString()}" for c in idx.payload_cols)
+            + ", score DOUBLE",
+        )
+
+    n_docs, avgdl, k1, b = idx.n_docs, idx.avgdl, idx.k1, idx.b
+    shard_size = idx.shard_size
+    docs_path = idx._path("docs")
+    term_info = {
+        key: (stats[key]["df"], stats[key]["wand_fn"], stats[key]["wand_tf"])
+        for key in present
+    }
+    k_fetch = k + (128 if round_score is not None else 0)
+    binfo = spark.sparkContext.broadcast(
+        (
+            term_info,
+            {qid: list(keys) for qid, keys in qterms.items()},
+            n_docs,
+            avgdl,
+            k1,
+            b,
+            shard_size,
+            docs_path,
+            k_fetch,
+        )
+    )
+
+    buckets = idx._buckets(present)
+    blocks = (
+        idx.postings_df()
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term_key").isin([bytearray(x) for x in present]))
+        .select(
+            "term_key", "shard", "block_ord", "min_doc", "max_doc", "count",
+            "wand_fn", "wand_tf", "ids_meta", "ids_bytes", "tfs_meta", "tfs_bytes",
+        )
+    )
+
+    def run_shard_batch(key, pdf):
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        (term_info, qterms, n_docs, avgdl, k1, b, shard_size, docs_path, k) = (
+            binfo.value
+        )
+        shard = int(key[0])
+        base = shard * shard_size
+        d = ds.dataset(docs_path, format="parquet")
+        t = d.to_table(
+            columns=["doc_id", "fieldnorm"], filter=pc.field("shard") == shard
+        )
+        ids = np.asarray(t["doc_id"])
+        arr = np.zeros(shard_size, dtype=np.uint8)
+        arr[ids - base] = np.asarray(t["fieldnorm"]).astype(np.uint8)
+        fns = _OffsetFieldnorms(base, arr)
+
+        pdf = pdf.sort_values(["term_key", "block_ord"], kind="stable")
+        tps: dict[bytes, TermPostings] = {}
+        for term_key, g in pdf.groupby("term_key", sort=True):
+            bkey = bytes(term_key)
+            df_, wfn, wtf = term_info[bkey]
+            tp = TermPostings(
+                cache=Cache(n_docs, df_, k1, b, avgdl),
+                wand_fn=int(wfn),
+                wand_tf=int(wtf),
+                min_doc=g["min_doc"].to_numpy(np.int64),
+                max_doc=g["max_doc"].to_numpy(np.int64),
+                count=g["count"].to_numpy(np.int64),
+                block_fn=g["wand_fn"].to_numpy(np.int64),
+                block_tf=g["wand_tf"].to_numpy(np.int64),
+                ids_meta=g["ids_meta"].tolist(),
+                ids_bytes=[bytes(x) for x in g["ids_bytes"]],
+                tfs_meta=g["tfs_meta"].tolist(),
+                tfs_bytes=[bytes(x) for x in g["tfs_bytes"]],
+                shard_base=np.full(len(g), base, dtype=np.int64),
+            )
+            tp.decoded = tp.decode_all()  # decode ONCE, reuse per query
+            tps[bkey] = tp
+        out = []
+        for qid, keys in qterms.items():
+            terms = [tps[key] for key in keys if key in tps]
+            if not terms:
+                continue
+            for doc_id, score in taat_topk(terms, fns, k):
+                out.append((qid, doc_id, score))
+        return pd.DataFrame(out, columns=["query_id", "doc_id", "score"])
+
+    per_shard = blocks.groupBy("shard").applyInPandas(
+        run_shard_batch, out_cols
+    )
+    score_col = (
+        F.round(F.col("score"), round_score)
+        if round_score is not None
+        else F.col("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    topk = (
+        per_shard.select("query_id", "doc_id", score_col.alias("score"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    docs = idx.docs_df().select(
+        F.col("doc_id").alias("_iid"),
+        *[F.col(f"p_{c}") for c in idx.payload_cols],
+    )
+    return (
+        docs.join(F.broadcast(topk), topk["doc_id"] == docs["_iid"])
+        .select(
+            "query_id",
+            *[F.col(f"p_{c}").alias(c) for c in idx.payload_cols],
+            topk["score"],
+        )
+        .orderBy("query_id", F.desc("score"), *idx.payload_cols)
+    )

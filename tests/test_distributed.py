@@ -28,6 +28,30 @@ def dist_index(spark, tmp_path_factory):
 
 
 class TestDistributed:
+    def test_batch_equals_single_query(self, spark, dist_index):
+        """search_distributed_batch answers M queries in one job with
+        per-query results identical to M single-query jobs (incl. an
+        all-absent query, which simply yields no rows)."""
+        from bm25spark.distributed import search_distributed_batch
+
+        d, _ = dist_index
+        qs = {
+            "a": "t1 t22 t333",
+            "b": "t0",
+            "c": "t7 zz_absent",
+            "d": "zz qq",
+        }
+        batch = search_distributed_batch(spark, d, qs, 25).collect()
+        by_q: dict = {}
+        for r in batch:
+            by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
+        for qid, text in qs.items():
+            single = [
+                (r.doc_id, r.score)
+                for r in search_distributed(spark, d, text, 25).collect()
+            ]
+            assert by_q.get(qid, []) == single, qid
+
     def test_matches_driver_kernel(self, spark, dist_index):
         d, _ = dist_index
         idx = Bm25Index(spark, d)
