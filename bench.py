@@ -256,6 +256,19 @@ def main() -> None:
         samples.append(time.perf_counter() - t0)
     record("dist_q_multi", samples, digits=3)
 
+    # ---- batched distributed serving: all 4 wand queries in ONE job;
+    # compare against 4x dist_q to see the amortization
+    from bm25spark.distributed import search_distributed_batch
+
+    qbatch = {f"q{i}": q for i, q in enumerate(wand_queries.values())}
+    search_distributed_batch(spark, idx_docs_dir, qbatch, 10).collect()
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        search_distributed_batch(spark, idx_docs_dir, qbatch, 10).collect()
+        samples.append(time.perf_counter() - t0)
+    record("dist_batch4", samples, digits=3)
+
     # ---- growing∪sealed search (delta leg Catalyst + sealed leg
     # distributed, tombstones as a per-shard blocklist) ----
     from bm25spark.maintain import delete, insert, search_with_delta_df

@@ -8,8 +8,8 @@ Usage (ship the package with --py-files):
         --text-col content --order-cols repo,path,commit \
         --index-dir s3://bucket/indexes/corpus_bm25
 
-Subcommands: build | search | search-dist | search-delta | insert |
-delete | vacuum | gc | lineage.
+Subcommands: build | search | search-dist | search-batch |
+search-delta | insert | delete | vacuum | gc | lineage.
 """
 
 from __future__ import annotations
@@ -62,6 +62,16 @@ def main(argv: list[str] | None = None) -> None:
         s.add_argument("--index-dir", required=True)
         s.add_argument("--query", required=True)
         s.add_argument("-k", type=int, default=100)
+
+    sb = sub.add_parser(
+        "search-batch", help="M queries in one Spark job (one per line)"
+    )
+    sb.add_argument("--index-dir", required=True)
+    sb.add_argument(
+        "--queries-file", required=True,
+        help="text file, one query per line; line number = query_id",
+    )
+    sb.add_argument("-k", type=int, default=100)
 
     v = sub.add_parser("vacuum")
     v.add_argument("--index-dir", required=True)
@@ -121,6 +131,19 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "search-dist":
         for row in search_distributed(
             spark, args.index_dir, args.query, args.k
+        ).collect():
+            print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "search-batch":
+        from .distributed import search_distributed_batch
+
+        with open(args.queries_file) as f:
+            qs = {
+                str(i): line.strip()
+                for i, line in enumerate(f)
+                if line.strip()
+            }
+        for row in search_distributed_batch(
+            spark, args.index_dir, qs, args.k
         ).collect():
             print(json.dumps(row.asDict(), default=str))
     elif args.cmd == "vacuum":
