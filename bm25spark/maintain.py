@@ -590,9 +590,16 @@ def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
         k: f"gen{gen}/{v}" for k, v in new_meta["paths"].items()
     }
     # the outgoing generation's top-level dirs, kept on disk for
-    # concurrent readers until gc_index's grace elapses
+    # concurrent readers until gc_index's grace elapses. If a previous
+    # retired set is still unreclaimed (vacuum ran again inside the
+    # grace window), carry its paths forward — overwriting it would
+    # orphan the grandparent's dirs on disk forever.
+    carried = (idx.meta.get("retired") or {}).get("paths", [])
     new_meta["retired"] = {
-        "paths": sorted({p.split("/")[0] for p in idx.meta["paths"].values()}),
+        "paths": sorted(
+            set(carried)
+            | {p.split("/")[0] for p in idx.meta["paths"].values()}
+        ),
         "at": _time.time(),
     }
     tmp = os.path.join(index_dir, "meta.json.tmp")

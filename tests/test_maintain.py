@@ -361,6 +361,34 @@ class TestLifecycle:
         assert not os.path.exists(os.path.join(d, "gen1"))
         assert idx2.search("t1", 5)
 
+    def test_back_to_back_vacuums_carry_retired_paths(self, spark, lifecycle):
+        """Two vacuums inside the grace window must not orphan the
+        grandparent generation: the unreclaimed retired paths carry
+        forward into the new retired set, and one gc reclaims all."""
+        import os
+
+        from bm25spark.maintain import gc_index
+
+        d, oracle, rnd = lifecycle
+        os.environ["BM25SPARK_VACUUM_GRACE_SEC"] = "3600"
+        try:
+            vacuum(spark, d, "text")   # gen0 retired (grace not elapsed)
+            vacuum(spark, d, "text")   # gen1 retired; gen0 must carry
+            import json
+
+            with open(os.path.join(d, "meta.json")) as f:
+                meta = json.load(f)
+            assert "docs" in meta["retired"]["paths"]     # gen0 legacy dirs
+            assert "gen1" in meta["retired"]["paths"]
+            assert os.path.exists(os.path.join(d, "docs"))
+            assert os.path.exists(os.path.join(d, "gen1"))
+        finally:
+            del os.environ["BM25SPARK_VACUUM_GRACE_SEC"]
+        assert gc_index(d, grace_sec=0) is True
+        assert not os.path.exists(os.path.join(d, "docs"))
+        assert not os.path.exists(os.path.join(d, "gen1"))
+        assert Bm25Index(spark, d).search("t1", 5)
+
     def test_delete_hides_immediately_stats_stale(self, spark, lifecycle):
         d, oracle, rnd = lifecycle
         idx = Bm25Index(spark, d)
