@@ -18,13 +18,13 @@ README.md:126-139), so analyzers here are our own, pluggable via
 ``intern`` maps a token to a fixed 16-byte key exactly like the
 reference (/root/reference/crates/bm25/src/vector.rs:19-35): strings
 shorter than 16 bytes containing no NUL are stored raw, zero-padded;
-longer ones are hashed with a 32-byte-keyed hash, last byte forced
-nonzero. Deviation: the reference uses keyed blake3; this container
-has no blake3, so we use ``hashlib.blake2b(key=seed, digest_size=16)``.
-Interning is a pure consistent token->key map used identically at
-build and query time, so this cannot affect rank-identity; the raw
-fast path (the overwhelming majority of real tokens) is byte-identical
-to the reference.
+longer ones take the first 16 bytes of ``blake3::keyed_hash(seed,
+token)`` with the last byte forced nonzero — keyed BLAKE3 via the
+pure-Python from-the-spec implementation in :mod:`bm25spark.blake3`,
+so term keys are byte-identical to the reference for every token
+(the pre-round-3 blake2b fallback survives as ``intern_blake2b`` for
+format-v1 artifacts). A fourth built-in analyzer, ``unicode``, covers
+CJK text with character bigrams (see :func:`tokenize_unicode`).
 """
 
 from __future__ import annotations
@@ -111,6 +111,9 @@ _CJK_RE = re.compile(
     "가-힯"  # hangul syllables
     "豈-﫿"  # CJK compat
     "･-ﾟ"  # halfwidth katakana
+    "ㇰ-ㇿ"  # katakana phonetic extensions (Ainu)
+    "\U00020000-\U0002ebef"  # CJK ext B-F (supplementary plane)
+    "\U0002f800-\U0002fa1f"  # CJK compat ideographs supplement
     "]+"
 )
 _UNI_WORD_RE = re.compile(r"[^\W_]+", re.UNICODE)

@@ -83,10 +83,25 @@ def wand_topk_df(
     )
 
 
+def _resolve_cfg(
+    analyzer: str | None, cfg: Bm25Config | None, default: str
+) -> Bm25Config:
+    """Merge the convenience ``analyzer`` arg with an explicit cfg —
+    conflicting values raise instead of silently preferring cfg."""
+    if cfg is None:
+        return Bm25Config(analyzer=analyzer or default)
+    if analyzer is not None and analyzer != cfg.analyzer:
+        raise ValueError(
+            f"analyzer={analyzer!r} conflicts with cfg.analyzer="
+            f"{cfg.analyzer!r}; pass one or make them agree"
+        )
+    return cfg
+
+
 def tokenize_df(
     df: DataFrame,
     text_col: str = "text",
-    analyzer: str = "english",
+    analyzer: str | None = None,
     cfg: Bm25Config | None = None,
 ) -> DataFrame:
     """The reference's ``tokenize(text, tokenizer)::bm25vector``
@@ -94,10 +109,11 @@ def tokenize_df(
     document vector as a sorted array<struct<key:binary, tf:int>>,
     token ids interned exactly like the index build — plus the
     summed ``doc_len``. One Arrow-batched UDF; NULL text rows are
-    dropped like the build's NULL skip."""
+    dropped like the build's NULL skip. ``analyzer`` defaults to
+    english when neither it nor ``cfg`` is given."""
     from .udfs import with_doc_terms
 
-    cfg = cfg or Bm25Config(analyzer=analyzer)
+    cfg = _resolve_cfg(analyzer, cfg, "english")
     return with_doc_terms(df, text_col, cfg.analyzer, cfg.seed)
 
 
@@ -105,17 +121,18 @@ def tokenize_mappings_df(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    analyzer: str = "simple",
+    analyzer: str | None = None,
     cfg: Bm25Config | None = None,
 ) -> DataFrame:
     """Exploded bm25vector view: one row per (doc, token) with its
     term frequency — the relational form of ``tokenize()`` output
     (and of the reference's bm25vector '{id:tf}' display). With the
-    ``simple`` analyzer the token column is the readable token string
-    (SQL-replicable end to end); other analyzers emit interned keys."""
+    ``simple`` analyzer (the default) the token column is the readable
+    token string (SQL-replicable end to end); other analyzers emit
+    interned keys."""
     from pyspark.sql import functions as F
 
-    cfg = cfg or Bm25Config(analyzer=analyzer)
+    cfg = _resolve_cfg(analyzer, cfg, "simple")
     if cfg.analyzer == "simple":
         from .query import tokenize_simple_sql
 

@@ -486,6 +486,7 @@ def connected_components(
         .withColumn("label", F.col("_v"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iters):
         neigh = (
             edges.join(
@@ -517,6 +518,14 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # never return partially-propagated labels as if they were
+        # components — a >max_iters-diameter chain must fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter exceeds max_iters); raise max_iters or use a "
+            "large-star/small-star formulation for long-chain graphs"
+        )
     return (
         labels.select(
             F.col("_v").cast("bigint").alias(out_id),

@@ -71,6 +71,61 @@ class _OffsetFieldnorms:
         return len(self.arr)
 
 
+def _shard_fieldnorms(
+    docs_path: str, shard: int, shard_size: int
+) -> _OffsetFieldnorms:
+    """One shard's fieldnorm slice as a global-id-indexable view
+    (row-group-pruned Arrow read of the docs artifact)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    base = shard * shard_size
+    d = ds.dataset(docs_path, format="parquet")
+    t = d.to_table(
+        columns=["doc_id", "fieldnorm"], filter=pc.field("shard") == shard
+    )
+    ids = np.asarray(t["doc_id"])
+    arr = np.zeros(shard_size, dtype=np.uint8)
+    arr[ids - base] = np.asarray(t["fieldnorm"]).astype(np.uint8)
+    return _OffsetFieldnorms(base, arr)
+
+
+def _termpostings_from_blocks(
+    pdf: "pd.DataFrame",
+    base: int,
+    term_info: dict,
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> dict:
+    """Assemble one shard's block rows into TermPostings, keyed by
+    term key in ascending key order (shared by the single-query and
+    batched kernels so the two paths cannot diverge).
+    ``term_info``: key -> (df, wand_fn, wand_tf)."""
+    pdf = pdf.sort_values(["term_key", "block_ord"], kind="stable")
+    out: dict = {}
+    for term_key, g in pdf.groupby("term_key", sort=True):
+        bkey = bytes(term_key)
+        df_, wfn, wtf = term_info[bkey]
+        out[bkey] = TermPostings(
+            cache=Cache(n_docs, df_, k1, b, avgdl),
+            wand_fn=int(wfn),
+            wand_tf=int(wtf),
+            min_doc=g["min_doc"].to_numpy(np.int64),
+            max_doc=g["max_doc"].to_numpy(np.int64),
+            count=g["count"].to_numpy(np.int64),
+            block_fn=g["wand_fn"].to_numpy(np.int64),
+            block_tf=g["wand_tf"].to_numpy(np.int64),
+            ids_meta=g["ids_meta"].tolist(),
+            ids_bytes=[bytes(x) for x in g["ids_bytes"]],
+            tfs_meta=g["tfs_meta"].tolist(),
+            tfs_bytes=[bytes(x) for x in g["tfs_bytes"]],
+            shard_base=np.full(len(g), base, dtype=np.int64),
+        )
+    return out
+
+
 def search_distributed(
     spark: SparkSession,
     index_dir: str,
@@ -133,8 +188,8 @@ def search_distributed(
             (F.col("doc_id") / shard_size).cast("int").alias("shard"), "doc_id"
         )
     term_info = {
-        key: (i, stats[key]["df"], stats[key]["wand_fn"], stats[key]["wand_tf"])
-        for i, key in enumerate(present)
+        key: (stats[key]["df"], stats[key]["wand_fn"], stats[key]["wand_tf"])
+        for key in present
     }
     # per-shard over-fetch: the shard heap cuts on *unrounded* scores,
     # but the global limit orders by (rounded score, doc_id) — a doc
@@ -157,43 +212,16 @@ def search_distributed(
         )
     )
 
-    def run_shard(key, pdf: pd.DataFrame, allowed_pdf: pd.DataFrame | None = None):
-        import pyarrow.compute as pc
-        import pyarrow.dataset as ds
-
+    def run_shard(key, pdf, allowed_pdf=None):
         (term_info, n_docs, avgdl, k1, b, shard_size, docs_path, k) = binfo.value
         shard = int(key[0])
         base = shard * shard_size
-        d = ds.dataset(docs_path, format="parquet")
-        t = d.to_table(
-            columns=["doc_id", "fieldnorm"], filter=pc.field("shard") == shard
+        fns = _shard_fieldnorms(docs_path, shard, shard_size)
+        terms = list(
+            _termpostings_from_blocks(
+                pdf, base, term_info, n_docs, avgdl, k1, b
+            ).values()
         )
-        ids = np.asarray(t["doc_id"])
-        arr = np.zeros(shard_size, dtype=np.uint8)
-        arr[ids - base] = np.asarray(t["fieldnorm"]).astype(np.uint8)
-        fns = _OffsetFieldnorms(base, arr)
-
-        pdf = pdf.sort_values(["term_key", "block_ord"], kind="stable")
-        terms = []
-        for term_key, g in pdf.groupby("term_key", sort=True):
-            _, df_, wfn, wtf = term_info[bytes(term_key)]
-            terms.append(
-                TermPostings(
-                    cache=Cache(n_docs, df_, k1, b, avgdl),
-                    wand_fn=int(wfn),
-                    wand_tf=int(wtf),
-                    min_doc=g["min_doc"].to_numpy(np.int64),
-                    max_doc=g["max_doc"].to_numpy(np.int64),
-                    count=g["count"].to_numpy(np.int64),
-                    block_fn=g["wand_fn"].to_numpy(np.int64),
-                    block_tf=g["wand_tf"].to_numpy(np.int64),
-                    ids_meta=g["ids_meta"].tolist(),
-                    ids_bytes=[bytes(x) for x in g["ids_bytes"]],
-                    tfs_meta=g["tfs_meta"].tolist(),
-                    tfs_bytes=[bytes(x) for x in g["tfs_bytes"]],
-                    shard_base=np.full(len(g), base, dtype=np.int64),
-                )
-            )
         allowed_mask = None
         if allowed_pdf is not None:
             # shard-local mask over global ids: allowlist = prefilter
@@ -334,45 +362,17 @@ def search_distributed_batch(
     )
 
     def run_shard_batch(key, pdf):
-        import pyarrow.compute as pc
-        import pyarrow.dataset as ds
-
         (term_info, qterms, n_docs, avgdl, k1, b, shard_size, docs_path, k) = (
             binfo.value
         )
         shard = int(key[0])
         base = shard * shard_size
-        d = ds.dataset(docs_path, format="parquet")
-        t = d.to_table(
-            columns=["doc_id", "fieldnorm"], filter=pc.field("shard") == shard
+        fns = _shard_fieldnorms(docs_path, shard, shard_size)
+        tps = _termpostings_from_blocks(
+            pdf, base, term_info, n_docs, avgdl, k1, b
         )
-        ids = np.asarray(t["doc_id"])
-        arr = np.zeros(shard_size, dtype=np.uint8)
-        arr[ids - base] = np.asarray(t["fieldnorm"]).astype(np.uint8)
-        fns = _OffsetFieldnorms(base, arr)
-
-        pdf = pdf.sort_values(["term_key", "block_ord"], kind="stable")
-        tps: dict[bytes, TermPostings] = {}
-        for term_key, g in pdf.groupby("term_key", sort=True):
-            bkey = bytes(term_key)
-            df_, wfn, wtf = term_info[bkey]
-            tp = TermPostings(
-                cache=Cache(n_docs, df_, k1, b, avgdl),
-                wand_fn=int(wfn),
-                wand_tf=int(wtf),
-                min_doc=g["min_doc"].to_numpy(np.int64),
-                max_doc=g["max_doc"].to_numpy(np.int64),
-                count=g["count"].to_numpy(np.int64),
-                block_fn=g["wand_fn"].to_numpy(np.int64),
-                block_tf=g["wand_tf"].to_numpy(np.int64),
-                ids_meta=g["ids_meta"].tolist(),
-                ids_bytes=[bytes(x) for x in g["ids_bytes"]],
-                tfs_meta=g["tfs_meta"].tolist(),
-                tfs_bytes=[bytes(x) for x in g["tfs_bytes"]],
-                shard_base=np.full(len(g), base, dtype=np.int64),
-            )
+        for tp in tps.values():
             tp.decoded = tp.decode_all()  # decode ONCE, reuse per query
-            tps[bkey] = tp
         out = []
         for qid, keys in qterms.items():
             terms = [tps[key] for key in keys if key in tps]

@@ -122,8 +122,11 @@ class Bm25Index:
         resident block cache."""
         if not keys:
             return {}
-        missing = [k for k in keys if k not in self._postings_cache]
-        found: dict[bytes, dict] = {}
+        # snapshot the hits FIRST: _cache_admit below may clear both
+        # caches mid-call, and a key cached at entry must still be
+        # served from the snapshot (the dict holds the reference)
+        out = {k: self._postings_cache[k] for k in keys if k in self._postings_cache}
+        missing = [k for k in keys if k not in out]
         if missing:
             if self._postings_ds is None:
                 import pyarrow.dataset as ds
@@ -142,12 +145,7 @@ class Bm25Index:
                 if self._cache_admit(size):
                     self._postings_cache[k] = p
                     self._cache_bytes += size
-        out = {}
-        for k in keys:
-            if k in self._postings_cache:
-                out[k] = self._postings_cache[k]
-            elif k in found:
-                out[k] = found[k]
+                out[k] = p
         return out
 
     def _cache_admit(self, size: int) -> bool:

@@ -176,14 +176,21 @@ def _live_delta(spark: SparkSession, idx: Bm25Index, index_dir: str) -> DataFram
             .drop("_tomb_seq")
         )
     # unique per-row key for downstream grouping / deterministic id
-    # assignment ("_rid" may be absent in pre-upgrade delta dirs)
-    rid = (
-        F.col("_rid").cast("string")
-        if "_rid" in delta.columns
-        else F.lit("0")
-    )
+    # assignment. Fail loudly if _rid is missing rather than collapse
+    # a whole insert batch into one pseudo-doc: a _rid-less delta can
+    # only come from hand-edited files (v1 indexes are rejected at
+    # open, and every v2 insert stamps _rid).
+    if "_rid" not in delta.columns:
+        raise ValueError(
+            f"delta table at {path} lacks the per-row _rid column; "
+            "it was not written by bm25spark.maintain.insert — "
+            "re-insert the rows (or vacuum from source) before searching"
+        )
     return delta.withColumn(
-        "_rowid", F.concat_ws("#", F.col("_seq").cast("string"), rid)
+        "_rowid",
+        F.concat_ws(
+            "#", F.col("_seq").cast("string"), F.col("_rid").cast("string")
+        ),
     ).drop("_seq", "_rid")
 
 
@@ -291,7 +298,6 @@ def _delta_topk_df(
             F.collect_list(F.struct("term_key", "tf")).alias("pairs"),
         )
         matched = quantized_dl(spark, per_doc, "doc_len")
-        s1 = s1_of(F.col("qdl"))
         exploded = matched.select(
             "_rowid", *pc, "qdl", F.explode("pairs").alias("p")
         ).select(

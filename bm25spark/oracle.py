@@ -146,8 +146,10 @@ ORDER BY score DESC, doc_id LIMIT {k}
 #: that the block ranges deliberately include)
 _CJK_SQL_CLASS = (
     r"[\x{2E80}-\x{2EFF}\x{3040}-\x{30FF}\x{3130}-\x{318F}"
+    r"\x{31F0}-\x{31FF}"
     r"\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}"
-    r"\x{F900}-\x{FAFF}\x{FF65}-\x{FF9F}]"
+    r"\x{F900}-\x{FAFF}\x{FF65}-\x{FF9F}"
+    r"\x{20000}-\x{2EBEF}\x{2F800}-\x{2FA1F}]"
 )
 
 

@@ -372,6 +372,10 @@ class TestAnalyzers:
         # query tokens overlap document tokens for any substring >= 2 chars
         doc = set(tokenize_unicode("全文検索エンジンを構築する"))
         assert set(tokenize_unicode("検索エンジン")) <= doc
+        # supplementary-plane ideographs (Ext B rare-name chars) and
+        # katakana phonetic extensions bigram like any other CJK
+        assert tokenize_unicode("一\U00020BB7七") == ["一\U00020BB7", "\U00020BB7七"]
+        assert tokenize_unicode("ㇱㇵㇶ") == ["ㇱㇵ", "ㇵㇶ"]
 
     def test_analyze_document_merges_and_sorts(self):
         items, length = analyze_document(

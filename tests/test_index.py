@@ -219,6 +219,36 @@ class TestBuildProperties:
                 assert x.max_doc < y.min_doc
 
 
+def test_cache_eviction_mid_query_still_serves(spark, tmp_path):
+    """Regression: a key cached at query entry must survive the cache
+    clear that admitting another key's postings can trigger mid-call
+    (the output snapshot holds the reference) — previously a KeyError
+    crash. Exercised at several byte budgets including ones that force
+    a clear between the two terms and ones that cache nothing."""
+    rnd = random.Random(9)
+    rows = [
+        (i, " ".join(f"w{rnd.randrange(30)}" for _ in range(30)))
+        for i in range(200)
+    ]
+    d = str(tmp_path / "idx_evict")
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    build_index(spark, df, d, "text", ["doc_id"], cfg=Bm25Config(shard_size=128))
+    ref = Bm25Index(spark, d).search("w1 w2", 10)
+    one_term = sum(
+        len(b)
+        for p in Bm25Index(spark, d).postings_for(
+            Bm25Index(spark, d).query_keys("w1")
+        ).values()
+        for b in p["ids_bytes"] + p["tfs_bytes"]
+    )
+    for limit in (1, one_term + 8, one_term * 10):
+        idx = Bm25Index(spark, d)
+        idx.postings_cache_limit = limit
+        idx.search("w1", 10)           # may cache w1
+        assert idx.search("w1 w2", 10) == ref  # admit(w2) may clear w1
+        assert idx.search("w1 w2", 10) == ref  # and again from cold/warm mix
+
+
 def test_taat_dense_and_sparse_bit_identical(spark, tmp_path):
     """The dense-accumulator and candidate-union forms of the taat
     kernel must return the same (id, score) lists bit-for-bit — on
