@@ -64,6 +64,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": lambda s, d: textstats.text_quality(_docs(s, d)),
         "text_fingerprint": lambda s, d: textstats.text_fingerprint(_docs(s, d)),
         "text_pii_flags": lambda s, d: textstats.text_pii_flags(_docs(s, d)),
+        "text_repetition": lambda s, d: textstats.text_repetition(_docs(s, d)),
     }
 
 
@@ -131,4 +132,5 @@ def oracle_registry() -> dict[str, str]:
         "text_quality": textstats.text_quality_sql(),
         "text_fingerprint": textstats.text_fingerprint_sql(),
         "text_pii_flags": textstats.text_pii_flags_sql(),
+        "text_repetition": textstats.text_repetition_sql(),
     }

@@ -225,3 +225,85 @@ WITH c AS (
 SELECT doc_id, n_emails, n_urls, n_ipv4, n_phones, ({flags}) AS has_pii
 FROM c ORDER BY doc_id
 """
+
+
+# ------------------------------------------------------------ repetition ----
+
+def text_repetition(docs: DataFrame) -> DataFrame:
+    """Boilerplate/repetition signals per doc (the Gopher-style
+    duplicate-line filters of a training-data pipeline): count of
+    non-empty (trimmed) lines, fraction of lines that are repeats of
+    an earlier line (1 - distinct/total), and the share of the most
+    frequent line. One explode + two hash aggregations, all codegen;
+    docs whose text has no non-empty line report zeros."""
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    base = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        lines.alias("_l"),
+    )
+    per_line = (
+        base.select("doc_id", F.explode("_l").alias("line"))
+        .groupBy("doc_id", "line")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = per_line.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_lines"),
+        F.count("*").cast("bigint").alias("_distinct"),
+        F.max("c").cast("bigint").alias("_maxc"),
+    )
+    out = (
+        base.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.round(
+                F.when(F.coalesce(F.col("n_lines"), F.lit(0)) == 0, F.lit(0.0))
+                .otherwise(
+                    F.lit(1.0)
+                    - F.col("_distinct") / F.col("n_lines")
+                ),
+                4,
+            ).alias("dup_line_ratio"),
+            F.round(
+                F.coalesce(F.col("_maxc"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("n_lines"), F.lit(0)), F.lit(1)),
+                4,
+            ).alias("top_line_frac"),
+        )
+    )
+    return out.orderBy("doc_id")
+
+
+def text_repetition_sql() -> str:
+    return """
+WITH base AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+per_line AS (
+  SELECT doc_id, unnest(l) AS line FROM base
+),
+cnt AS (
+  SELECT doc_id, line, count(*) AS c FROM per_line GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_lines,
+         count(*)::BIGINT AS n_distinct, max(c)::BIGINT AS maxc
+  FROM cnt GROUP BY 1
+)
+SELECT b.doc_id,
+       coalesce(a.n_lines, 0) AS n_lines,
+       round(CASE WHEN coalesce(a.n_lines, 0) = 0 THEN 0.0
+                  ELSE 1.0 - a.n_distinct / a.n_lines END, 4)
+         AS dup_line_ratio,
+       round(coalesce(a.maxc, 0)
+             / greatest(coalesce(a.n_lines, 0), 1), 4) AS top_line_frac
+FROM base b LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""

@@ -163,6 +163,27 @@ class TestTextStats:
             textstats.text_pii_flags(docs), textstats.text_pii_flags_sql()
         )
 
+    def test_repetition_matches_oracle(self, docs):
+        assert_matches(
+            textstats.text_repetition(docs), textstats.text_repetition_sql()
+        )
+
+    def test_repetition_planted(self, spark):
+        rows = [
+            (1, "same line\nsame line\nsame line\nother"),
+            (2, "a\nb\nc\nd"),
+            (3, "   \n  \n"),  # whitespace only -> zero lines
+            (4, "x"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        got = {r.doc_id: r for r in textstats.text_repetition(df).collect()}
+        assert got[1].n_lines == 4
+        assert got[1].dup_line_ratio == pytest.approx(0.5)  # 2 of 4 are repeats
+        assert got[1].top_line_frac == pytest.approx(0.75)
+        assert got[2].dup_line_ratio == 0.0
+        assert got[3].n_lines == 0 and got[3].dup_line_ratio == 0.0
+        assert got[4].n_lines == 1 and got[4].top_line_frac == 1.0
+
     def test_pii_flags_planted(self, spark):
         rows = [
             (1, "contact alice@example.com or bob.smith+x@sub.domain.org"),
