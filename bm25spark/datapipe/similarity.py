@@ -970,3 +970,130 @@ walk(v, r) AS (
 SELECT v::BIGINT AS vec_id, min(r)::BIGINT AS component_id
 FROM walk GROUP BY v ORDER BY vec_id
 """
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    index_dir: str,
+    n_clusters: int = IVF_CLUSTERS,
+    quant: int = LSH_QUANT,
+    train_sample: int = 65536,
+) -> dict:
+    """Persist the IVF index: every vector assigned to its nearest
+    centroid and written ``partitionBy(cid)`` — serving then reads
+    only the probed clusters' *directories* (Parquet partition
+    pruning), making the nprobe/n_clusters scan fraction real I/O,
+    not just compute. The trained integer centroids are parameters
+    and live in the meta file; a ``vectors`` artifact (sorted by
+    vec_id) serves probe lookups with row-group pruning. Mirrors
+    :func:`build_lsh_index`'s artifact design."""
+    import json
+    import os
+
+    import pandas as pd
+
+    spark = emb.sparkSession
+    n = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    train = emb.orderBy("vec_id").limit(train_sample).collect()
+    tmat = np.array([r.embedding for r in train], dtype=np.float64)
+    centroids = ivf_train(tmat, n_clusters, quant=quant)
+    b_cent = spark.sparkContext.broadcast(centroids)
+
+    def assign(batches):
+        cent = b_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["embedding"].to_list(), dtype=np.float64)
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["cid"] = _ivf_assign(vecs, cent, quant)
+            yield out
+
+    src = emb.select(F.col("vec_id").cast("bigint").alias("vec_id"), "embedding")
+    (
+        src.mapInPandas(assign, "vec_id bigint, embedding array<float>, cid bigint")
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(index_dir, "clusters"))
+    )
+    (
+        src.repartitionByRange(max(1, n // 65536 or 1), "vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "vectors"))
+    )
+    meta = {
+        "n_clusters": int(len(centroids)),
+        "quant": quant,
+        "dim": dim,
+        "n": n,
+        "centroids": [[int(x) for x in row] for row in centroids],
+    }
+    with open(os.path.join(index_dir, "ivf_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ann_ivf_topk_indexed(
+    spark,
+    index_dir: str,
+    probes=None,
+    k: int = K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Serve IVF ANN from a persisted :func:`build_ivf_index`
+    artifact: reads ONLY the probed clusters' directories (partition
+    pruning on ``cid``), then the exact rounded-cosine re-rank.
+    Result-identical to the in-memory :func:`ann_ivf_topk` with the
+    same parameters and training rows (tested)."""
+    import json
+    import os
+
+    probes = probes if probes is not None else PROBES
+    with open(os.path.join(index_dir, "ivf_meta.json")) as f:
+        meta = json.load(f)
+    quant = meta["quant"]
+    centroids = np.array(meta["centroids"], dtype=np.int64)
+
+    pr = (
+        spark.read.parquet(os.path.join(index_dir, "vectors"))
+        .filter(F.col("vec_id").isin(probes))
+        .collect()
+    )
+    if not pr:
+        return spark.createDataFrame(
+            [], "probe_id bigint, vec_id bigint, cos double"
+        )
+    pr = sorted(pr, key=lambda r: r.vec_id)
+    pids = np.array([r.vec_id for r in pr], dtype=np.int64)
+    pmat = np.array([r.embedding for r in pr], dtype=np.float64)
+    plists = _ivf_probe_lists(pmat, centroids, quant, nprobe)
+    rows = [(int(pid), int(cid)) for pid, cids in zip(pids, plists) for cid in cids]
+    probe_df = spark.createDataFrame(rows, "probe_id bigint, cid bigint")
+    wanted = sorted({cid for _, cid in rows})
+
+    clusters = spark.read.parquet(os.path.join(index_dir, "clusters"))
+    cands = (
+        # .isin on the partition column -> directory-level pruning
+        clusters.filter(F.col("cid").isin(wanted))
+        .join(F.broadcast(probe_df), "cid")
+        .select("probe_id", "vec_id", _as_double(F.col("embedding")).alias("e"))
+    )
+    pemb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(pids, pmat)],
+        "probe_id bigint, pe array<double>",
+    )
+    scored = cands.join(F.broadcast(pemb), "probe_id").select(
+        "probe_id",
+        "vec_id",
+        F.round(_cosine(F.col("pe"), F.col("e")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "vec_id", "cos")
+        .orderBy("probe_id", F.desc("cos"), "vec_id")
+    )

@@ -343,6 +343,23 @@ class TestSimilarity:
         plan = got._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [" in plan and "tb" in plan
 
+    def test_ivf_indexed_equals_inmemory_and_prunes(self, spark, tmp_path):
+        """build_ivf_index + ann_ivf_topk_indexed must equal the
+        in-memory ann_ivf_topk (same centroids, same quantization) and
+        the serving scan must show cid partition pruning — the
+        nprobe/n_clusters scan fraction as real directory-level I/O."""
+        emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        d = str(tmp_path / "ivf_idx")
+        meta = similarity.build_ivf_index(emb01, d)
+        assert meta["n_clusters"] == 16 and meta["n"] == 500
+        got = similarity.ann_ivf_topk_indexed(spark, d)
+        want = similarity.ann_ivf_topk(emb01)
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "cid" in plan
+
     def test_ivf_matches_oracle_and_recall(self, spark):
         """IVF: same determinism design as the LSH (trained centroids
         are cross-engine literals; integer-exact assignment), so the
