@@ -65,6 +65,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": lambda s, d: textstats.text_fingerprint(_docs(s, d)),
         "text_pii_flags": lambda s, d: textstats.text_pii_flags(_docs(s, d)),
         "text_repetition": lambda s, d: textstats.text_repetition(_docs(s, d)),
+        "text_ngram_repetition": lambda s, d: textstats.text_ngram_repetition(
+            _docs(s, d)
+        ),
     }
 
 
@@ -133,4 +136,5 @@ def oracle_registry() -> dict[str, str]:
         "text_fingerprint": textstats.text_fingerprint_sql(),
         "text_pii_flags": textstats.text_pii_flags_sql(),
         "text_repetition": textstats.text_repetition_sql(),
+        "text_ngram_repetition": textstats.text_ngram_repetition_sql(),
     }

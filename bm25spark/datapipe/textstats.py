@@ -307,3 +307,78 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN agg a USING (doc_id)
 ORDER BY doc_id
 """
+
+
+def text_ngram_repetition(docs: DataFrame) -> DataFrame:
+    """Word-bigram concentration per doc (the token-level counterpart
+    of :func:`text_repetition`'s line stats): total bigram count and
+    the share held by the most frequent bigram — high values flag
+    looping/generated text. simple-analyzer tokens; the bigram window
+    is zip_with over shifted slices (bound to a column attribute
+    first — HOF lambdas re-evaluate enclosing expressions per
+    element)."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda s: s != ""
+    )
+    base = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), toks.alias("_t")
+    )
+    m = F.greatest(F.size("_t") - 1, F.lit(0))
+    bi = F.zip_with(
+        F.slice("_t", 1, m),
+        F.slice("_t", 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    per_bi = (
+        base.select("doc_id", F.explode(bi.alias("_b")).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = per_bi.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.max("c").cast("bigint").alias("_maxc"),
+    )
+    return (
+        base.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.round(
+                F.coalesce(F.col("_maxc"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1)),
+                4,
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_ngram_repetition_sql() -> str:
+    return """
+WITH base AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t), 1)),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM base
+),
+cnt AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c)::BIGINT AS maxc
+  FROM cnt GROUP BY 1
+)
+SELECT b.doc_id,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       round(coalesce(a.maxc, 0)
+             / greatest(coalesce(a.n_bigrams, 0), 1), 4) AS top_bigram_frac
+FROM base b LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""

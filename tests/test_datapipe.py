@@ -184,6 +184,29 @@ class TestTextStats:
         assert got[3].n_lines == 0 and got[3].dup_line_ratio == 0.0
         assert got[4].n_lines == 1 and got[4].top_line_frac == 1.0
 
+    def test_ngram_repetition_matches_oracle(self, docs):
+        assert_matches(
+            textstats.text_ngram_repetition(docs),
+            textstats.text_ngram_repetition_sql(),
+        )
+
+    def test_ngram_repetition_planted(self, spark):
+        rows = [
+            (1, "go go go go"),          # bigrams: 3x "go go"
+            (2, "a b c d"),              # 3 distinct bigrams
+            (3, "word"),                 # 1 token -> 0 bigrams
+            (4, ""),                     # empty
+        ]
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        got = {
+            r.doc_id: r for r in textstats.text_ngram_repetition(df).collect()
+        }
+        assert got[1].n_bigrams == 3 and got[1].top_bigram_frac == 1.0
+        assert got[2].n_bigrams == 3
+        assert got[2].top_bigram_frac == pytest.approx(1 / 3, abs=1e-4)
+        assert got[3].n_bigrams == 0 and got[3].top_bigram_frac == 0.0
+        assert got[4].n_bigrams == 0
+
     def test_pii_flags_planted(self, spark):
         rows = [
             (1, "contact alice@example.com or bob.smith+x@sub.domain.org"),
