@@ -35,6 +35,31 @@ SIMHASH_BITS = 16
 _MINHASH_SALT = "#"
 
 
+#: persisted subplans from in-flight dedup pipelines. The returned
+#: DataFrames are lazy, so a persist cannot be dropped inside the call
+#: that created it; instead each new dedup call drains the previous
+#: entry (one frame live at a time — the same tracked-persist pattern
+#: as bm25spark.query), and :func:`release_caches` drains explicitly.
+_live_persists: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    release_caches()
+    df = df.persist()
+    _live_persists.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist any subplan left behind by a prior dedup pipeline
+    (minhash signatures / simhash codes / shingle explode)."""
+    while _live_persists:
+        try:
+            _live_persists.pop().unpersist()
+        except Exception:
+            pass
+
+
 # ---------------------------------------------------------------- exact ----
 
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
@@ -179,7 +204,7 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     the only shuffle is the band-hash self-join, whose fan-out is
     bounded by bucket size (AQE skew-join splits pathological bands).
     """
-    sig = _signatures(docs).persist()
+    sig = _persist_tracked(_signatures(docs))
     packed = sig.select(
         "doc_id",
         F.array(*[F.col(f"sig{j}") for j in range(N_HASHES)]).alias("sigs"),
@@ -321,7 +346,7 @@ def simhash_hamming_pairs(docs: DataFrame, max_dist: int = 3) -> DataFrame:
     Exact distance is then one xor+bit_count per candidate — at scale
     the only shuffle is the band join, fan-out bounded by band-bucket
     size."""
-    sh = simhash(docs).persist()
+    sh = _persist_tracked(simhash(docs))
     bands = sh.select(
         "doc_id",
         "simhash",
@@ -399,11 +424,10 @@ def ngram_jaccard_pairs(docs: DataFrame, limit: int = 20) -> DataFrame:
     # carry the per-doc shingle-set size alongside each exploded row so
     # the Jaccard denominator needs no back-join; persist so the
     # shingle pipeline runs once for both sides of the self-join.
-    ex = (
+    ex = _persist_tracked(
         _with_shingles(docs)
         .select("doc_id", F.size("_sh").alias("n_sh"),
                 F.explode("_sh").alias("shingle"))
-        .persist()
     )
     inter = (
         ex.alias("a")

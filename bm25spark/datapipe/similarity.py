@@ -993,8 +993,25 @@ def build_ivf_index(
     import pandas as pd
 
     spark = emb.sparkSession
+    # input convention: float32 embeddings (array<float>), matching the
+    # LSH artifact. The clusters artifact is written array<float>, so a
+    # float64 source would be silently truncated and the
+    # "result-identical to in-memory" guarantee of
+    # ann_ivf_topk_indexed would not hold — refuse instead.
+    from pyspark.sql.types import ArrayType, FloatType
+
+    etype = emb.schema["embedding"].dataType
+    if not (isinstance(etype, ArrayType) and isinstance(etype.elementType, FloatType)):
+        raise ValueError(
+            "build_ivf_index expects float32 embeddings (array<float>); "
+            f"got {etype.simpleString()} — cast explicitly if truncation "
+            "is acceptable"
+        )
     n = emb.count()
-    dim = len(emb.select("embedding").first()[0])
+    first = emb.select("embedding").first()
+    if first is None:
+        raise ValueError("build_ivf_index: input DataFrame has no rows")
+    dim = len(first[0])
     train = emb.orderBy("vec_id").limit(train_sample).collect()
     tmat = np.array([r.embedding for r in train], dtype=np.float64)
     centroids = ivf_train(tmat, n_clusters, quant=quant)

@@ -600,13 +600,21 @@ def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
     # retired set is still unreclaimed (vacuum ran again inside the
     # grace window), carry its paths forward — overwriting it would
     # orphan the grandparent's dirs on disk forever.
-    carried = (idx.meta.get("retired") or {}).get("paths", [])
+    prev_retired = idx.meta.get("retired") or {}
+    carried = prev_retired.get("paths", [])
+    # keep the EARLIEST retired timestamp when carrying unreclaimed
+    # paths forward — resetting it would restart the carried paths'
+    # grace window on every back-to-back vacuum and delay reclamation
+    # indefinitely (never deletes early either way, but late is waste)
+    retired_at = _time.time()
+    if carried:
+        retired_at = min(retired_at, float(prev_retired.get("at", retired_at)))
     new_meta["retired"] = {
         "paths": sorted(
             set(carried)
             | {p.split("/")[0] for p in idx.meta["paths"].values()}
         ),
-        "at": _time.time(),
+        "at": retired_at,
     }
     tmp = os.path.join(index_dir, "meta.json.tmp")
     with open(tmp, "w") as f:

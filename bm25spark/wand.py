@@ -370,13 +370,25 @@ def taat_topk(
         # driver-path guardrail (or shard_size on the distributed
         # path, where ids are global and `fieldnorms` is an
         # offset-carrying shard view).
-        # np.ndarray has its own unrelated `.base` (buffer parent) —
-        # only the shard view's integer offset counts
-        base = (
-            0
-            if isinstance(fieldnorms, np.ndarray)
-            else int(getattr(fieldnorms, "base", 0))
-        )
+        # Shard-view protocol (structural, not duck-typed): a plain
+        # ndarray is a GLOBAL fieldnorm array (base 0; np.ndarray's own
+        # `.base` is the unrelated buffer parent and must not be read);
+        # anything else MUST carry an explicit integer `base` offset
+        # (e.g. distributed._OffsetFieldnorms). A wrapper without one
+        # is refused rather than silently scored at base 0 — a plain
+        # offset slice passed directly would mis-map global ids.
+        if isinstance(fieldnorms, np.ndarray):
+            base = 0
+        else:
+            try:
+                base = int(fieldnorms.base)
+            except (AttributeError, TypeError, ValueError) as e:
+                raise TypeError(
+                    "taat_topk dense path: non-ndarray fieldnorms must "
+                    "expose an integer .base global-id offset (see "
+                    "bm25spark.distributed._OffsetFieldnorms); got "
+                    f"{type(fieldnorms).__name__}"
+                ) from e
         dense = np.zeros(len(fieldnorms), dtype=np.float64)
         for t, (ids, tfs) in zip(terms, decoded):
             loc = ids if base == 0 else ids - base

@@ -608,3 +608,45 @@ def test_ann_kernel_rank_identical_to_catalyst(spark):
     a = [tuple(r) for r in similarity.ann_cosine_topk(emb).collect()]
     b = [tuple(r) for r in similarity.ann_cosine_topk_kernel(emb).collect()]
     assert a == b
+
+
+class TestDedupCacheHygiene:
+    def test_no_cache_growth_across_dedup_calls(self, spark, docs):
+        """Sequential dedup pipelines must not accumulate persisted
+        frames (VERDICT r3 #2): each call's subplan persist is tracked
+        and drained by the next call; release_caches drains explicitly
+        — same pattern as bm25spark.query."""
+
+        def n_persisted() -> int:
+            return len(
+                spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+            )
+
+        dedup.release_caches()
+        base = n_persisted()
+        for _ in range(3):
+            dedup.minhash_candidate_pairs(docs).collect()
+            assert n_persisted() <= base + 1
+            dedup.simhash_hamming_pairs(docs).collect()
+            assert n_persisted() <= base + 1
+            dedup.ngram_jaccard_pairs(docs).collect()
+            assert n_persisted() <= base + 1
+        dedup.release_caches()
+        assert n_persisted() <= base
+
+
+class TestIvfBuildGuards:
+    def test_empty_input_raises(self, spark, tmp_path):
+        empty = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<FLOAT>")
+        with pytest.raises(ValueError, match="no rows"):
+            similarity.build_ivf_index(empty, str(tmp_path / "ivf_empty"))
+
+    def test_float64_input_refused(self, spark, tmp_path):
+        """The clusters artifact is array<float>; a float64 source would
+        be silently truncated, breaking the indexed==in-memory claim —
+        refuse it."""
+        df = spark.createDataFrame(
+            [(0, [0.1, 0.2]), (1, [0.3, 0.4])], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+        )
+        with pytest.raises(ValueError, match="float32"):
+            similarity.build_ivf_index(df, str(tmp_path / "ivf_f64"))

@@ -332,3 +332,39 @@ def test_custom_analyzer_end_to_end(spark, tmp_path):
         .collect()
     ]
     assert exact == got
+
+
+def test_taat_dense_rejects_baseless_shard_view(spark, tmp_path):
+    """Shard-view protocol (VERDICT r3 #3): the dense path must refuse
+    a non-ndarray fieldnorm wrapper that lacks an explicit integer
+    ``base`` offset, instead of silently scoring it at base 0."""
+    from bm25spark.wand import taat_topk
+
+    rows = [(i, "alpha beta gamma delta " * 3) for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    d = str(tmp_path / "idx_proto")
+    build_index(spark, df, d, "text", ["doc_id"], cfg=Bm25Config(shard_size=128))
+    idx = Bm25Index(spark, d)
+    terms = idx.term_postings("alpha beta")
+    fns = idx.fieldnorms()
+
+    class BaselessView:  # looks indexable, carries no offset
+        def __init__(self, arr):
+            self.arr = arr
+
+        def __getitem__(self, i):
+            return self.arr[i]
+
+        def __len__(self):
+            return len(self.arr)
+
+    with pytest.raises(TypeError, match="base"):
+        taat_topk(terms, BaselessView(fns), 10, dense=True)
+
+    # a wrapper WITH an explicit base scores identically to the array
+    class View(BaselessView):
+        base = 0
+
+    assert taat_topk(terms, View(fns), 10, dense=True) == taat_topk(
+        terms, fns, 10, dense=True
+    )
