@@ -130,6 +130,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         out["bm25_dist_batch"] = _dist_batch
 
+        def _dist_batch_del(spark: SparkSession, sf_dir: str) -> DataFrame:
+            """Batched serving against an index with deletions (P4 in
+            the batch path): every %5==0 payload key is tombstoned via
+            maintain.delete, and the tombstones route through the same
+            per-shard cogroup mask as the single-query path — the
+            reference applies its deleted filter on every scan
+            (bulkdelete.rs:20-112, search.rs:112-118). Statistics stay
+            sealed (full-corpus) until vacuum."""
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            from bm25spark.build import build_index
+            from bm25spark.config import Bm25Config
+            from bm25spark.distributed import search_distributed_batch
+            from bm25spark.maintain import _tombstones_df, delete
+
+            docs = _docs(spark, sf_dir)
+            d = tempfile.mkdtemp(prefix="bm25spark-batchdel-gate-")
+            build_index(
+                spark, docs, d, "text", ["doc_id"],
+                cfg=Bm25Config(shard_size=1 << 14),
+            )
+            delete(
+                spark, d, docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+            )
+            qs = {
+                name: " ".join(tokens)
+                for name, (tokens, _) in _QUERY_SETS.items()
+            }
+            return search_distributed_batch(
+                spark, d, qs, 10, blocked=_tombstones_df(spark, d)
+            ).select(
+                "query_id",
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                "score",
+            )
+
+        out["bm25_dist_batch_del"] = _dist_batch_del
+
         def _dist_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             """P3 in the scale path: per-shard cogrouped allowlist mask.
             Prefilter semantics = full-corpus statistics, candidates
@@ -359,6 +399,18 @@ def oracle_sql() -> dict[str, str]:
         out["bm25_dist_q_prefilter"] = oracle.bm25_delta_topk_sql(
             toks, 10, sealed_pred="TRUE", live_pred="((doc_id % 2) = 0)"
         )
+        # batched serving with tombstones: sealed (full-corpus) stats,
+        # deleted docs excluded from candidates — per-query oracles
+        # unioned, mirroring queries()["bm25_dist_batch_del"]
+        out["bm25_dist_batch_del"] = "\nUNION ALL\n".join(
+            f"SELECT '{name}' AS query_id, * FROM ("
+            + oracle.bm25_delta_topk_sql(
+                tokens, 10, sealed_pred="TRUE",
+                live_pred="((doc_id % 5) <> 0)",
+            )
+            + ")"
+            for name, (tokens, _) in _QUERY_SETS.items()
+        ) + "\nORDER BY query_id, score DESC, doc_id"
 
     out["bm25_tokenize_mappings"] = oracle.tokenize_mappings_sql()
     out["corpus_stats"] = oracle.corpus_stats_sql()

@@ -62,6 +62,11 @@ def main(argv: list[str] | None = None) -> None:
         s.add_argument("--index-dir", required=True)
         s.add_argument("--query", required=True)
         s.add_argument("-k", type=int, default=100)
+        if name == "search-dist":
+            s.add_argument(
+                "--deleted-aware", action="store_true",
+                help="exclude tombstoned docs (P4 mask; see 'delete')",
+            )
 
     sb = sub.add_parser(
         "search-batch", help="M queries in one Spark job (one per line)"
@@ -72,6 +77,10 @@ def main(argv: list[str] | None = None) -> None:
         help="text file, one query per line; line number = query_id",
     )
     sb.add_argument("-k", type=int, default=100)
+    sb.add_argument(
+        "--deleted-aware", action="store_true",
+        help="exclude tombstoned docs (P4 mask; see 'delete')",
+    )
 
     v = sub.add_parser("vacuum")
     v.add_argument("--index-dir", required=True)
@@ -129,13 +138,23 @@ def main(argv: list[str] | None = None) -> None:
         for row in idx.search_df(args.query, args.k).collect():
             print(json.dumps(row.asDict(), default=str))
     elif args.cmd == "search-dist":
+        blocked = None
+        if args.deleted_aware:
+            from .maintain import _tombstones_df
+
+            blocked = _tombstones_df(spark, args.index_dir)
         for row in search_distributed(
-            spark, args.index_dir, args.query, args.k
+            spark, args.index_dir, args.query, args.k, blocked=blocked
         ).collect():
             print(json.dumps(row.asDict(), default=str))
     elif args.cmd == "search-batch":
         from .distributed import search_distributed_batch
 
+        blocked = None
+        if args.deleted_aware:
+            from .maintain import _tombstones_df
+
+            blocked = _tombstones_df(spark, args.index_dir)
         with open(args.queries_file) as f:
             qs = {
                 str(i): line.strip()
@@ -143,7 +162,7 @@ def main(argv: list[str] | None = None) -> None:
                 if line.strip()
             }
         for row in search_distributed_batch(
-            spark, args.index_dir, qs, args.k
+            spark, args.index_dir, qs, args.k, blocked=blocked
         ).collect():
             print(json.dumps(row.asDict(), default=str))
     elif args.cmd == "vacuum":

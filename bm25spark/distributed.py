@@ -126,6 +126,52 @@ def _termpostings_from_blocks(
     return out
 
 
+def _allowlist_frames(
+    idx: Bm25Index,
+    prefilter: DataFrame | None,
+    blocked: DataFrame | None,
+    shard_size: int,
+) -> tuple[DataFrame | None, bool]:
+    """Shared P3/P4 routing for the single-query and batched
+    distributed paths (so the two cannot diverge): returns
+    ``(allowed_df, mask_blocklist)`` where ``allowed_df`` is a
+    per-shard (shard, doc_id) frame to cogroup into the kernel tasks.
+
+    Prefilter (allowlist, P3): allowed *payload keys* are resolved to
+    internal ids via a semi-join against the docs artifact. Blocked
+    (blocklist, P4): tombstoned *internal ids* ship directly — the
+    shard is derivable from the dense id, so the cogroup cost is
+    O(tombstones), never O(n_docs). Both set: blocked ids are removed
+    from the allowlist."""
+    if prefilter is not None:
+        pc = idx.payload_cols
+        allowed_df = (
+            idx.docs_df()
+            .join(
+                prefilter.select(*[F.col(c).alias(f"p_{c}") for c in pc]),
+                [f"p_{c}" for c in pc],
+                "left_semi",
+            )
+            .select("shard", "doc_id")
+        )
+        if blocked is not None:
+            allowed_df = allowed_df.join(
+                blocked.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+        return allowed_df, False
+    if blocked is not None:
+        allowed_df = (
+            blocked.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+            .distinct()
+            .select(
+                (F.col("doc_id") / shard_size).cast("int").alias("shard"),
+                "doc_id",
+            )
+        )
+        return allowed_df, True
+    return None, False
+
+
 def search_distributed(
     spark: SparkSession,
     index_dir: str,
@@ -160,33 +206,9 @@ def search_distributed(
     shard_size = idx.shard_size
     docs_path = idx._path("docs")
 
-    allowed_df = None
-    mask_blocklist = False
-    if prefilter is not None:
-        pc = idx.payload_cols
-        allowed_df = (
-            idx.docs_df()
-            .join(
-                prefilter.select(*[F.col(c).alias(f"p_{c}") for c in pc]),
-                [f"p_{c}" for c in pc],
-                "left_semi",
-            )
-            .select("shard", "doc_id")
-        )
-        if blocked is not None:
-            # both: blocked ids are removed from the allowlist
-            allowed_df = allowed_df.join(
-                blocked.select("doc_id").distinct(), "doc_id", "left_anti"
-            )
-    elif blocked is not None:
-        # blocklist mode: ship only the (small) tombstone set; shard is
-        # derivable from the dense internal id — no docs-artifact join
-        mask_blocklist = True
-        allowed_df = blocked.select(
-            F.col("doc_id").cast("bigint").alias("doc_id")
-        ).distinct().select(
-            (F.col("doc_id") / shard_size).cast("int").alias("shard"), "doc_id"
-        )
+    allowed_df, mask_blocklist = _allowlist_frames(
+        idx, prefilter, blocked, shard_size
+    )
     term_info = {
         key: (stats[key]["df"], stats[key]["wand_fn"], stats[key]["wand_tf"])
         for key in present
@@ -288,6 +310,8 @@ def search_distributed_batch(
     queries: dict[str, str],
     k: int,
     round_score: int | None = 4,
+    prefilter: DataFrame | None = None,
+    blocked: DataFrame | None = None,
 ) -> DataFrame:
     """Batched distributed top-k: M queries answered by ONE Spark job.
 
@@ -303,6 +327,13 @@ def search_distributed_batch(
     (query_id, payload cols..., score), ordered by
     (query_id, score desc, payload cols) — per-query results identical
     to :func:`search_distributed` (asserted in tests).
+
+    ``prefilter``/``blocked`` carry the P3 allowlist (payload-key
+    rows) and P4 tombstones (internal ``doc_id`` rows) exactly as in
+    :func:`search_distributed` — the reference applies the deleted
+    filter on *every* scan (bulkdelete.rs:20-112, search.rs:112-118),
+    so the throughput-oriented batch path must too. One shared mask is
+    built per shard task and applied to every query in the batch.
     """
     from pyspark.sql import Window
 
@@ -361,7 +392,11 @@ def search_distributed_batch(
         )
     )
 
-    def run_shard_batch(key, pdf):
+    allowed_df, mask_blocklist = _allowlist_frames(
+        idx, prefilter, blocked, shard_size
+    )
+
+    def run_shard_batch(key, pdf, allowed_pdf=None):
         (term_info, qterms, n_docs, avgdl, k1, b, shard_size, docs_path, k) = (
             binfo.value
         )
@@ -373,18 +408,44 @@ def search_distributed_batch(
         )
         for tp in tps.values():
             tp.decoded = tp.decode_all()  # decode ONCE, reuse per query
+        allowed_mask = None
+        if allowed_pdf is not None:
+            # ONE shard-local mask shared by every query in the batch
+            # (allowlist = prefilter P3, blocklist = tombstones P4 —
+            # same semantics as the single-query path's run_shard)
+            allowed_mask = _OffsetMask(
+                base,
+                shard_size,
+                allowed_pdf["doc_id"].to_numpy(np.int64) - base,
+                blocklist=mask_blocklist,
+            )
         out = []
         for qid, keys in qterms.items():
             terms = [tps[key] for key in keys if key in tps]
             if not terms:
                 continue
-            for doc_id, score in taat_topk(terms, fns, k):
+            for doc_id, score in taat_topk(terms, fns, k, allowed_mask=allowed_mask):
                 out.append((qid, doc_id, score))
         return pd.DataFrame(out, columns=["query_id", "doc_id", "score"])
 
-    per_shard = blocks.groupBy("shard").applyInPandas(
-        run_shard_batch, out_cols
-    )
+    if allowed_df is None:
+        def run_batch_grouped(key, pdf):
+            return run_shard_batch(key, pdf, None)
+
+        per_shard = blocks.groupBy("shard").applyInPandas(
+            run_batch_grouped, out_cols
+        )
+    else:
+        def run_batch_cogrouped(key, left: pd.DataFrame, right: pd.DataFrame):
+            if left.empty:
+                return pd.DataFrame(columns=["query_id", "doc_id", "score"])
+            return run_shard_batch(key, left, right)
+
+        per_shard = (
+            blocks.groupBy("shard")
+            .cogroup(allowed_df.groupBy("shard"))
+            .applyInPandas(run_batch_cogrouped, out_cols)
+        )
     score_col = (
         F.round(F.col("score"), round_score)
         if round_score is not None

@@ -60,3 +60,53 @@ def test_negated_score_convention(spark, corpus_path, tmp_path):
     pos = idx.search_df("parse", 3).collect()
     neg = idx.search_df("parse", 3, negate=True).collect()
     assert [r.score for r in neg] == [-r.score for r in pos]
+
+
+def test_search_batch_deleted_aware(spark, corpus_path, tmp_path, capsys):
+    """search-batch --deleted-aware must exclude tombstoned docs (the
+    same P4 mask as the library's blocked=), while the plain batch
+    returns the sealed view."""
+    d = str(tmp_path / "idx_bdel")
+    cli.main([
+        "build", "--input", corpus_path, "--format", "parquet",
+        "--text-col", "content", "--order-cols", "repo,path,commit",
+        "--index-dir", d, "--analyzer", "code", "--shard-size", "16384",
+    ])
+    capsys.readouterr()
+    qf = str(tmp_path / "queries.txt")
+    with open(qf, "w") as f:
+        f.write("parse merge\nindex\n")
+
+    cli.main(["search-batch", "--index-dir", d, "--queries-file", qf, "-k", "5"])
+    before = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert before
+    victim_path = before[0]["path"]
+
+    # tombstone the top hit's key, then the deleted-aware batch must
+    # not return it (and the plain batch still does — sealed view)
+    keys = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"]) for r in before[:1]],
+        "repo STRING, path STRING, commit STRING",
+    )
+    kp = str(tmp_path / "delkeys.parquet")
+    keys.write.parquet(kp)
+    cli.main(["delete", "--index-dir", d, "--input", kp, "--format", "parquet"])
+    capsys.readouterr()
+
+    cli.main([
+        "search-batch", "--index-dir", d, "--queries-file", qf, "-k", "5",
+        "--deleted-aware",
+    ])
+    after = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert after and all(r["path"] != victim_path for r in after)
+
+    cli.main(["search-batch", "--index-dir", d, "--queries-file", qf, "-k", "5"])
+    plain = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert any(r["path"] == victim_path for r in plain)
+
+    cli.main([
+        "search-dist", "--index-dir", d, "--query", "parse merge", "-k", "5",
+        "--deleted-aware",
+    ])
+    dlines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert all(r["path"] != victim_path for r in dlines)

@@ -132,3 +132,49 @@ class TestDistributed:
             mask2[iid] = pid % 2 == 0 and pid % 9 != 0
         want2 = [(pay[i], s) for i, s in idx.search("t1 t22", 25, allowed_mask=mask2)]
         assert [(r.doc_id, r.score) for r in got2] == want2
+
+    def test_batch_equals_single_with_tombstones(self, spark, dist_index):
+        """The batched path must apply P3/P4 masks exactly like the
+        single-query path (the reference applies the deleted filter on
+        EVERY scan, search.rs:112-118) — with tombstones, with a
+        prefilter, and with both at once; and a tombstoned doc must
+        never surface from the batch."""
+        from bm25spark.distributed import search_distributed_batch
+
+        d, rows = dist_index
+        idx = Bm25Index(spark, d)
+        pay = {
+            r.doc_id: r.p_doc_id
+            for r in idx.docs_df().select("doc_id", "p_doc_id").collect()
+        }
+        blocked_iids = [iid for iid, pid in pay.items() if pid % 5 == 0]
+        blocked = spark.createDataFrame(
+            [(i,) for i in blocked_iids], "doc_id LONG"
+        )
+        allowed = spark.createDataFrame(
+            [(i,) for i in rows if i % 2 == 0], "doc_id INT"
+        )
+        qs = {"a": "t1 t22 t333", "b": "t0", "c": "t7 zz_absent"}
+        for kw in (
+            {"blocked": blocked},
+            {"prefilter": allowed},
+            {"blocked": blocked, "prefilter": allowed},
+        ):
+            batch = search_distributed_batch(
+                spark, d, qs, 25, round_score=None, **kw
+            ).collect()
+            by_q: dict = {}
+            for r in batch:
+                by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
+            if "blocked" in kw:
+                assert all(
+                    r.doc_id % 5 != 0 for r in batch
+                ), "tombstoned doc surfaced from the batch path"
+            for qid, text in qs.items():
+                single = [
+                    (r.doc_id, r.score)
+                    for r in search_distributed(
+                        spark, d, text, 25, round_score=None, **kw
+                    ).collect()
+                ]
+                assert by_q.get(qid, []) == single, (qid, sorted(kw))
