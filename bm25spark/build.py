@@ -47,7 +47,7 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
+
 import zlib
 from typing import Iterator
 
@@ -64,6 +64,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from . import fs as fsio
 from . import packing
 from .config import BLOCK_SIZE, FORMAT_MAGIC, FORMAT_VERSION, Bm25Config
 from .scoring import tf_score
@@ -96,7 +97,7 @@ def term_bucket(term_key: bytes, n_buckets: int) -> int:
 
 
 def _stage_done(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+    return fsio.exists(fsio.join(path, "_SUCCESS"))
 
 
 def _ensure_readable_parquet(path: str, schema, subdir: str | None = None) -> None:
@@ -107,18 +108,16 @@ def _ensure_readable_parquet(path: str, schema, subdir: str | None = None) -> No
     synthetic partition dir) so an *empty index* builds, loads and
     searches cleanly — CREATE INDEX on an empty table works in the
     reference and must work here."""
-    import glob
-
-    if glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+    if fsio.has_parquet_files(path):
         return
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    target = os.path.join(path, subdir) if subdir else path
-    os.makedirs(target, exist_ok=True)
+    target = fsio.join(path, subdir) if subdir else path
+    fsio.mkdirs(target)
+    fs, fpath = fsio.resolve(fsio.join(target, "part-empty.parquet"))
     pq.write_table(
-        to_arrow_schema(schema).empty_table(),
-        os.path.join(target, "part-empty.parquet"),
+        to_arrow_schema(schema).empty_table(), fpath, filesystem=fs
     )
 
 
@@ -415,16 +414,12 @@ def build_index(
     cfg = cfg or Bm25Config()
     payload_cols = payload_cols or list(order_cols)
 
-    docs_path = os.path.join(index_dir, "docs")
-    maps_path = os.path.join(index_dir, "mappings")
-    postings_path = os.path.join(index_dir, "postings")
-    terms_path = os.path.join(index_dir, "terms")
-    lineage_path = os.path.join(index_dir, "lineage")
-    meta_path = os.path.join(index_dir, "meta.json")
+    docs_path = fsio.join(index_dir, "docs")
+    maps_path = fsio.join(index_dir, "mappings")
 
-    if not resume and os.path.exists(index_dir):
-        shutil.rmtree(index_dir)
-    os.makedirs(index_dir, exist_ok=True)
+    if not resume and fsio.exists(index_dir):
+        fsio.rmtree(index_dir)
+    fsio.mkdirs(index_dir)
 
     # ---- stage 1: docs + mappings staging -------------------------------
     if not (resume and _stage_done(docs_path) and _stage_done(maps_path)):
@@ -547,12 +542,12 @@ def finalize_index(
     local_id, fieldnorm — one row per document) used by the initial
     build's hot path; when absent, stage 3 reads the exploded mappings
     staging (resume / vacuum)."""
-    docs_path = os.path.join(index_dir, "docs")
-    maps_path = os.path.join(index_dir, "mappings")
-    postings_path = os.path.join(index_dir, "postings")
-    terms_path = os.path.join(index_dir, "terms")
-    lineage_path = os.path.join(index_dir, "lineage")
-    meta_path = os.path.join(index_dir, "meta.json")
+    docs_path = fsio.join(index_dir, "docs")
+    maps_path = fsio.join(index_dir, "mappings")
+    postings_path = fsio.join(index_dir, "postings")
+    terms_path = fsio.join(index_dir, "terms")
+    lineage_path = fsio.join(index_dir, "lineage")
+    meta_path = fsio.join(index_dir, "meta.json")
 
     # ---- stage 2: corpus stats ------------------------------------------
     docs_art = spark.read.parquet(docs_path)
@@ -751,10 +746,7 @@ def finalize_index(
             "mappings": "mappings",
         },
     }
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=2)
-    os.replace(tmp, meta_path)
+    fsio.write_text_atomic(meta_path, json.dumps(meta, indent=2))
     return index_dir
 
 

@@ -1,0 +1,147 @@
+"""URI-aware control-plane I/O for index directories.
+
+An ``index_dir`` may be a plain POSIX path or a filesystem URI
+(``file://``, ``s3://``, ``gs://``, ``hdfs://`` — anything
+``pyarrow.fs.FileSystem.from_uri`` resolves). The *data plane* —
+Spark parquet jobs and pyarrow dataset reads — already speaks URIs
+natively; this module gives the *control plane* (meta.json, _SUCCESS
+probes, atomic publish, retired-generation GC, the mutation-sequence
+counter) the same reach, so an index can live on shared object
+storage instead of requiring a shared POSIX mount (the reference
+gets its control plane from PostgreSQL, build.rs:60-70; a
+filesystem-native index has to build it).
+
+Atomicity contract (the publish discipline every caller relies on):
+
+- :func:`write_text_atomic` — on a local filesystem: write a temp
+  file in the same directory, then ``os.replace`` (atomic rename).
+  On an object store: one direct PUT — object stores publish a
+  single-object write atomically (readers see the old object or the
+  new one, never a torn write), so the temp+rename dance is not only
+  unnecessary but weaker (two PUTs).
+- :func:`move_dir` — local: one atomic ``rename``. Object store:
+  recursive copy + delete (NOT atomic) — which is fine for every
+  caller here because artifacts are always published *meta-last*:
+  a half-moved directory is unreachable until the meta.json repoint
+  lands, and that repoint is the single atomic step.
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+
+from pyarrow import fs as pafs
+
+
+def is_uri(path: str) -> bool:
+    return "://" in path
+
+
+def resolve(path: str) -> tuple["pafs.FileSystem", str]:
+    """-> (FileSystem, fs-internal path). Plain paths map to the
+    local filesystem unchanged."""
+    if is_uri(path):
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def join(path: str, *parts: str) -> str:
+    """Join path components under either convention. URIs always use
+    '/', local paths use os.sep — both collapse through posixpath on
+    POSIX, so one branch on the scheme suffices."""
+    if is_uri(path):
+        return posixpath.join(path.rstrip("/"), *parts)
+    return os.path.join(path, *parts)
+
+
+def is_local(path: str) -> bool:
+    fs, _ = resolve(path)
+    return isinstance(fs, pafs.LocalFileSystem)
+
+
+def local_path(path: str) -> str:
+    """The fs-internal path for a local path/URI (for os-level calls
+    like O_EXCL locking that pyarrow.fs does not expose)."""
+    return resolve(path)[1]
+
+
+def exists(path: str) -> bool:
+    fs, p = resolve(path)
+    return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def mkdirs(path: str) -> None:
+    fs, p = resolve(path)
+    fs.create_dir(p, recursive=True)
+
+
+def rmtree(path: str) -> None:
+    """Recursive delete, silent on a missing path (shutil.rmtree
+    ignore_errors analogue)."""
+    fs, p = resolve(path)
+    try:
+        fs.delete_dir(p)
+    except (FileNotFoundError, OSError):
+        pass
+
+
+def read_text(path: str) -> str:
+    fs, p = resolve(path)
+    with fs.open_input_stream(p) as f:
+        return f.read().decode("utf-8")
+
+
+def write_text(path: str, text: str) -> None:
+    fs, p = resolve(path)
+    with fs.open_output_stream(p) as f:
+        f.write(text.encode("utf-8"))
+
+
+def write_text_atomic(path: str, text: str) -> None:
+    """Publish a small control file atomically (see module docstring
+    for the per-backend mechanism)."""
+    fs, p = resolve(path)
+    if isinstance(fs, pafs.LocalFileSystem):
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, p)
+    else:
+        with fs.open_output_stream(p) as f:
+            f.write(text.encode("utf-8"))
+
+
+def delete_file(path: str) -> None:
+    fs, p = resolve(path)
+    try:
+        fs.delete_file(p)
+    except (FileNotFoundError, OSError):
+        pass
+
+
+def move_dir(src: str, dst: str) -> None:
+    """Rename a directory within one filesystem. Local: atomic rename
+    (same parent). Object store: recursive copy + source delete — not
+    atomic, which every caller tolerates because the directory is
+    unreachable until the meta.json repoint (publish-last)."""
+    fs, sp = resolve(src)
+    _, dp = resolve(dst)
+    if isinstance(fs, pafs.LocalFileSystem):
+        os.rename(sp, dp)
+        return
+    pafs.copy_files(src, dst)
+    fs.delete_dir(sp)
+
+
+def has_parquet_files(path: str) -> bool:
+    """Any *.parquet file anywhere under ``path``?"""
+    fs, p = resolve(path)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(p, recursive=True))
+    except (FileNotFoundError, OSError):
+        return False
+    return any(
+        i.type == pafs.FileType.File and i.path.endswith(".parquet")
+        for i in infos
+    )

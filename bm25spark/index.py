@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import artifacts
+from . import fs as fsio
 from .analyze import analyze_query, get_analyzer
 from .build import term_bucket
 from .scoring import Cache
@@ -29,8 +30,15 @@ class Bm25Index:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
-        with open(os.path.join(index_dir, "meta.json")) as f:
-            self.meta = json.load(f)
+        try:
+            self.meta = json.loads(
+                fsio.read_text(fsio.join(index_dir, "meta.json"))
+            )
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"no meta.json under {index_dir} — not a published "
+                "bm25spark index"
+            ) from None
         if self.meta.get("magic") != "bm25spark":
             raise ValueError(f"not a bm25spark index: {index_dir}")
         from .config import FORMAT_VERSION
@@ -71,7 +79,7 @@ class Bm25Index:
         )
 
     def _path(self, name: str) -> str:
-        return os.path.join(self.index_dir, self.meta["paths"][name])
+        return fsio.join(self.index_dir, self.meta["paths"][name])
 
     # ---- artifact access -------------------------------------------------
 

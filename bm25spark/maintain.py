@@ -39,11 +39,12 @@ maintain.rs:27-311):
 from __future__ import annotations
 
 import os
-import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import fs as fsio
 from .analyze import analyze_query, get_analyzer
 from .build import (
     _assign_doc_ids,
@@ -62,34 +63,123 @@ from .udfs import with_doc_terms
 DEFAULT_MAX_DELTA_ROWS = 4096
 
 
-def _delta_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "delta")
+def _gen_of(meta: dict) -> int:
+    return int(meta.get("generation", 0))
 
 
-def _tomb_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "tombstones")
+def _read_gen(index_dir: str) -> int:
+    import json
+
+    return _gen_of(json.loads(fsio.read_text(fsio.join(index_dir, "meta.json"))))
 
 
-def _delta_tomb_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "delta_tombstones")
+def _mut_dir(index_dir: str, gen: int) -> str:
+    """The growing segment is *generation-scoped*: every mutation file
+    of generation G lives under ``mut_gen{G}/``. Vacuum absorbs
+    generation G and publishes meta with generation G+1 — a reader
+    opened after the publish reads ``mut_gen{G+1}`` (empty), a reader
+    opened before keeps its old sealed artifacts AND its old delta
+    dir, so there is no window in which a delta row is visible twice
+    (the old design deleted the delta *after* the meta repoint and a
+    newly opened reader in between double-counted). The absorbed
+    ``mut_gen{G}`` rides the retired-paths list to gc_index."""
+    return fsio.join(index_dir, f"mut_gen{gen}")
 
 
-def _seq_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "delta_seq")
+def _delta_path(index_dir: str, gen: int) -> str:
+    return fsio.join(_mut_dir(index_dir, gen), "delta")
 
 
-def _next_seq(index_dir: str) -> int:
+def _tomb_path(index_dir: str, gen: int) -> str:
+    return fsio.join(_mut_dir(index_dir, gen), "tombstones")
+
+
+def _delta_tomb_path(index_dir: str, gen: int) -> str:
+    return fsio.join(_mut_dir(index_dir, gen), "delta_tombstones")
+
+
+def _seq_path(index_dir: str, gen: int) -> str:
+    return fsio.join(_mut_dir(index_dir, gen), "delta_seq")
+
+
+class _MutationLock:
+    """Serializes mutators (insert/delete/vacuum) on one index via an
+    O_EXCL lockfile — the filesystem analogue of the reference's
+    reliance on PostgreSQL's relation locks for its multithreaded
+    insert/delete/vacuum fuzz (tests/fuzz:217-303). Two concurrent
+    inserts therefore mint distinct sequence numbers, and an insert
+    racing a vacuum fails loudly (TimeoutError) instead of writing
+    into a growing segment the vacuum is absorbing.
+
+    Local filesystems only: object stores expose no atomic
+    create-exclusive through pyarrow.fs, so there the lock degrades to
+    a no-op and the single-driver mutation model is a documented
+    requirement (readers need no lock either way — publishes are
+    atomic meta repoints). A lockfile older than
+    ``BM25SPARK_LOCK_STALE_SEC`` (default 3600) is presumed leaked by
+    a crashed driver and is stolen."""
+
+    def __init__(self, index_dir: str, timeout: float | None = None):
+        self.enabled = fsio.is_local(index_dir)
+        self.path = (
+            os.path.join(fsio.local_path(index_dir), ".mutlock")
+            if self.enabled
+            else ""
+        )
+        self.timeout = (
+            float(os.environ.get("BM25SPARK_LOCK_TIMEOUT_SEC", "60"))
+            if timeout is None
+            else timeout
+        )
+        self.stale = float(os.environ.get("BM25SPARK_LOCK_STALE_SEC", "3600"))
+
+    def __enter__(self):
+        if not self.enabled:
+            return self
+        deadline = time.monotonic() + self.timeout
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(self.path) > self.stale:
+                        os.unlink(self.path)  # leaked by a dead driver
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"could not acquire mutation lock {self.path} within "
+                        f"{self.timeout}s — another mutator (insert/delete/"
+                        "vacuum) holds the index; retry when it finishes"
+                    ) from None
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        if self.enabled:
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass
+        return False
+
+
+def _next_seq(index_dir: str, gen: int) -> int:
     """Monotonic mutation sequence, one per insert/delete call. A tiny
-    driver-side counter file — mutations are driver-issued commands, so
-    this is not a distributed bottleneck; vacuum resets it along with
-    the delta (the swapped-in artifact dir has no counter file)."""
-    path = _seq_path(index_dir)
+    driver-side counter file under the generation's mut dir —
+    mutations are driver-issued commands, so this is not a distributed
+    bottleneck; callers hold the mutation lock, so two concurrent
+    mutators can no longer mint the same sequence. A fresh generation
+    starts a fresh counter automatically (new mut dir)."""
+    path = _seq_path(index_dir, gen)
     n = 0
-    if os.path.exists(path):
-        with open(path) as f:
-            n = int(f.read().strip() or 0)
-    with open(path, "w") as f:
-        f.write(str(n + 1))
+    if fsio.exists(path):
+        n = int(fsio.read_text(path).strip() or 0)
+    fsio.mkdirs(_mut_dir(index_dir, gen))
+    fsio.write_text_atomic(path, str(n + 1))
     return n
 
 
@@ -114,15 +204,17 @@ def insert(spark: SparkSession, index_dir: str, rows: DataFrame, text_col: str) 
     heap semantics: each inserted tuple is its own document), matching
     what vacuum produces when it gives each row its own doc_id."""
     idx = Bm25Index(spark, index_dir)
+    gen = _gen_of(idx.meta)
     keep = list(dict.fromkeys([*idx.payload_cols, text_col]))
-    seq = _next_seq(index_dir)
-    (
-        rows.select(*keep)
-        .withColumn("_seq", F.lit(seq).cast("long"))
-        .withColumn("_rid", F.monotonically_increasing_id())
-        .write.mode("append")
-        .parquet(_delta_path(index_dir))
-    )
+    with _MutationLock(index_dir):
+        seq = _next_seq(index_dir, gen)
+        (
+            rows.select(*keep)
+            .withColumn("_seq", F.lit(seq).cast("long"))
+            .withColumn("_rid", F.monotonically_increasing_id())
+            .write.mode("append")
+            .parquet(_delta_path(index_dir, gen))
+        )
 
 
 def delete(spark: SparkSession, index_dir: str, keys: DataFrame) -> None:
@@ -130,25 +222,31 @@ def delete(spark: SparkSession, index_dir: str, keys: DataFrame) -> None:
     index's payload columns. Only delta rows inserted *before* this
     call are masked (sequence-stamped tombstones)."""
     idx = Bm25Index(spark, index_dir)
+    gen = _gen_of(idx.meta)
     pc = idx.payload_cols
     sealed = idx.docs_df().join(
         keys.select(*[F.col(c).alias(f"p_{c}") for c in pc]),
         [f"p_{c}" for c in pc],
         "left_semi",
     )
-    seq = _next_seq(index_dir)
-    sealed.select("doc_id").write.mode("append").parquet(_tomb_path(index_dir))
-    keys.select(*pc).withColumn("_seq", F.lit(seq).cast("long")).write.mode(
-        "append"
-    ).parquet(_delta_tomb_path(index_dir))
+    with _MutationLock(index_dir):
+        seq = _next_seq(index_dir, gen)
+        sealed.select("doc_id").write.mode("append").parquet(
+            _tomb_path(index_dir, gen)
+        )
+        keys.select(*pc).withColumn("_seq", F.lit(seq).cast("long")).write.mode(
+            "append"
+        ).parquet(_delta_tomb_path(index_dir, gen))
 
 
-def _tombstones_df(spark: SparkSession, index_dir: str) -> DataFrame | None:
+def _tombstones_df(
+    spark: SparkSession, index_dir: str, gen: int | None = None
+) -> DataFrame | None:
     """Sealed-segment tombstones as a (small) distributed DataFrame of
     internal ``doc_id`` rows — routed per shard by the distributed
     search, never collected into a dense driver array (P4 at scale)."""
-    path = _tomb_path(index_dir)
-    if not os.path.exists(path):
+    path = _tomb_path(index_dir, _read_gen(index_dir) if gen is None else gen)
+    if not fsio.exists(path):
         return None
     return spark.read.parquet(path).select("doc_id").distinct()
 
@@ -157,12 +255,13 @@ def _live_delta(spark: SparkSession, idx: Bm25Index, index_dir: str) -> DataFram
     """Delta rows still visible: a row is hidden only by a tombstone on
     its key with a *later* mutation sequence (delete-then-reinsert
     keeps the reinserted row live)."""
-    path = _delta_path(index_dir)
-    if not os.path.exists(path):
+    gen = _gen_of(idx.meta)
+    path = _delta_path(index_dir, gen)
+    if not fsio.exists(path):
         return None
     delta = spark.read.parquet(path)
-    dt = _delta_tomb_path(index_dir)
-    if os.path.exists(dt):
+    dt = _delta_tomb_path(index_dir, gen)
+    if fsio.exists(dt):
         tombs = (
             spark.read.parquet(dt)
             .groupBy(idx.payload_cols)
@@ -373,7 +472,7 @@ def search_with_delta_df(
         query_text,
         k_fetch,
         round_score=None,
-        blocked=_tombstones_df(spark, index_dir),
+        blocked=_tombstones_df(spark, index_dir, gen=_gen_of(idx.meta)),
     ).select(*pc, "score")
 
     merged = sealed
@@ -449,22 +548,20 @@ def gc_index(index_dir: str, grace_sec: float | None = None) -> bool:
         if grace_sec is None
         else grace_sec
     )
-    mp = os.path.join(index_dir, "meta.json")
-    with open(mp) as f:
-        meta = _json.load(f)
+    mp = fsio.join(index_dir, "meta.json")
+    meta = _json.loads(fsio.read_text(mp))
     retired = meta.get("retired")
     if not retired or _time.time() - float(retired["at"]) < grace:
         return False
-    root = os.path.realpath(index_dir)
     for rel in retired["paths"]:
-        tgt = os.path.realpath(os.path.join(index_dir, rel))
-        if tgt.startswith(root + os.sep):  # never step outside the index
-            shutil.rmtree(tgt, ignore_errors=True)
+        # retired entries are simple top-level dir names written by
+        # vacuum; refuse anything that could step outside the index
+        # (works for URIs too, where realpath does not apply)
+        if not rel or "/" in rel or "\\" in rel or rel in (".", ".."):
+            continue
+        fsio.rmtree(fsio.join(index_dir, rel))
     meta.pop("retired", None)
-    tmp = mp + ".tmp"
-    with open(tmp, "w") as f:
-        _json.dump(meta, f, indent=2)
-    os.replace(tmp, mp)
+    fsio.write_text_atomic(mp, _json.dumps(meta, indent=2))
     return True
 
 
@@ -484,17 +581,41 @@ def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
     idx = Bm25Index(spark, index_dir)
     cfg = _cfg_from_meta(idx.meta)
     pc = idx.payload_cols
-    gen = int(idx.meta.get("generation", 0)) + 1
+    old_gen = _gen_of(idx.meta)
+    gen = old_gen + 1
+    # serialize against insert/delete (and a second vacuum): absorbing
+    # the growing segment while a mutator appends to it would lose the
+    # concurrent rows. The lock is held through the meta publish.
+    lock = _MutationLock(index_dir)
+    lock.__enter__()
+    try:
+        return _vacuum_locked(
+            spark, idx, index_dir, text_col, cfg, pc, old_gen, gen
+        )
+    finally:
+        lock.__exit__(None, None, None)
+
+
+def _vacuum_locked(
+    spark: SparkSession,
+    idx: Bm25Index,
+    index_dir: str,
+    text_col: str,
+    cfg: Bm25Config,
+    pc: list,
+    old_gen: int,
+    gen: int,
+) -> str:
     # reclaim the grandparent generation (if its grace elapsed)
     gc_index(index_dir)
-    work = os.path.join(index_dir, f"gen{gen}.build")
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(work)
+    work = fsio.join(index_dir, f"gen{gen}.build")
+    fsio.rmtree(work)
+    fsio.mkdirs(work)
 
     # --- survivors of the sealed segment, relabeled densely (J4) ---
     sealed = idx.docs_df()
-    tp = _tomb_path(index_dir)
-    if os.path.exists(tp):
+    tp = _tomb_path(index_dir, old_gen)
+    if fsio.exists(tp):
         sealed = sealed.join(
             spark.read.parquet(tp).distinct(), "doc_id", "left_anti"
         )
@@ -549,8 +670,8 @@ def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
     ).withColumn("local_id", (F.col("doc_id") % cfg.shard_size).cast("long"))
     new_docs.repartitionByRange(max(1, parts // 4), "doc_id").sortWithinPartitions(
         "doc_id"
-    ).write.parquet(os.path.join(work, "docs"))
-    _ensure_readable_parquet(os.path.join(work, "docs"), new_docs.schema)
+    ).write.parquet(fsio.join(work, "docs"))
+    _ensure_readable_parquet(fsio.join(work, "docs"), new_docs.schema)
 
     # --- new mappings: sealed relabel join ∪ delta ---
     old_maps = spark.read.parquet(idx._path("mappings")).withColumn(
@@ -566,7 +687,7 @@ def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
     )
     if delta_maps is not None:
         new_maps = new_maps.unionByName(delta_maps)
-    fns = spark.read.parquet(os.path.join(work, "docs")).select(
+    fns = spark.read.parquet(fsio.join(work, "docs")).select(
         F.col("doc_id").alias("gid"), "fieldnorm"
     )
     vm = new_maps.join(fns, "gid").select(
@@ -576,8 +697,8 @@ def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
         "tf",
         "fieldnorm",
     )
-    vm.write.parquet(os.path.join(work, "mappings"))
-    _ensure_readable_parquet(os.path.join(work, "mappings"), vm.schema)
+    vm.write.parquet(fsio.join(work, "mappings"))
+    _ensure_readable_parquet(fsio.join(work, "mappings"), vm.schema)
     relabeled.unpersist()
 
     finalize_index(spark, work, cfg, pc)
@@ -586,11 +707,10 @@ def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
     import json as _json
     import time as _time
 
-    gen_dir = os.path.join(index_dir, f"gen{gen}")
-    shutil.rmtree(gen_dir, ignore_errors=True)
-    os.rename(work, gen_dir)  # same parent: atomic
-    with open(os.path.join(gen_dir, "meta.json")) as f:
-        new_meta = _json.load(f)
+    gen_dir = fsio.join(index_dir, f"gen{gen}")
+    fsio.rmtree(gen_dir)
+    fsio.move_dir(work, gen_dir)  # local: atomic rename (same parent)
+    new_meta = _json.loads(fsio.read_text(fsio.join(gen_dir, "meta.json")))
     new_meta["generation"] = gen
     new_meta["paths"] = {
         k: f"gen{gen}/{v}" for k, v in new_meta["paths"].items()
@@ -610,25 +730,19 @@ def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
     if carried:
         retired_at = min(retired_at, float(prev_retired.get("at", retired_at)))
     new_meta["retired"] = {
+        # the absorbed growing segment (mut_gen{old}) retires WITH its
+        # sealed generation: a reader opened before the repoint keeps a
+        # consistent sealed+delta view until gc reclaims both, and a
+        # reader opened after reads mut_gen{new} (empty) — the old
+        # "delete delta after repoint" double-visibility window is gone
         "paths": sorted(
             set(carried)
             | {p.split("/")[0] for p in idx.meta["paths"].values()}
+            | {f"mut_gen{old_gen}"}
         ),
         "at": retired_at,
     }
-    tmp = os.path.join(index_dir, "meta.json.tmp")
-    with open(tmp, "w") as f:
-        _json.dump(new_meta, f, indent=2)
-    os.replace(tmp, os.path.join(index_dir, "meta.json"))
-
-    # the growing segment is absorbed into gen{N}: reset it. (A reader
-    # that opened the index before this point keeps its sealed-artifact
-    # view; only the tiny window between the meta replace and this
-    # reset can show a delta row twice to a *newly opened* delta-aware
-    # search — the single-driver mutation model never hits it.)
-    for p in (_delta_path, _tomb_path, _delta_tomb_path):
-        shutil.rmtree(p(index_dir), ignore_errors=True)
-    seqp = _seq_path(index_dir)
-    if os.path.exists(seqp):
-        os.remove(seqp)
+    fsio.write_text_atomic(
+        fsio.join(index_dir, "meta.json"), _json.dumps(new_meta, indent=2)
+    )
     return index_dir

