@@ -25,9 +25,14 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import dedup, similarity, textstats
+    from . import dedup, multimodal, similarity, textstats
 
     return {
+        # REAL audio path: write genuine WAV containers, parse them
+        # back with stdlib wave, emit integer-exact PCM features
+        "audio_wav_features": lambda s, d: multimodal.audio_features(
+            multimodal.synthesize_wav_media(_docs(s, d))
+        ).orderBy("doc_id"),
         "dedup_exact_groups": lambda s, d: dedup.exact_dup_groups(_docs(s, d)),
         "dedup_minhash_signatures": lambda s, d: dedup.minhash_signatures(
             _docs(s, d)
@@ -102,9 +107,10 @@ def _ivf_oracle_sql(sf_dir: str | None = None) -> str:
 
 
 def oracle_registry() -> dict[str, str]:
-    from . import dedup, similarity, textstats
+    from . import dedup, multimodal, similarity, textstats
 
     return {
+        "audio_wav_features": multimodal.audio_wav_features_sql(),
         "dedup_exact_groups": dedup.exact_dup_groups_sql(),
         "dedup_minhash_signatures": dedup.minhash_signatures_sql(),
         "dedup_minhash_pairs": dedup.minhash_candidate_pairs_sql(),
