@@ -228,6 +228,25 @@ def main() -> None:
         # queries and cold/warm, not run-to-run VM noise)
         queries[f"{tag}_wand_batch"] = round(sum(lat_all), 3)
 
+        # decode-pruning effectiveness (the distributed per-shard
+        # pre-cut, wand.prune_blocks): fraction of packed posting
+        # bytes that must be decompressed for the k_fetch=138 cut the
+        # serving path uses — measured on the same postings the shard
+        # tasks see (here unsharded, a conservative proxy: per-shard
+        # θ's are ≥ as selective at equal k)
+        from bm25spark.wand import prune_blocks
+
+        fns_arr = bidx.fieldnorms()
+        for pq, q in (("hot", "the"), ("multi", "merge spark window")):
+            tps = bidx.term_postings(q)
+            for t in tps:
+                t.decoded = None  # measure a cold decode, not the memo
+            _, st = prune_blocks(tps, fns_arr, 138)
+            if st["bytes_total"]:
+                extras[f"{tag}_prune_decoded_frac_{pq}"] = round(
+                    st["bytes_kept"] / st["bytes_total"], 3
+                )
+
     sf1_mult = int(os.environ.get("BM25SPARK_BENCH_SF1_MULT", "10"))
     if sf1_mult > 1:
         serve_scaled("sf1", sf1_mult, build_repeats=2)

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from .index import Bm25Index
 from .scoring import Cache
-from .wand import TermPostings, taat_topk
+from .wand import TermPostings, prune_blocks, taat_topk
 
 
 class _OffsetMask:
@@ -256,6 +256,10 @@ def search_distributed(
                 allowed_pdf["doc_id"].to_numpy(np.int64) - base,
                 blocklist=mask_blocklist,
             )
+        # per-shard decode pre-cut (block-max metadata → θ-seeded
+        # exact pruning): blocks that provably cannot reach this
+        # shard's top-k are never decompressed; results bit-identical
+        terms, _ = prune_blocks(terms, fns, k, allowed_mask=allowed_mask)
         hits = taat_topk(terms, fns, k, allowed_mask=allowed_mask)
         return pd.DataFrame(hits, columns=["doc_id", "score"])
 

@@ -431,3 +431,205 @@ def taat_topk(
         candidates, scores = candidates[sub], scores[sub]
     order = np.lexsort((candidates, -scores))[:kk]
     return [(int(candidates[i]), float(scores[i])) for i in order]
+
+
+def _block_ubs(tp: TermPostings) -> np.ndarray:
+    """Per-block upper bounds as one vectorized Cache evaluation."""
+    if not tp.n_blocks:
+        return np.empty(0, dtype=np.float64)
+    return np.asarray(
+        tp.cache.evaluate(tp.block_fn, tp.block_tf), dtype=np.float64
+    )
+
+
+def _slice_blocks(tp: TermPostings, keep: np.ndarray) -> TermPostings:
+    """A TermPostings restricted to the kept block indices (ascending,
+    so doc-id order is preserved). Any pre-decoded arrays are dropped —
+    they describe the full block set."""
+    kl = keep.tolist()
+    return TermPostings(
+        cache=tp.cache,
+        wand_fn=tp.wand_fn,
+        wand_tf=tp.wand_tf,
+        min_doc=tp.min_doc[keep],
+        max_doc=tp.max_doc[keep],
+        count=tp.count[keep],
+        block_fn=tp.block_fn[keep],
+        block_tf=tp.block_tf[keep],
+        ids_meta=[tp.ids_meta[i] for i in kl],
+        ids_bytes=[tp.ids_bytes[i] for i in kl],
+        tfs_meta=[tp.tfs_meta[i] for i in kl],
+        tfs_bytes=[tp.tfs_bytes[i] for i in kl],
+        shard_base=tp.shard_base[keep],
+    )
+
+
+def prune_blocks(
+    terms: list[TermPostings],
+    fieldnorms,
+    k: int,
+    allowed_mask=None,
+) -> tuple[list[TermPostings], dict]:
+    """Exact block-level decode pruning: drop whole posting blocks that
+    provably cannot place a document in the top-k, BEFORE decompressing
+    them. ``taat_topk`` over the pruned terms is bit-identical to the
+    unpruned run (tests pin this); what's saved is decode work and — at
+    scale, where blocks are read lazily — I/O bytes.
+
+    Scheme (single term): decode blocks in descending block-max order;
+    once the decoded postings contain >= k (mask-surviving) candidates,
+    the k-th best *true* score so far is a valid lower bound θ on the
+    final k-th score, and every undecoded block with block_ub < θ can
+    be skipped — any doc in it scores <= block_ub < θ (strict <, so
+    θ-ties survive and the doc-id tiebreak stays exact).
+
+    Scheme (multi term): fully decode T0 := argmax token-upper-bound
+    and score it alone; the k-th best masked T0-only score θ is a lower
+    bound on the final k-th score (T0-partials are true-score lower
+    bounds, so >= k docs finish >= θ). A block B of term t is skipped
+    iff  UB(B) := Σ_u max{block_ub of u's blocks overlapping B's doc
+    range} < θ. Correctness: every doc in a skipped block has true
+    score <= UB(B) < θ; every θ-witness keeps ALL its blocks (its T0
+    contribution alone puts UB >= θ for any block containing it), so
+    witnesses score exactly, the final k-th is >= θ, and no
+    partially-scored doc (all < θ) can surface or tie into the top-k.
+    Returned scores are therefore the exact scores, accumulated in the
+    same term order — bit-identical.
+
+    Returns (pruned_terms, stats) with stats = {blocks_total,
+    blocks_kept, bytes_total, bytes_kept}."""
+    terms = [t for t in terms if t.n_blocks]
+
+    def _bytes(tp, idx=None):
+        rng = range(tp.n_blocks) if idx is None else idx
+        return sum(
+            len(tp.ids_bytes[i]) + len(tp.tfs_bytes[i]) for i in rng
+        )
+
+    stats = {
+        "blocks_total": sum(t.n_blocks for t in terms),
+        "bytes_total": sum(_bytes(t) for t in terms),
+        "blocks_kept": 0,
+        "bytes_kept": 0,
+    }
+    if not terms or k <= 0:
+        stats["blocks_kept"] = stats["blocks_total"]
+        stats["bytes_kept"] = stats["bytes_total"]
+        return terms, stats
+
+    def _masked_scores(tp, ids, tfs):
+        if allowed_mask is not None and len(ids):
+            m = np.asarray(allowed_mask[ids], dtype=bool)
+            ids, tfs = ids[m], tfs[m]
+        if not len(ids):
+            return np.empty(0, dtype=np.float64)
+        return np.asarray(
+            tp.cache.evaluate(fieldnorms[ids], tfs), dtype=np.float64
+        )
+
+    if len(terms) == 1:
+        # descending-block-max order, decoded in chunks (the batched
+        # bitwidth-grouped unpack stays effective); θ is refreshed per
+        # chunk — a stale θ is still a valid lower bound, it only
+        # delays the cut by at most one chunk. The first chunk is just
+        # big enough to seed θ (≈k postings); later chunks stay small
+        # so the cut can land early even on few-block terms.
+        from .config import BLOCK_SIZE
+
+        tp = terms[0]
+        ubs = _block_ubs(tp)
+        order = np.argsort(-ubs, kind="stable")
+        scores, dec_ids, dec_tfs = [], [], []
+        n_surviving = 0
+        theta = 0.0
+        cut = tp.n_blocks
+        pos = 0
+        while pos < tp.n_blocks:
+            step = max(1, -(-k // BLOCK_SIZE)) if pos == 0 else 8
+            chunk = order[pos : pos + step]
+            if n_surviving >= k and ubs[chunk[0]] < theta:
+                cut = pos  # max ub of every remaining block < θ
+                break
+            part = _slice_blocks(tp, np.sort(chunk))
+            ids, tfs = part.decode_all()
+            dec_ids.append(ids)
+            dec_tfs.append(tfs)
+            s = _masked_scores(tp, ids, tfs)
+            scores.append(s)
+            n_surviving += len(s)
+            if n_surviving >= k:
+                allsc = np.concatenate(scores)
+                theta = float(
+                    np.partition(allsc, len(allsc) - k)[len(allsc) - k]
+                )
+            pos += step
+        keep = np.sort(order[:cut])
+        out = _slice_blocks(tp, keep)
+        # everything kept was already decoded during θ-seeding — hand
+        # the kernel the assembled ascending-id arrays so nothing is
+        # decompressed twice (ids are globally unique, so the argsort
+        # reproduces decode_all's ascending order exactly)
+        if dec_ids:
+            ids = np.concatenate(dec_ids)
+            tfs = np.concatenate(dec_tfs)
+            o = np.argsort(ids, kind="stable")
+            out.decoded = (ids[o], tfs[o])
+        stats["blocks_kept"] = len(keep)
+        stats["bytes_kept"] = _bytes(tp, keep.tolist())
+        return [out], stats
+
+    # ---- multi-term: θ from the strongest term's true partial scores
+    t0i = max(range(len(terms)), key=lambda i: terms[i].token_upper_bound())
+    t0 = terms[t0i]
+    ids0, tfs0 = t0.decode_all()
+    s0 = _masked_scores(t0, ids0, tfs0)
+    theta = 0.0
+    if len(s0) >= k:
+        theta = float(np.partition(s0, len(s0) - k)[len(s0) - k])
+
+    ubs = [_block_ubs(t) for t in terms]
+
+    def _range_max(ui: int, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        """max block_ub of term ui over blocks overlapping [lo, hi]
+        (vectorized over the query blocks via prefix/suffix maxima:
+        overlapping blocks form a contiguous run [a, b), and
+        max(ub[a:b]) == max over the run — computed per query block
+        with a tiny Python loop over runs, bounded by n_blocks)."""
+        u = terms[ui]
+        a = np.searchsorted(u.max_doc, lo, side="left")
+        b = np.searchsorted(u.min_doc, hi, side="right")
+        out = np.zeros(len(lo), dtype=np.float64)
+        uu = ubs[ui]
+        for j in range(len(lo)):
+            if a[j] < b[j]:
+                out[j] = uu[a[j]:b[j]].max()
+        return out
+
+    pruned: list[TermPostings] = []
+    kept_blocks = 0
+    kept_bytes = 0
+    for ti, tp in enumerate(terms):
+        if ti == t0i or theta <= 0.0:
+            # T0 is already decoded (θ needed all of it); attach the
+            # arrays so the kernel skips re-decoding
+            if ti == t0i:
+                tp.decoded = (ids0, tfs0)
+            pruned.append(tp)
+            kept_blocks += tp.n_blocks
+            kept_bytes += _bytes(tp)
+            continue
+        lo, hi = tp.min_doc, tp.max_doc
+        ub_total = ubs[ti].copy()
+        for ui in range(len(terms)):
+            if ui != ti:
+                ub_total += _range_max(ui, lo, hi)
+        keep = np.flatnonzero(ub_total >= theta)
+        if len(keep) == tp.n_blocks:
+            pruned.append(tp)
+        else:
+            pruned.append(_slice_blocks(tp, keep))
+        kept_blocks += len(keep)
+        kept_bytes += _bytes(tp, keep.tolist())
+    stats["blocks_kept"] = kept_blocks
+    stats["bytes_kept"] = kept_bytes
+    return [t for t in pruned if t.n_blocks], stats

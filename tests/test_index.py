@@ -368,3 +368,64 @@ def test_taat_dense_rejects_baseless_shard_view(spark, tmp_path):
     assert taat_topk(terms, View(fns), 10, dense=True) == taat_topk(
         terms, fns, 10, dense=True
     )
+
+
+def test_prune_blocks_bit_identical(spark, tmp_path):
+    """θ-seeded exact block pruning (VERDICT r3 #6): taat over the
+    pruned term set must be BIT-identical to the unpruned run — over a
+    skewed corpus (hot + mid + rare terms), many queries, both mask
+    states, small and large k — and must actually prune on the skewed
+    single-hot-term query."""
+    from bm25spark.wand import prune_blocks, taat_topk
+
+    rnd = random.Random(17)
+    rows = []
+    for i in range(2000):
+        # hot term in every doc, but tf is SKEWED: a handful of docs
+        # carry tf 8 (real hot terms have heavy-tailed tf) — that is
+        # what makes θ exceed most blocks' upper bound
+        toks = ["hot"] * (8 if i % 251 == 0 else 1 + i % 2)
+        toks += [f"mid{rnd.randrange(8)}" for _ in range(4)]
+        toks += [f"rare{rnd.randrange(400)}" for _ in range(3)]
+        rnd.shuffle(toks)
+        rows.append((i, " ".join(toks)))
+    d = str(tmp_path / "idx_prune")
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    build_index(spark, df, d, "text", ["doc_id"], cfg=Bm25Config(shard_size=256))
+    idx = Bm25Index(spark, d)
+    fns = idx.fieldnorms()
+    mask = np.zeros(idx.n_docs, dtype=bool)
+    mask[::2] = True
+
+    queries = [
+        "hot", "hot rare1", "hot mid0 rare2", "mid1 mid2",
+        "rare3 rare4 rare5", "hot mid3 mid4 rare6 rare7", "mid5",
+        "hot zz_absent",
+    ] + [f"hot rare{rnd.randrange(400)} mid{rnd.randrange(8)}" for _ in range(10)]
+    pruned_something = False
+    for q in queries:
+        terms = idx.term_postings(q)
+        for am in (None, mask):
+            for k in (10, 138, 5000):
+                want = taat_topk(terms, fns, k, allowed_mask=am)
+                # fresh TermPostings per run: prune attaches .decoded
+                t2 = idx.term_postings(q)
+                got_terms, st = prune_blocks(t2, fns, k, allowed_mask=am)
+                got = taat_topk(got_terms, fns, k, allowed_mask=am)
+                assert got == want, (q, k, am is not None)
+                assert st["blocks_kept"] <= st["blocks_total"]
+                assert st["bytes_kept"] <= st["bytes_total"]
+                if st["blocks_kept"] < st["blocks_total"]:
+                    pruned_something = True
+    assert pruned_something  # the skewed corpus must trigger real cuts
+
+    # the headline case: hot-term query, k below the heavy-tail count —
+    # θ lands on a tf-8 doc's score, so only blocks containing one of
+    # the 8 heavy docs survive (≤ 8 of 16)
+    t2 = idx.term_postings("hot")
+    want = taat_topk(t2, fns, 5)
+    t2 = idx.term_postings("hot")
+    got_terms, st = prune_blocks(t2, fns, 5)
+    assert taat_topk(got_terms, fns, 5) == want
+    # 8 heavy blocks + at most one θ-seed chunk block survive
+    assert st["blocks_kept"] <= st["blocks_total"] // 2 + 1, st
