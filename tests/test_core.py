@@ -377,6 +377,24 @@ class TestAnalyzers:
         assert tokenize_unicode("一\U00020BB7七") == ["一\U00020BB7", "\U00020BB7七"]
         assert tokenize_unicode("ㇱㇵㇶ") == ["ㇱㇵ", "ㇵㇶ"]
 
+
+    def test_unicode_mixed_script_words(self):
+        """Mixed CJK/Latin inside ONE whitespace word: the analyzer
+        splits script runs and bigrams only the CJK spans (the SQL
+        oracle's single-script constraint is an oracle limitation,
+        documented at oracle.py — the Python analyzer handles mixed
+        runs, pinned here)."""
+        from bm25spark.analyze import tokenize_unicode
+
+        assert tokenize_unicode("mixed漢字word") == ["mixed", "漢字", "word"]
+        assert tokenize_unicode("全文search検索") == ["全文", "search", "検索"]
+        # CJK run resumes bigramming after the Latin span
+        assert tokenize_unicode("検索エンジンv2構築") == [
+            "検索", "索エ", "エン", "ンジ", "ジン", "v2", "構築"
+        ]
+        # lone CJK char between Latin spans survives as a unigram
+        assert tokenize_unicode("a漢b") == ["a", "漢", "b"]
+
     def test_analyze_document_merges_and_sorts(self):
         items, length = analyze_document(
             "b a b c a b", lambda s: s.split(), self.SEED

@@ -719,3 +719,37 @@ class TestAudioReal:
     def test_synthesized_container_is_valid_riff(self):
         b = multimodal.synthesize_wav(42)
         assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir("/root/testdata/sf0.1"),
+    reason="sf0.1 testdata not present",
+)
+def test_ivf_matches_oracle_at_sf01(spark):
+    """Stretch gate (VERDICT r3 #8): the IVF entry verified at sf0.1
+    through the same env-threaded oracle path the driver gate uses
+    (BM25SPARK_GATE_SF_DIR reaches _ivf_oracle_sql, so oracle centroids
+    train on the same rows as the Spark entry)."""
+    import os
+
+    from bm25spark.datapipe import _ivf_oracle_sql
+
+    sf = "/root/testdata/sf0.1"
+    old = os.environ.get("BM25SPARK_GATE_SF_DIR")
+    os.environ["BM25SPARK_GATE_SF_DIR"] = sf
+    try:
+        emb01 = spark.read.parquet(f"{sf}/embeddings.parquet")
+        got = sorted(
+            map(repr, (tuple(r) for r in similarity.ann_ivf_topk(emb01).collect()))
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+        )
+        want = sorted(map(repr, con.execute(_ivf_oracle_sql()).fetchall()))
+        assert got == want
+    finally:
+        if old is None:
+            os.environ.pop("BM25SPARK_GATE_SF_DIR", None)
+        else:
+            os.environ["BM25SPARK_GATE_SF_DIR"] = old
