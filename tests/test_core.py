@@ -468,3 +468,104 @@ class TestTokenizeCodeEquivalence:
             assert analyze_document(t, an, cfg.seed) == analyze_document(
                 t, an, cfg.seed, memo
             )
+
+
+class TestPruneBlocksProperty:
+    """Spark-free hypothesis fuzz for wand.prune_blocks: synthetic
+    posting structures (random dfs, tfs, fieldnorms, shard splits,
+    masks, k) must yield BIT-identical taat_topk output with and
+    without the pre-cut — the exactness proof exercised far beyond the
+    corpus-shaped tests."""
+
+    @staticmethod
+    def _mk_term(rnd, n_docs, shard_size, k1, b, avgdl, fieldnorms):
+        import numpy as np
+
+        from bm25spark import packing
+        from bm25spark.scoring import Cache
+        from bm25spark.wand import TermPostings
+
+        df = rnd.randint(1, n_docs)
+        ids = np.array(sorted(rnd.sample(range(n_docs), df)), dtype=np.int64)
+        # heavy-tailed tfs so block maxima actually vary
+        tfs = np.array(
+            [rnd.choice([1, 1, 1, 2, 2, 3, 8, 40]) for _ in range(df)],
+            dtype=np.int64,
+        )
+        rows = []
+        # blocks must not cross shard boundaries and hold <= 128 ids
+        start = 0
+        while start < df:
+            shard = int(ids[start] // shard_size)
+            hi = start
+            while (
+                hi < df
+                and hi - start < 128
+                and int(ids[hi] // shard_size) == shard
+            ):
+                hi += 1
+            bi, bt = ids[start:hi], tfs[start:hi]
+            base = shard * shard_size
+            local = (bi - base).astype(np.uint32)
+            im, ib = packing.compress_document_ids(int(local[0]), local)
+            tm, tb = packing.compress_term_frequencies(bt.astype(np.uint32))
+            fn = fieldnorms[bi]
+            cache = Cache(n_docs, df, k1, b, avgdl)
+            sc = np.asarray(cache.evaluate(fn, bt), dtype=np.float64)
+            am = int(np.argmax(sc))
+            rows.append(
+                (shard, base, int(bi[0]), int(bi[-1]), len(bi),
+                 int(fn[am]), int(bt[am]), im, ib, tm, tb)
+            )
+            start = hi
+        cache = Cache(n_docs, df, k1, b, avgdl)
+        g = np.asarray(cache.evaluate(fieldnorms[ids], tfs), dtype=np.float64)
+        ga = int(np.argmax(g))
+        return TermPostings(
+            cache=cache,
+            wand_fn=int(fieldnorms[ids[ga]]),
+            wand_tf=int(tfs[ga]),
+            min_doc=np.array([r[2] for r in rows], dtype=np.int64),
+            max_doc=np.array([r[3] for r in rows], dtype=np.int64),
+            count=np.array([r[4] for r in rows], dtype=np.int64),
+            block_fn=np.array([r[5] for r in rows], dtype=np.int64),
+            block_tf=np.array([r[6] for r in rows], dtype=np.int64),
+            ids_meta=[r[7] for r in rows],
+            ids_bytes=[r[8] for r in rows],
+            tfs_meta=[r[9] for r in rows],
+            tfs_bytes=[r[10] for r in rows],
+            shard_base=np.array([r[1] for r in rows], dtype=np.int64),
+        )
+
+    @given(seed=st.integers(0, 10_000))
+    @settings(max_examples=80, deadline=None)
+    def test_pruned_taat_bit_identical(self, seed):
+        import random as _random
+
+        import numpy as np
+
+        from bm25spark.wand import prune_blocks, taat_topk
+
+        rnd = _random.Random(seed)
+        n_docs = rnd.choice([40, 300, 1500])
+        shard_size = rnd.choice([64, 128, 256, 1 << 14])
+        k1, b = 1.2, 0.75
+        avgdl = rnd.uniform(5.0, 200.0)
+        fieldnorms = np.array(
+            [rnd.randint(1, 40) for _ in range(n_docs)], dtype=np.uint8
+        )
+        n_terms = rnd.randint(1, 4)
+        terms = [
+            self._mk_term(rnd, n_docs, shard_size, k1, b, avgdl, fieldnorms)
+            for _ in range(n_terms)
+        ]
+        k = rnd.choice([1, 3, 10, 200])
+        mask = None
+        if rnd.random() < 0.5:
+            mask = np.zeros(n_docs, dtype=bool)
+            mask[:: rnd.randint(2, 5)] = True
+        want = taat_topk(terms, fieldnorms, k, allowed_mask=mask)
+        pruned, stats = prune_blocks(terms, fieldnorms, k, allowed_mask=mask)
+        got = taat_topk(pruned, fieldnorms, k, allowed_mask=mask)
+        assert got == want, (seed, n_docs, k, stats)
+        assert stats["blocks_kept"] <= stats["blocks_total"]
