@@ -306,6 +306,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bm25_delta_search"] = _delta_search
 
+    def _delta_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batched growing∪sealed serving: the same mutation sequence
+        as bm25_delta_search (sealed %3!=0, insert %3==0, delete %7,
+        re-insert %21), then ALL five query sets answered in one
+        sealed batch job + one delta Catalyst plan — per-query results
+        identical to search_with_delta_df."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from bm25spark.build import build_index
+        from bm25spark.config import Bm25Config
+        from bm25spark.maintain import (
+            delete,
+            insert,
+            search_with_delta_batch_df,
+        )
+
+        docs = _docs(spark, sf_dir)
+        d = tempfile.mkdtemp(prefix="bm25spark-deltabatch-gate-")
+        build_index(
+            spark,
+            docs.filter(F.col("doc_id") % 3 != 0),
+            d,
+            "text",
+            ["doc_id"],
+            cfg=Bm25Config(shard_size=1 << 14),
+        )
+        insert(spark, d, docs.filter(F.col("doc_id") % 3 == 0), "text")
+        delete(
+            spark, d, docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        )
+        insert(spark, d, docs.filter(F.col("doc_id") % 21 == 0), "text")
+        qs = {
+            name: " ".join(tokens)
+            for name, (tokens, _) in _QUERY_SETS.items()
+        }
+        return search_with_delta_batch_df(spark, d, qs, 20, "text").select(
+            "query_id",
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "score",
+        )
+
+    out["bm25_delta_batch"] = _delta_batch
+
     def _partial_index_slt(spark: SparkSession, sf_dir: str) -> DataFrame:
         """The reference's second sqllogictest (bm25query.slt:20-46):
         two *partial* indexes built over the id%2 subsets of the 10
@@ -448,15 +493,28 @@ def oracle_sql() -> dict[str, str]:
 
     # growing∪sealed with stale sealed statistics; live set mirrors the
     # insert/delete/re-insert sequence in queries()["bm25_delta_search"]
+    _DELTA_LIVE_PRED = (
+        "(((doc_id % 3) <> 0 AND (doc_id % 7) <> 0)"
+        " OR ((doc_id % 3) = 0 AND ((doc_id % 7) <> 0 OR (doc_id % 21) = 0)))"
+    )
     out["bm25_delta_search"] = oracle.bm25_delta_topk_sql(
         ["merge", "spark", "window"],
         100,
         sealed_pred="(doc_id % 3) <> 0",
-        live_pred=(
-            "(((doc_id % 3) <> 0 AND (doc_id % 7) <> 0)"
-            " OR ((doc_id % 3) = 0 AND ((doc_id % 7) <> 0 OR (doc_id % 21) = 0)))"
-        ),
+        live_pred=_DELTA_LIVE_PRED,
     )
+    # batched growing∪sealed: per-query oracles with the same mutation
+    # predicates, unioned — mirrors queries()["bm25_delta_batch"]
+    out["bm25_delta_batch"] = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS query_id, * FROM ("
+        + oracle.bm25_delta_topk_sql(
+            tokens, 20,
+            sealed_pred="(doc_id % 3) <> 0",
+            live_pred=_DELTA_LIVE_PRED,
+        )
+        + ")"
+        for name, (tokens, _) in _QUERY_SETS.items()
+    ) + "\nORDER BY query_id, score DESC, doc_id"
 
     from bm25spark.streaming import sessionize_events_sql
 

@@ -746,3 +746,166 @@ def _vacuum_locked(
         fsio.join(index_dir, "meta.json"), _json.dumps(new_meta, indent=2)
     )
     return index_dir
+
+
+def _delta_topk_batch_df(
+    spark: SparkSession,
+    idx: Bm25Index,
+    delta: DataFrame,
+    queries: dict[str, str],
+    k: int,
+    text_col: str,
+) -> DataFrame | None:
+    """Q4 batched: exact-score the growing segment for M queries in ONE
+    Catalyst plan (tokenize once, per-query term weights join in via a
+    broadcast (query_id, term_key, s0) frame). Scores use the sealed
+    statistics exactly like :func:`_delta_topk_df`, and accumulate in
+    key-sorted order (the array_sort aggregate — the same order as the
+    sealed kernel and the single-query wide path), so batched results
+    are float-identical to the per-query plan. Returns
+    (query_id, payload cols..., score) with per-query top-k rows, or
+    ``None`` when no query has a sealed-dictionary term."""
+    import math
+
+    analyzer = get_analyzer(idx.meta["analyzer"])
+    all_keys: set[bytes] = set()
+    qkeys: dict[str, list[bytes]] = {}
+    for qid, text in queries.items():
+        qkeys[qid] = analyze_query(text, analyzer, idx.seed)
+        all_keys.update(qkeys[qid])
+    stats = idx.term_stats(sorted(all_keys))
+    pc = idx.payload_cols
+    k1, b, avgdl, n = idx.k1, idx.b, idx.avgdl, idx.n_docs
+    rows = []
+    for qid, keys in qkeys.items():
+        for key in keys:
+            if key in stats:
+                s0 = math.log(
+                    (float(n) + 1.0) / (float(stats[key]["df"]) + 0.5)
+                ) * (k1 + 1.0)
+                rows.append((qid, bytearray(key), s0))
+    if not rows:
+        return None
+    q_terms = spark.createDataFrame(
+        rows, "query_id STRING, term_key BINARY, s0 DOUBLE"
+    )
+
+    prep = with_doc_terms(delta, text_col, idx.meta["analyzer"], idx.seed)
+    m = prep.select(
+        "_rowid", *pc, "doc_len", F.explode("terms").alias("t")
+    ).select(
+        "_rowid",
+        *pc,
+        "doc_len",
+        F.col("t.key").alias("term_key"),
+        F.col("t.tf").cast("bigint").alias("tf"),
+    )
+    matched = quantized_dl(spark, m, "doc_len")
+    s1 = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("qdl") / F.lit(avgdl)
+    )
+    contrib = F.col("tf") * F.col("s0") / (F.col("tf") + s1)
+    from pyspark.sql import Window
+
+    scored = (
+        matched.join(F.broadcast(q_terms), "term_key")
+        .select("query_id", "_rowid", *pc, "term_key", contrib.alias("c"))
+        .groupBy("query_id", "_rowid")
+        .agg(
+            *[F.first(c).alias(c) for c in pc],
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term_key", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("score"),
+        )
+        .filter(F.col("score") > 0.0)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), *pc)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", *pc, "score")
+    )
+
+
+def search_with_delta_batch_df(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[str, str],
+    k: int,
+    text_col: str,
+    round_score: int | None = 4,
+    slack: int = 128,
+) -> DataFrame:
+    """Batched growing∪sealed top-k — the full serving matrix in two
+    Spark jobs regardless of batch size M: the sealed leg is
+    :func:`bm25spark.distributed.search_distributed_batch` (decode-once
+    per term per shard, tombstones as the per-shard blocklist), the
+    growing leg is ONE Catalyst plan over all M queries
+    (:func:`_delta_topk_batch_df`), then a per-query windowed re-rank.
+    Per-query results identical to :func:`search_with_delta_df`
+    (asserted in tests and the driver gate).
+
+    Returns (query_id, payload cols..., score), ordered by
+    (query_id, score desc, payload cols)."""
+    from pyspark.sql import Window
+
+    from .distributed import search_distributed_batch
+
+    idx = Bm25Index(spark, index_dir)
+    gen = _gen_of(idx.meta)
+    pc = idx.payload_cols
+
+    analyzer = get_analyzer(idx.meta["analyzer"])
+    live = {
+        qid: text
+        for qid, text in queries.items()
+        if idx.term_stats(analyze_query(text, analyzer, idx.seed))
+    }
+    if not live:
+        from pyspark.sql.types import (
+            DoubleType, StringType, StructField, StructType,
+        )
+
+        src = idx.docs_df().select(
+            *[F.col(f"p_{c}").alias(c) for c in pc]
+        ).schema
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [StructField("query_id", StringType())]
+                + list(src.fields)
+                + [StructField("score", DoubleType())]
+            ),
+        )
+
+    k_fetch = k + (slack if round_score is not None else 0)
+    merged = search_distributed_batch(
+        spark,
+        index_dir,
+        live,
+        k_fetch,
+        round_score=None,
+        blocked=_tombstones_df(spark, index_dir, gen=gen),
+    ).select("query_id", *pc, "score")
+
+    delta = _live_delta(spark, idx, index_dir)
+    if delta is not None:
+        dtop = _delta_topk_batch_df(spark, idx, delta, live, k_fetch, text_col)
+        if dtop is not None:
+            merged = merged.unionByName(dtop)
+
+    score_col = (
+        F.round(F.col("score"), round_score)
+        if round_score is not None
+        else F.col("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), *pc)
+    return (
+        merged.select("query_id", *pc, score_col.alias("score"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.desc("score"), *pc)
+    )

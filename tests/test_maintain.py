@@ -546,3 +546,44 @@ class TestControlPlane:
         }
         sealed = [(pay[i], round(s, 9)) for i, s in idx.search("t1 t2", 50)]
         assert sorted(sealed) == sorted((p[0], round(s, 9)) for p, s in got)
+
+
+class TestDeltaBatch:
+    def test_batch_equals_single_delta_search(self, spark, lifecycle):
+        """search_with_delta_batch_df answers M queries against a
+        mutated index (inserts + deletes live) with per-query rows
+        identical to M search_with_delta_df calls — including an
+        all-absent query (no rows) and a query matching only delta
+        docs."""
+        from bm25spark.maintain import search_with_delta_batch_df, search_with_delta_df
+
+        d, oracle, rnd = lifecycle
+        insert(
+            spark, d,
+            spark.createDataFrame(
+                [(900, "t1 t1 zonly"), (901, "t2 zonly zonly")],
+                "doc_id INT, text STRING",
+            ),
+            "text",
+        )
+        delete(spark, d, spark.createDataFrame([(3,), (6,)], "doc_id INT"))
+        qs = {
+            "a": "t1 t2",
+            "b": "t5",
+            "c": "zz_absent qq_absent",
+            "d": "t1 t250 t7",
+        }
+        batch = search_with_delta_batch_df(spark, d, qs, 25, "text").collect()
+        by_q: dict = {}
+        for r in batch:
+            by_q.setdefault(r.query_id, []).append(
+                (r.p_doc_id if hasattr(r, "p_doc_id") else r.doc_id, r.score)
+            )
+        for qid, text in qs.items():
+            single = [
+                (r.doc_id, r.score)
+                for r in search_with_delta_df(
+                    spark, d, text, 25, "text"
+                ).collect()
+            ]
+            assert by_q.get(qid, []) == single, qid
