@@ -314,6 +314,22 @@ def main() -> None:
         samples.append(time.perf_counter() - t0)
     record("delta_q_multi", samples, digits=3)
 
+    # ---- batched growing∪sealed: all 4 wand queries against the
+    # mutated index in two jobs total (vs 4x delta_q single jobs)
+    from bm25spark.maintain import search_with_delta_batch_df
+
+    search_with_delta_batch_df(
+        spark, idx_docs_dir, qbatch, 10, "text"
+    ).collect()
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        search_with_delta_batch_df(
+            spark, idx_docs_dir, qbatch, 10, "text"
+        ).collect()
+        samples.append(time.perf_counter() - t0)
+    record("delta_batch4", samples, digits=3)
+
     # ---- training-data pipeline operators (steady-state, see above) ----
     steady(
         "dedup_minhash_pairs",

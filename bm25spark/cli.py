@@ -9,7 +9,8 @@ Usage (ship the package with --py-files):
         --index-dir s3://bucket/indexes/corpus_bm25
 
 Subcommands: build | search | search-dist | search-batch |
-search-delta | insert | delete | vacuum | gc | lineage.
+search-delta | search-delta-batch | insert | delete | vacuum | gc |
+lineage.
 """
 
 from __future__ import annotations
@@ -107,6 +108,19 @@ def main(argv: list[str] | None = None) -> None:
     sd.add_argument("--text-col", required=True)
     sd.add_argument("-k", type=int, default=100)
 
+    sdb = sub.add_parser(
+        "search-delta-batch",
+        help="M queries against the mutated (growing∪sealed) index in "
+        "two Spark jobs total",
+    )
+    sdb.add_argument("--index-dir", required=True)
+    sdb.add_argument(
+        "--queries-file", required=True,
+        help="text file, one query per line; line number = query_id",
+    )
+    sdb.add_argument("--text-col", required=True)
+    sdb.add_argument("-k", type=int, default=100)
+
     ln = sub.add_parser("lineage")
     ln.add_argument("--index-dir", required=True)
 
@@ -193,6 +207,19 @@ def main(argv: list[str] | None = None) -> None:
 
         for row in search_with_delta_df(
             spark, args.index_dir, args.query, args.k, args.text_col
+        ).collect():
+            print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "search-delta-batch":
+        from .maintain import search_with_delta_batch_df
+
+        with open(args.queries_file) as f:
+            qs = {
+                str(i): line.strip()
+                for i, line in enumerate(f)
+                if line.strip()
+            }
+        for row in search_with_delta_batch_df(
+            spark, args.index_dir, qs, args.k, args.text_col
         ).collect():
             print(json.dumps(row.asDict(), default=str))
     elif args.cmd == "lineage":

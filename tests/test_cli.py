@@ -110,3 +110,51 @@ def test_search_batch_deleted_aware(spark, corpus_path, tmp_path, capsys):
     ])
     dlines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert all(r["path"] != victim_path for r in dlines)
+
+
+def test_search_delta_batch_cli(spark, corpus_path, tmp_path, capsys):
+    """search-delta-batch answers M queries against the mutated index;
+    per-query lines equal M search-delta invocations."""
+    d = str(tmp_path / "idx_sdb")
+    cli.main([
+        "build", "--input", corpus_path, "--format", "parquet",
+        "--text-col", "content", "--order-cols", "repo,path,commit",
+        "--index-dir", d, "--analyzer", "code", "--shard-size", "16384",
+    ])
+    capsys.readouterr()
+    ins = str(tmp_path / "ins.parquet")
+    # delta doc with dominant tf on SEALED-dictionary terms (a term
+    # seen only in the delta contributes nothing — stale-statistics
+    # semantics, search.rs:55-62 — so findability must come through
+    # sealed terms)
+    spark.createDataFrame(
+        [("org/rX", "src/new.py", "cafe", "python",
+          "parse merge " * 8)],
+        "repo STRING, path STRING, commit STRING, lang STRING, content STRING",
+    ).write.parquet(ins)
+    cli.main([
+        "insert", "--index-dir", d, "--input", ins, "--format", "parquet",
+        "--text-col", "content",
+    ])
+    capsys.readouterr()
+    qf = str(tmp_path / "q.txt")
+    with open(qf, "w") as f:
+        f.write("parse merge\nindex\n")
+    cli.main([
+        "search-delta-batch", "--index-dir", d, "--queries-file", qf,
+        "--text-col", "content", "-k", "5",
+    ])
+    blines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert blines and any(r["path"] == "src/new.py" for r in blines)
+    by_q: dict = {}
+    for r in blines:
+        by_q.setdefault(r.pop("query_id"), []).append(r)
+    for qid, qtext in (("0", "parse merge"), ("1", "index")):
+        cli.main([
+            "search-delta", "--index-dir", d, "--query", qtext,
+            "--text-col", "content", "-k", "5",
+        ])
+        single = [
+            json.loads(x) for x in capsys.readouterr().out.strip().splitlines()
+        ]
+        assert by_q.get(qid, []) == single, qid
