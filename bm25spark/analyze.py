@@ -163,6 +163,60 @@ def get_analyzer(name: str) -> Callable[[str], list[str]]:
         raise ValueError(f"unknown analyzer {name!r}; have {sorted(ANALYZERS)}")
 
 
+def make_dict_analyzer(
+    words: "list[str] | set[str]", name: str | None = None
+) -> Callable[[str], list[str]]:
+    """Dictionary-driven CJK segmentation: greedy forward maximum
+    matching (MaxMatch — the classic public baseline the jieba/lindera
+    class of tokenizers improves on) over a caller-supplied wordlist,
+    falling back to the ``unicode`` analyzer's bigrams for CJK spans
+    the dictionary doesn't cover and to plain word tokens elsewhere.
+    Dependency-free, so the "dictionary segmenters plug in via
+    register_analyzer" boundary has a working in-tree instance; swap
+    in jieba/lindera with the same one-liner where those libs exist.
+
+    ``name`` registers the analyzer immediately (the returned function
+    is also usable unregistered, e.g. for ad-hoc tokenize calls)."""
+    vocab = {unicodedata.normalize("NFKC", w).lower() for w in words if w}
+    if not vocab:
+        raise ValueError("dictionary analyzer needs a non-empty wordlist")
+    longest = max(len(w) for w in vocab)
+
+    def _segment_cjk(run: str) -> list[str]:
+        out: list[str] = []
+        i, n = 0, len(run)
+        while i < n:
+            for ln in range(min(longest, n - i), 0, -1):
+                if run[i : i + ln] in vocab:
+                    out.append(run[i : i + ln])
+                    i += ln
+                    break
+            else:
+                # no dictionary word starts here: fall back to the
+                # bigram (or lone-char) unit so the span stays findable
+                out.append(run[i : i + 2] if i + 1 < n else run[i])
+                i += 1
+        return out
+
+    def analyze(text: str) -> list[str]:
+        text = unicodedata.normalize("NFKC", text).lower()
+        out: list[str] = []
+        for w in _UNI_WORD_RE.findall(text):
+            pos = 0
+            for m in _CJK_RE.finditer(w):
+                if m.start() > pos:
+                    out.append(w[pos:m.start()])
+                out.extend(_segment_cjk(m.group()))
+                pos = m.end()
+            if pos < len(w):
+                out.append(w[pos:])
+        return out
+
+    if name is not None:
+        register_analyzer(name, analyze)
+    return analyze
+
+
 def register_analyzer(name: str, fn: Callable[[str], list[str]]) -> None:
     """Plug in a custom analyzer (the extension point for the
     reference's pg_tokenizer ecosystem — jieba/lindera and friends,
