@@ -77,11 +77,18 @@ def mkdirs(path: str) -> None:
 
 
 def rmtree(path: str) -> None:
-    """Recursive delete, silent on a missing path (shutil.rmtree
-    ignore_errors analogue)."""
+    """Recursive delete of a directory OR a single file, silent on a
+    missing path (shutil.rmtree ignore_errors analogue — the file case
+    covers control files like a legacy sequence counter riding a
+    retired-paths list)."""
     fs, p = resolve(path)
     try:
         fs.delete_dir(p)
+        return
+    except (FileNotFoundError, OSError):
+        pass
+    try:
+        fs.delete_file(p)
     except (FileNotFoundError, OSError):
         pass
 
@@ -100,16 +107,23 @@ def write_text(path: str, text: str) -> None:
 
 def write_text_atomic(path: str, text: str) -> None:
     """Publish a small control file atomically (see module docstring
-    for the per-backend mechanism)."""
+    for the per-backend mechanism). The temp name is unique per
+    writer (pid + counter), so two concurrent publishers can never
+    interleave into one torn temp file — last os.replace wins whole."""
     fs, p = resolve(path)
     if isinstance(fs, pafs.LocalFileSystem):
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
+        global _TMP_SEQ
+        _TMP_SEQ += 1
+        tmp = f"{p}.tmp.{os.getpid()}.{_TMP_SEQ}"
+        with open(tmp, "w", encoding="utf-8") as f:
             f.write(text)
         os.replace(tmp, p)
     else:
         with fs.open_output_stream(p) as f:
             f.write(text.encode("utf-8"))
+
+
+_TMP_SEQ = 0
 
 
 def delete_file(path: str) -> None:

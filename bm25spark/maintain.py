@@ -86,20 +86,41 @@ def _mut_dir(index_dir: str, gen: int) -> str:
     return fsio.join(index_dir, f"mut_gen{gen}")
 
 
+#: pre-generation-scoped layout kept these at the index root; a gen-0
+#: index written by that layout resolves to them until its first
+#: vacuum (writers and readers resolve identically, so pending
+#: mutations survive the layout change)
+_LEGACY_MUT_NAMES = {
+    "delta": "delta",
+    "tombstones": "tombstones",
+    "delta_tombstones": "delta_tombstones",
+    "delta_seq": "delta_seq",
+}
+
+
+def _mut_path(index_dir: str, gen: int, name: str) -> str:
+    p = fsio.join(_mut_dir(index_dir, gen), name)
+    if gen == 0 and not fsio.exists(p):
+        legacy = fsio.join(index_dir, _LEGACY_MUT_NAMES[name])
+        if fsio.exists(legacy):
+            return legacy
+    return p
+
+
 def _delta_path(index_dir: str, gen: int) -> str:
-    return fsio.join(_mut_dir(index_dir, gen), "delta")
+    return _mut_path(index_dir, gen, "delta")
 
 
 def _tomb_path(index_dir: str, gen: int) -> str:
-    return fsio.join(_mut_dir(index_dir, gen), "tombstones")
+    return _mut_path(index_dir, gen, "tombstones")
 
 
 def _delta_tomb_path(index_dir: str, gen: int) -> str:
-    return fsio.join(_mut_dir(index_dir, gen), "delta_tombstones")
+    return _mut_path(index_dir, gen, "delta_tombstones")
 
 
 def _seq_path(index_dir: str, gen: int) -> str:
-    return fsio.join(_mut_dir(index_dir, gen), "delta_seq")
+    return _mut_path(index_dir, gen, "delta_seq")
 
 
 class _MutationLock:
@@ -120,12 +141,15 @@ class _MutationLock:
     a crashed driver and is stolen."""
 
     def __init__(self, index_dir: str, timeout: float | None = None):
+        import uuid
+
         self.enabled = fsio.is_local(index_dir)
         self.path = (
             os.path.join(fsio.local_path(index_dir), ".mutlock")
             if self.enabled
             else ""
         )
+        self.token = f"{os.getpid()} {uuid.uuid4().hex}"
         self.timeout = (
             float(os.environ.get("BM25SPARK_LOCK_TIMEOUT_SEC", "60"))
             if timeout is None
@@ -140,13 +164,18 @@ class _MutationLock:
         while True:
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                os.write(fd, self.token.encode())
                 os.close(fd)
                 return self
             except FileExistsError:
                 try:
                     if time.time() - os.path.getmtime(self.path) > self.stale:
-                        os.unlink(self.path)  # leaked by a dead driver
+                        # atomic steal: rename the stale lock aside —
+                        # exactly ONE of N waiters wins the rename (the
+                        # losers get FileNotFoundError and re-loop), so
+                        # two waiters can never both enter through an
+                        # unlink/create race
+                        os.rename(self.path, f"{self.path}.stale.{os.getpid()}")
                         continue
                 except FileNotFoundError:
                     continue
@@ -161,7 +190,12 @@ class _MutationLock:
     def __exit__(self, *exc):
         if self.enabled:
             try:
-                os.unlink(self.path)
+                # release only OUR lock: if a stale-steal replaced it
+                # (we overran BM25SPARK_LOCK_STALE_SEC), the file now
+                # carries the stealer's token and must stay
+                with open(self.path) as f:
+                    if f.read() == self.token:
+                        os.unlink(self.path)
             except FileNotFoundError:
                 pass
         return False
@@ -203,10 +237,13 @@ def insert(spark: SparkSession, index_dir: str, rows: DataFrame, text_col: str) 
     payload key score as two independent pseudo-docs (the reference's
     heap semantics: each inserted tuple is its own document), matching
     what vacuum produces when it gives each row its own doc_id."""
-    idx = Bm25Index(spark, index_dir)
-    gen = _gen_of(idx.meta)
-    keep = list(dict.fromkeys([*idx.payload_cols, text_col]))
     with _MutationLock(index_dir):
+        # meta is read UNDER the lock: a mutator that queued behind a
+        # vacuum must see the post-vacuum generation, or its rows land
+        # in the retired mut dir and silently vanish at gc
+        idx = Bm25Index(spark, index_dir)
+        gen = _gen_of(idx.meta)
+        keep = list(dict.fromkeys([*idx.payload_cols, text_col]))
         seq = _next_seq(index_dir, gen)
         (
             rows.select(*keep)
@@ -221,15 +258,17 @@ def delete(spark: SparkSession, index_dir: str, keys: DataFrame) -> None:
     """Tombstone documents by payload key — M3. ``keys`` has the
     index's payload columns. Only delta rows inserted *before* this
     call are masked (sequence-stamped tombstones)."""
-    idx = Bm25Index(spark, index_dir)
-    gen = _gen_of(idx.meta)
-    pc = idx.payload_cols
-    sealed = idx.docs_df().join(
-        keys.select(*[F.col(c).alias(f"p_{c}") for c in pc]),
-        [f"p_{c}" for c in pc],
-        "left_semi",
-    )
     with _MutationLock(index_dir):
+        # meta (generation AND the docs artifact the ids are resolved
+        # against) is read under the lock — see insert()
+        idx = Bm25Index(spark, index_dir)
+        gen = _gen_of(idx.meta)
+        pc = idx.payload_cols
+        sealed = idx.docs_df().join(
+            keys.select(*[F.col(c).alias(f"p_{c}") for c in pc]),
+            [f"p_{c}" for c in pc],
+            "left_semi",
+        )
         seq = _next_seq(index_dir, gen)
         sealed.select("doc_id").write.mode("append").parquet(
             _tomb_path(index_dir, gen)
@@ -534,12 +573,31 @@ def maybe_vacuum(
     return True
 
 
-def gc_index(index_dir: str, grace_sec: float | None = None) -> bool:
-    """Delete the retired previous generation's artifact dirs once the
-    grace period has elapsed (``BM25SPARK_VACUUM_GRACE_SEC``, default
-    0). Called automatically at the start of every vacuum, so disk
-    holds at most two generations; call explicitly to reclaim sooner.
-    Returns True when something was reclaimed."""
+def _retired_entries(meta: dict) -> dict[str, float]:
+    """The retired set as {top-level name: retired-at timestamp}.
+    Reads both formats: the current per-path ``{"entries": {...}}`` and
+    the legacy single-timestamp ``{"paths": [...], "at": t}``."""
+    retired = meta.get("retired")
+    if not retired:
+        return {}
+    if "entries" in retired:
+        return {str(k): float(v) for k, v in retired["entries"].items()}
+    at = float(retired.get("at", 0.0))
+    return {str(p): at for p in retired.get("paths", [])}
+
+
+def gc_index(
+    index_dir: str, grace_sec: float | None = None, _locked: bool = False
+) -> bool:
+    """Delete retired artifact dirs whose OWN grace period has elapsed
+    (``BM25SPARK_VACUUM_GRACE_SEC``, default 0). Timestamps are
+    per-path, so a generation retired inside an older generation's
+    grace window gets its full window — carried paths never shorten a
+    newer path's grace (and vice versa). Called automatically at the
+    start of every vacuum; call explicitly to reclaim sooner. Takes the
+    mutation lock (it rewrites meta.json): an explicit gc racing a
+    vacuum can no longer clobber the vacuum's freshly published meta
+    with a stale copy. Returns True when something was reclaimed."""
     import json as _json
     import time as _time
 
@@ -548,21 +606,38 @@ def gc_index(index_dir: str, grace_sec: float | None = None) -> bool:
         if grace_sec is None
         else grace_sec
     )
-    mp = fsio.join(index_dir, "meta.json")
-    meta = _json.loads(fsio.read_text(mp))
-    retired = meta.get("retired")
-    if not retired or _time.time() - float(retired["at"]) < grace:
-        return False
-    for rel in retired["paths"]:
-        # retired entries are simple top-level dir names written by
-        # vacuum; refuse anything that could step outside the index
-        # (works for URIs too, where realpath does not apply)
-        if not rel or "/" in rel or "\\" in rel or rel in (".", ".."):
-            continue
-        fsio.rmtree(fsio.join(index_dir, rel))
-    meta.pop("retired", None)
-    fsio.write_text_atomic(mp, _json.dumps(meta, indent=2))
-    return True
+    lock = _MutationLock(index_dir) if not _locked else None
+    if lock is not None:
+        lock.__enter__()
+    try:
+        mp = fsio.join(index_dir, "meta.json")
+        meta = _json.loads(fsio.read_text(mp))
+        entries = _retired_entries(meta)
+        if not entries:
+            return False
+        now = _time.time()
+        keep: dict[str, float] = {}
+        reclaimed = False
+        for rel, at in entries.items():
+            # retired entries are simple top-level names written by
+            # vacuum; refuse anything that could step outside the index
+            # (works for URIs too, where realpath does not apply)
+            if not rel or "/" in rel or "\\" in rel or rel in (".", ".."):
+                continue
+            if now - at < grace:
+                keep[rel] = at
+                continue
+            fsio.rmtree(fsio.join(index_dir, rel))
+            reclaimed = True
+        if keep:
+            meta["retired"] = {"entries": keep}
+        else:
+            meta.pop("retired", None)
+        fsio.write_text_atomic(mp, _json.dumps(meta, indent=2))
+        return reclaimed
+    finally:
+        if lock is not None:
+            lock.__exit__(None, None, None)
 
 
 def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
@@ -578,17 +653,19 @@ def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
     keeps reading the old generation's files, which stay on disk until
     :func:`gc_index` reclaims them after a grace period (the next
     vacuum GCs its grandparent automatically)."""
-    idx = Bm25Index(spark, index_dir)
-    cfg = _cfg_from_meta(idx.meta)
-    pc = idx.payload_cols
-    old_gen = _gen_of(idx.meta)
-    gen = old_gen + 1
     # serialize against insert/delete (and a second vacuum): absorbing
     # the growing segment while a mutator appends to it would lose the
-    # concurrent rows. The lock is held through the meta publish.
+    # concurrent rows. The lock is held through the meta publish, and
+    # meta is read UNDER it — a vacuum queued behind another vacuum
+    # must see the new generation, not re-absorb a retired one.
     lock = _MutationLock(index_dir)
     lock.__enter__()
     try:
+        idx = Bm25Index(spark, index_dir)
+        cfg = _cfg_from_meta(idx.meta)
+        pc = idx.payload_cols
+        old_gen = _gen_of(idx.meta)
+        gen = old_gen + 1
         return _vacuum_locked(
             spark, idx, index_dir, text_col, cfg, pc, old_gen, gen
         )
@@ -606,8 +683,9 @@ def _vacuum_locked(
     old_gen: int,
     gen: int,
 ) -> str:
-    # reclaim the grandparent generation (if its grace elapsed)
-    gc_index(index_dir)
+    # reclaim the grandparent generation (if its grace elapsed) —
+    # under the already-held mutation lock
+    gc_index(index_dir, _locked=True)
     work = fsio.join(index_dir, f"gen{gen}.build")
     fsio.rmtree(work)
     fsio.mkdirs(work)
@@ -716,32 +794,33 @@ def _vacuum_locked(
         k: f"gen{gen}/{v}" for k, v in new_meta["paths"].items()
     }
     # the outgoing generation's top-level dirs, kept on disk for
-    # concurrent readers until gc_index's grace elapses. If a previous
-    # retired set is still unreclaimed (vacuum ran again inside the
-    # grace window), carry its paths forward — overwriting it would
-    # orphan the grandparent's dirs on disk forever.
-    prev_retired = idx.meta.get("retired") or {}
-    carried = prev_retired.get("paths", [])
-    # keep the EARLIEST retired timestamp when carrying unreclaimed
-    # paths forward — resetting it would restart the carried paths'
-    # grace window on every back-to-back vacuum and delay reclamation
-    # indefinitely (never deletes early either way, but late is waste)
-    retired_at = _time.time()
-    if carried:
-        retired_at = min(retired_at, float(prev_retired.get("at", retired_at)))
-    new_meta["retired"] = {
-        # the absorbed growing segment (mut_gen{old}) retires WITH its
-        # sealed generation: a reader opened before the repoint keeps a
-        # consistent sealed+delta view until gc reclaims both, and a
-        # reader opened after reads mut_gen{new} (empty) — the old
-        # "delete delta after repoint" double-visibility window is gone
-        "paths": sorted(
-            set(carried)
-            | {p.split("/")[0] for p in idx.meta["paths"].values()}
-            | {f"mut_gen{old_gen}"}
-        ),
-        "at": retired_at,
-    }
+    # concurrent readers until each one's gc grace elapses. Timestamps
+    # are PER PATH: paths still unreclaimed from an earlier vacuum are
+    # carried forward with their ORIGINAL timestamps (so back-to-back
+    # vacuums neither restart their grace windows nor shorten the
+    # just-retired generation's window). The carry source is the
+    # on-disk meta re-read AFTER the in-body gc above, not the stale
+    # idx.meta snapshot — already-reclaimed ghosts must not reappear.
+    cur_meta = _json.loads(
+        fsio.read_text(fsio.join(index_dir, "meta.json"))
+    )
+    entries = _retired_entries(cur_meta)
+    now = _time.time()
+    retiring = {p.split("/")[0] for p in idx.meta["paths"].values()}
+    # the absorbed growing segment (mut_gen{old} — or the pre-layout
+    # root dirs on a legacy gen-0 index) retires WITH its sealed
+    # generation: a reader opened before the repoint keeps a consistent
+    # sealed+delta view until gc reclaims both, and a reader opened
+    # after reads mut_gen{new} (empty) — the old "delete delta after
+    # repoint" double-visibility window is gone
+    retiring.add(f"mut_gen{old_gen}")
+    if old_gen == 0:
+        for name in _LEGACY_MUT_NAMES.values():
+            if fsio.exists(fsio.join(index_dir, name)):
+                retiring.add(name)
+    for p_ in retiring:
+        entries.setdefault(p_, now)
+    new_meta["retired"] = {"entries": {p_: entries[p_] for p_ in sorted(entries)}}
     fsio.write_text_atomic(
         fsio.join(index_dir, "meta.json"), _json.dumps(new_meta, indent=2)
     )
@@ -755,6 +834,7 @@ def _delta_topk_batch_df(
     queries: dict[str, str],
     k: int,
     text_col: str,
+    _analyzed: "tuple[dict, dict] | None" = None,
 ) -> DataFrame | None:
     """Q4 batched: exact-score the growing segment for M queries in ONE
     Catalyst plan (tokenize once, per-query term weights join in via a
@@ -767,13 +847,18 @@ def _delta_topk_batch_df(
     ``None`` when no query has a sealed-dictionary term."""
     import math
 
-    analyzer = get_analyzer(idx.meta["analyzer"])
-    all_keys: set[bytes] = set()
-    qkeys: dict[str, list[bytes]] = {}
-    for qid, text in queries.items():
-        qkeys[qid] = analyze_query(text, analyzer, idx.seed)
-        all_keys.update(qkeys[qid])
-    stats = idx.term_stats(sorted(all_keys))
+    if _analyzed is not None:
+        # caller (the batch entry point) already analyzed the queries
+        # and did ONE batched dictionary read — reuse both
+        qkeys, stats = _analyzed
+    else:
+        analyzer = get_analyzer(idx.meta["analyzer"])
+        all_keys: set[bytes] = set()
+        qkeys = {}
+        for qid, text in queries.items():
+            qkeys[qid] = analyze_query(text, analyzer, idx.seed)
+            all_keys.update(qkeys[qid])
+        stats = idx.term_stats(sorted(all_keys))
     pc = idx.payload_cols
     k1, b, avgdl, n = idx.k1, idx.b, idx.avgdl, idx.n_docs
     rows = []
@@ -857,11 +942,18 @@ def search_with_delta_batch_df(
     gen = _gen_of(idx.meta)
     pc = idx.payload_cols
 
+    # ONE analyze pass + ONE batched dictionary read for the whole
+    # batch; the live filter and the delta leg both derive from it
     analyzer = get_analyzer(idx.meta["analyzer"])
+    qkeys = {
+        qid: analyze_query(text, analyzer, idx.seed)
+        for qid, text in queries.items()
+    }
+    stats = idx.term_stats(sorted({k_ for ks in qkeys.values() for k_ in ks}))
     live = {
         qid: text
         for qid, text in queries.items()
-        if idx.term_stats(analyze_query(text, analyzer, idx.seed))
+        if any(k_ in stats for k_ in qkeys[qid])
     }
     if not live:
         from pyspark.sql.types import (
@@ -892,7 +984,10 @@ def search_with_delta_batch_df(
 
     delta = _live_delta(spark, idx, index_dir)
     if delta is not None:
-        dtop = _delta_topk_batch_df(spark, idx, delta, live, k_fetch, text_col)
+        dtop = _delta_topk_batch_df(
+            spark, idx, delta, live, k_fetch, text_col,
+            _analyzed=({qid: qkeys[qid] for qid in live}, stats),
+        )
         if dtop is not None:
             merged = merged.unionByName(dtop)
 

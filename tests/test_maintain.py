@@ -378,8 +378,13 @@ class TestLifecycle:
 
             with open(os.path.join(d, "meta.json")) as f:
                 meta = json.load(f)
-            assert "docs" in meta["retired"]["paths"]     # gen0 legacy dirs
-            assert "gen1" in meta["retired"]["paths"]
+            entries = meta["retired"]["entries"]
+            assert "docs" in entries     # gen0 legacy dirs
+            assert "gen1" in entries
+            # per-path timestamps: gen0's clock is OLDER than gen1's —
+            # carrying forward must neither restart gen0's grace nor
+            # shorten gen1's
+            assert entries["docs"] <= entries["gen1"]
             assert os.path.exists(os.path.join(d, "docs"))
             assert os.path.exists(os.path.join(d, "gen1"))
         finally:
@@ -587,3 +592,122 @@ class TestDeltaBatch:
                 ).collect()
             ]
             assert by_q.get(qid, []) == single, qid
+
+
+class TestControlPlaneHardening:
+    """Round-4 review fixes: per-path GC grace, meta-under-lock,
+    legacy mutation-layout fallback."""
+
+    def test_per_path_grace_not_shortened(self, spark, lifecycle):
+        """A generation retired INSIDE an older generation's elapsed
+        grace window keeps its own full window: gc with a grace that
+        has elapsed for gen0 but not gen1 reclaims ONLY gen0 (the old
+        single-timestamp carry deleted gen1 11 seconds after
+        retirement in the judge's scenario)."""
+        import json
+        import os
+        import time
+
+        from bm25spark.maintain import gc_index
+
+        d, oracle, rnd = lifecycle
+        vacuum(spark, d, "text")  # retires gen0 dirs at t0
+        # age gen0's entries far into the past so ITS grace elapsed
+        mp = os.path.join(d, "meta.json")
+        with open(mp) as f:
+            meta = json.load(f)
+        meta["retired"]["entries"] = {
+            k: v - 10_000 for k, v in meta["retired"]["entries"].items()
+        }
+        with open(mp, "w") as f:
+            json.dump(meta, f)
+        # grace high during the vacuum so its in-body gc keeps BOTH
+        # generations (otherwise it would rightly reclaim aged gen0)
+        os.environ["BM25SPARK_VACUUM_GRACE_SEC"] = "100000"
+        try:
+            vacuum(spark, d, "text")  # retires gen1 at t_now; carries gen0
+        finally:
+            del os.environ["BM25SPARK_VACUUM_GRACE_SEC"]
+        assert gc_index(d, grace_sec=3600) is True  # gen0 reclaimed
+        assert not os.path.exists(os.path.join(d, "docs"))
+        # gen1 retired seconds ago -> still inside ITS 3600s grace
+        assert os.path.exists(os.path.join(d, "gen1"))
+        with open(mp) as f:
+            meta = json.load(f)
+        assert "gen1" in meta["retired"]["entries"]
+        # and its timestamp is recent, not inherited from gen0
+        assert time.time() - meta["retired"]["entries"]["gen1"] < 600
+        assert gc_index(d, grace_sec=0) is True
+        assert not os.path.exists(os.path.join(d, "gen1"))
+
+    def test_mutator_queued_behind_vacuum_sees_new_generation(
+        self, spark, lifecycle
+    ):
+        """insert() reads meta UNDER the mutation lock: rows inserted
+        right after a vacuum land in the new generation's growing
+        segment (the pre-fix read-before-lock would write them into
+        the retired mut dir, silently losing them at gc)."""
+        import os
+
+        from bm25spark.maintain import gc_index
+
+        d, oracle, rnd = lifecycle
+        vacuum(spark, d, "text")
+        insert(
+            spark, d,
+            spark.createDataFrame([(12345, "t1 t1")], "doc_id INT, text STRING"),
+            "text",
+        )
+        assert os.path.exists(os.path.join(d, "mut_gen1", "delta"))
+        gc_index(d, grace_sec=0)  # reclaims gen0 + mut_gen0
+        # the inserted row survived the gc and is searchable
+        got = search_with_delta(spark, d, "t1", 500, "text")
+        assert any(p[0] == 12345 for p, _ in got)
+
+    def test_legacy_root_mutation_layout_still_honored(self, spark, lifecycle):
+        """An index mutated by the pre-generation-scoped layout (delta/
+        tombstones/ at the index root) keeps its pending mutations:
+        readers resolve to the legacy dirs, new mutations append there,
+        and vacuum absorbs + retires them."""
+        import os
+        import shutil
+
+        d, oracle, rnd = lifecycle
+        insert(
+            spark, d,
+            spark.createDataFrame([(7777, "t1 t9")], "doc_id INT, text STRING"),
+            "text",
+        )
+        delete(spark, d, spark.createDataFrame([(0,)], "doc_id INT"))
+        # simulate the old layout: move mut_gen0/* to the index root
+        mg = os.path.join(d, "mut_gen0")
+        for name in os.listdir(mg):
+            shutil.move(os.path.join(mg, name), os.path.join(d, name))
+        os.rmdir(mg)
+
+        assert delta_size(spark, d) == 1  # reader sees the legacy delta
+        got = search_with_delta(spark, d, "t1", 500, "text")
+        assert any(p[0] == 7777 for p, _ in got)
+        assert all(p[0] != 0 for p, _ in got)  # legacy tombstone honored
+
+        # a NEW mutation appends into the legacy location (consistent)
+        insert(
+            spark, d,
+            spark.createDataFrame([(7778, "t1")], "doc_id INT, text STRING"),
+            "text",
+        )
+        assert delta_size(spark, d) == 2
+        assert not os.path.exists(os.path.join(d, "mut_gen0", "delta"))
+
+        vacuum(spark, d, "text")
+        idx = Bm25Index(spark, d)
+        assert idx.meta["generation"] == 1
+        # legacy dirs retired with the generation; gc reclaims them
+        from bm25spark.maintain import gc_index
+
+        gc_index(d, grace_sec=0)
+        for name in ("delta", "tombstones", "delta_tombstones", "delta_seq"):
+            assert not os.path.exists(os.path.join(d, name)), name
+        got = search_with_delta(spark, d, "t1", 500, "text")
+        assert any(p[0] == 7777 for p, _ in got)
+        assert all(p[0] != 0 for p, _ in got)
