@@ -351,6 +351,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bm25_delta_batch"] = _delta_batch
 
+    def _delta_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """P3 composed with O6: the same mutation sequence as
+        bm25_delta_search, searched with a payload-key prefilter
+        (doc_id %2 == 0) applied to BOTH segments — sealed stats stay
+        whole-corpus, candidates restricted before they count toward
+        k, exactly like the single-segment prefilter."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from bm25spark.build import build_index
+        from bm25spark.config import Bm25Config
+        from bm25spark.maintain import delete, insert, search_with_delta_df
+
+        docs = _docs(spark, sf_dir)
+        d = tempfile.mkdtemp(prefix="bm25spark-deltapre-gate-")
+        build_index(
+            spark,
+            docs.filter(F.col("doc_id") % 3 != 0),
+            d,
+            "text",
+            ["doc_id"],
+            cfg=Bm25Config(shard_size=1 << 14),
+        )
+        insert(spark, d, docs.filter(F.col("doc_id") % 3 == 0), "text")
+        delete(
+            spark, d, docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        )
+        insert(spark, d, docs.filter(F.col("doc_id") % 21 == 0), "text")
+        allowed = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+        out_df = search_with_delta_df(
+            spark, d, "merge spark window", 100, "text", prefilter=allowed
+        )
+        return out_df.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"), "score"
+        )
+
+    out["bm25_delta_prefilter"] = _delta_prefilter
+
     def _partial_index_slt(spark: SparkSession, sf_dir: str) -> DataFrame:
         """The reference's second sqllogictest (bm25query.slt:20-46):
         two *partial* indexes built over the id%2 subsets of the 10
@@ -502,6 +541,14 @@ def oracle_sql() -> dict[str, str]:
         100,
         sealed_pred="(doc_id % 3) <> 0",
         live_pred=_DELTA_LIVE_PRED,
+    )
+    # P3 ∘ O6: same mutation predicates, candidates further restricted
+    # to the prefilter's keys; statistics unchanged
+    out["bm25_delta_prefilter"] = oracle.bm25_delta_topk_sql(
+        ["merge", "spark", "window"],
+        100,
+        sealed_pred="(doc_id % 3) <> 0",
+        live_pred=f"({_DELTA_LIVE_PRED} AND (doc_id % 2) = 0)",
     )
     # batched growing∪sealed: per-query oracles with the same mutation
     # predicates, unioned — mirrors queries()["bm25_delta_batch"]

@@ -475,6 +475,7 @@ def search_with_delta_df(
     text_col: str,
     round_score: int | None = 4,
     slack: int = 128,
+    prefilter: DataFrame | None = None,
 ) -> DataFrame:
     """O6 growing∪sealed top-k as one distributed plan: sealed segment
     via :func:`bm25spark.distributed.search_distributed` (tombstones as
@@ -482,6 +483,13 @@ def search_with_delta_df(
     union → (rounded) re-rank → limit k. With ``round_score`` set, both
     legs over-fetch by ``slack`` so the rounded boundary cannot drop a
     tied survivor (same convention as ``Bm25Index.search_df``).
+
+    ``prefilter``: optional allowed *payload key* rows — P3 composed
+    with O6, the reference's filter-on-every-scan applied to BOTH
+    segments: the sealed leg routes it per shard alongside the
+    tombstone blocklist, the growing leg semi-joins the delta before
+    scoring (statistics stay whole-corpus/sealed either way, exactly
+    like the single-segment prefilter).
 
     Returns (payload cols..., score) best-first, ties by payload cols
     ascending."""
@@ -512,10 +520,15 @@ def search_with_delta_df(
         k_fetch,
         round_score=None,
         blocked=_tombstones_df(spark, index_dir, gen=_gen_of(idx.meta)),
+        prefilter=prefilter,
     ).select(*pc, "score")
 
     merged = sealed
     delta = _live_delta(spark, idx, index_dir)
+    if delta is not None and prefilter is not None:
+        delta = delta.join(
+            F.broadcast(prefilter.select(*pc).distinct()), pc, "left_semi"
+        )
     if delta is not None:
         dtop = _delta_topk_df(spark, idx, delta, query_text, k_fetch, text_col)
         if dtop is not None:

@@ -67,7 +67,13 @@ def with_doc_terms(df, text_col: str, analyzer_name: str, seed: bytes):
     skip (src/index/bm25/am/am_build.rs:713-724). doc_len = sum of tfs
     (vector.rs:76-83), computed with the JVM ``aggregate`` expression.
     """
-    udf = doc_terms_udf(analyzer_name, seed)
+    # asNondeterministic: the analyzer IS deterministic, but marking it
+    # so forbids Catalyst from DUPLICATING the expression when two
+    # downstream columns derive from `terms` (doc_len + the explode) —
+    # without it the delta-scoring plans carried TWO ArrowEvalPython
+    # nodes and tokenized every row twice (caught by the plan guard
+    # tests/test_plans.py::test_delta_batch_plan_*)
+    udf = doc_terms_udf(analyzer_name, seed).asNondeterministic()
     return (
         df.filter(F.col(text_col).isNotNull())
         .withColumn("terms", udf(F.col(text_col)))

@@ -711,3 +711,40 @@ class TestControlPlaneHardening:
         got = search_with_delta(spark, d, "t1", 500, "text")
         assert any(p[0] == 7777 for p, _ in got)
         assert all(p[0] != 0 for p, _ in got)
+
+
+def test_delta_search_prefilter_composes(spark, lifecycle):
+    """P3 ∘ O6: a payload-key prefilter restricts BOTH segments of the
+    growing∪sealed search (sealed leg per-shard mask alongside the
+    tombstone blocklist; delta leg semi-join), with sealed statistics
+    untouched."""
+    from bm25spark.maintain import search_with_delta_df
+
+    d, oracle, rnd = lifecycle
+    insert(
+        spark, d,
+        spark.createDataFrame(
+            [(1000, "t1 t1 t1 t1"), (1001, "t1 t1 t1 t1")],
+            "doc_id INT, text STRING",
+        ),
+        "text",
+    )
+    delete(spark, d, spark.createDataFrame([(2,)], "doc_id INT")) 
+    allowed = spark.createDataFrame(
+        [(i,) for i in range(0, 1002, 2)], "doc_id INT"
+    )
+    got = search_with_delta_df(
+        spark, d, "t1", 500, "text", prefilter=allowed
+    ).collect()
+    ids = [r.doc_id for r in got]
+    assert ids, "prefiltered delta search returned nothing"
+    assert all(i % 2 == 0 for i in ids)          # prefilter on both legs
+    assert 1000 in ids and 1001 not in ids       # delta leg filtered
+    assert 2 not in ids                          # tombstone still applies
+    # unprefiltered search agrees on the allowed subset (stats equal)
+    full = {
+        r.doc_id: r.score
+        for r in search_with_delta_df(spark, d, "t1", 2000, "text").collect()
+    }
+    for r in got:
+        assert full[r.doc_id] == r.score, r.doc_id

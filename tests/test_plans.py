@@ -76,3 +76,32 @@ def test_payload_join_broadcasts_topk_side(spark, tmp_path):
     idx = index_for_parquet(spark, f"{SF}/documents.parquet", "text", ["doc_id"])
     plan = plan_of(search_distributed(idx.spark, idx.index_dir, "merge", 5))
     assert "BroadcastHashJoin" in plan
+
+
+def test_delta_batch_plan_broadcasts_and_single_python_crossing(spark, tmp_path):
+    """Batched delta leg: per-query term weights join in via BROADCAST
+    (never a shuffle of the delta on term_key), and the only Python
+    operator in the whole batched growing∪sealed plan family is the
+    fused Arrow tokenizer plus the per-shard kernel — no row-at-a-time
+    Python anywhere."""
+    from bm25spark.api import index_for_parquet
+    from bm25spark.maintain import insert, search_with_delta_batch_df
+
+    idx = index_for_parquet(spark, f"{SF}/documents.parquet", "text", ["doc_id"])
+    insert(
+        spark, idx.index_dir,
+        spark.read.parquet(f"{SF}/documents.parquet").limit(20).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        ),
+        "text",
+    )
+    plan = plan_of(
+        search_with_delta_batch_df(
+            spark, idx.index_dir, {"a": "merge spark", "b": "window"}, 5, "text"
+        )
+    )
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "BroadcastHashJoin" in plan    # q_terms + payload joins
+    # exactly one Arrow tokenizer crossing in the delta leg, plus the
+    # per-shard kernels (FlatMapGroupsInPandas / cogroup)
+    assert plan.count("ArrowEvalPython") <= 1, plan.count("ArrowEvalPython")
