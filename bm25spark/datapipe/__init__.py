@@ -73,6 +73,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_repetition": lambda s, d: textstats.text_ngram_repetition(
             _docs(s, d)
         ),
+        # keep/drop composition over the proven signal operators
+        "text_quality_filter": lambda s, d: textstats.corpus_quality_filter(
+            _docs(s, d)
+        ),
     }
 
 
@@ -143,4 +147,5 @@ def oracle_registry() -> dict[str, str]:
         "text_pii_flags": textstats.text_pii_flags_sql(),
         "text_repetition": textstats.text_repetition_sql(),
         "text_ngram_repetition": textstats.text_ngram_repetition_sql(),
+        "text_quality_filter": textstats.corpus_quality_filter_sql(),
     }

@@ -382,3 +382,94 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN agg a USING (doc_id)
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------------- quality filter ----
+
+#: Gopher-style corpus filter thresholds (Rae et al. 2021's repetition
+#: /quality filter family, tuned to the synthetic corpus scale so both
+#: keeps and drops occur at every SF). Each rule name doubles as the
+#: reason string in the output.
+QF_MIN_TOKENS = 5
+QF_MAX_TOKENS = 50_000
+QF_MAX_DIGIT_RATIO = 0.30
+QF_MIN_STOP_RATIO = 0.01
+QF_MAX_DUP_LINE_RATIO = 0.30
+QF_MAX_TOP_BIGRAM_FRAC = 0.20
+QF_MIN_QUALITY = 0.30
+
+
+def corpus_quality_filter(docs: DataFrame) -> DataFrame:
+    """Keep/drop decision per document — the composition a real
+    training-data pipeline runs, built from the already-oracle-proven
+    signal operators (stats, quality score, duplicate-line and bigram
+    repetition) joined on doc_id: (doc_id, keep, reasons) where
+    ``reasons`` is the comma-joined sorted list of failed rules
+    ('' when kept).
+
+    Thresholds are module constants so the SQL oracle and the Spark
+    plan share them; all compared ratios are the operators' 4-dp
+    rounded outputs, so boundary decisions agree bit-for-bit across
+    engines. Scale shape: four per-doc aggregations (each one
+    explode + hash-agg, already shuffle-minimal) joined on doc_id —
+    AQE co-partitions the joins; nothing new is collected."""
+    s = text_stats(docs).select("doc_id", "n_tokens", "digit_ratio", "stop_ratio")
+    q = text_quality(docs).select("doc_id", "quality")
+    r = text_repetition(docs).select("doc_id", "dup_line_ratio")
+    g = text_ngram_repetition(docs).select("doc_id", "top_bigram_frac")
+    j = s.join(q, "doc_id").join(r, "doc_id").join(g, "doc_id")
+    rules = [
+        ("too_short", F.col("n_tokens") < QF_MIN_TOKENS),
+        ("too_long", F.col("n_tokens") > QF_MAX_TOKENS),
+        ("digit_heavy", F.col("digit_ratio") > QF_MAX_DIGIT_RATIO),
+        ("no_stopwords", F.col("stop_ratio") < QF_MIN_STOP_RATIO),
+        ("dup_lines", F.col("dup_line_ratio") > QF_MAX_DUP_LINE_RATIO),
+        ("boilerplate", F.col("top_bigram_frac") > QF_MAX_TOP_BIGRAM_FRAC),
+        ("low_quality", F.col("quality") < QF_MIN_QUALITY),
+    ]
+    reason_cols = [
+        F.when(cond, F.lit(name)) for name, cond in sorted(rules)
+    ]
+    reasons = F.concat_ws(",", *reason_cols)  # concat_ws skips NULLs
+    return (
+        j.select(
+            "doc_id",
+            (reasons == "").alias("keep"),
+            reasons.alias("reasons"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def corpus_quality_filter_sql() -> str:
+    rules = [
+        ("too_short", f"s.n_tokens < {QF_MIN_TOKENS}"),
+        ("too_long", f"s.n_tokens > {QF_MAX_TOKENS}"),
+        ("digit_heavy", f"s.digit_ratio > {QF_MAX_DIGIT_RATIO}"),
+        ("no_stopwords", f"s.stop_ratio < {QF_MIN_STOP_RATIO}"),
+        ("dup_lines", f"r.dup_line_ratio > {QF_MAX_DUP_LINE_RATIO}"),
+        ("boilerplate", f"g.top_bigram_frac > {QF_MAX_TOP_BIGRAM_FRAC}"),
+        ("low_quality", f"q.quality < {QF_MIN_QUALITY}"),
+    ]
+    reason_sql = ",\n         ".join(
+        f"CASE WHEN {cond} THEN '{name}' END"
+        for name, cond in sorted(rules)
+    )
+    return f"""
+WITH s AS (SELECT * FROM ( {text_stats_sql()} )),
+     q AS (SELECT * FROM ( {text_quality_sql()} )),
+     r AS (SELECT * FROM ( {text_repetition_sql()} )),
+     g AS (SELECT * FROM ( {text_ngram_repetition_sql()} ))
+SELECT s.doc_id,
+       concat_ws(',',
+         {reason_sql}
+       ) = '' AS keep,
+       concat_ws(',',
+         {reason_sql}
+       ) AS reasons
+FROM s
+JOIN q USING (doc_id)
+JOIN r USING (doc_id)
+JOIN g USING (doc_id)
+ORDER BY s.doc_id
+"""

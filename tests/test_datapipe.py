@@ -753,3 +753,31 @@ def test_ivf_matches_oracle_at_sf01(spark):
             os.environ.pop("BM25SPARK_GATE_SF_DIR", None)
         else:
             os.environ["BM25SPARK_GATE_SF_DIR"] = old
+
+
+class TestQualityFilter:
+    def test_matches_oracle(self, docs):
+        assert_matches(
+            textstats.corpus_quality_filter(docs),
+            textstats.corpus_quality_filter_sql(),
+        )
+
+    def test_planted_rule_hits(self, spark):
+        """Each filter rule fires on a doc engineered to trip exactly
+        it (plus whatever co-fires honestly), and a clean doc keeps."""
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog and runs on"),
+            (2, "word"),                                  # too_short
+            (3, "1234 5678 9012 3456 to be " + "a " * 10),  # digit_heavy
+            (4, "alpha beta gamma delta epsilon zeta eta theta"),  # no_stopwords
+            (5, "the line is here\n" * 10),               # dup_lines (+boilerplate)
+            (6, "the cat " * 40),                         # boilerplate
+        ]
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        out = {r.doc_id: r for r in textstats.corpus_quality_filter(df).collect()}
+        assert out[1].keep and out[1].reasons == ""
+        assert not out[2].keep and "too_short" in out[2].reasons
+        assert not out[3].keep and "digit_heavy" in out[3].reasons
+        assert not out[4].keep and "no_stopwords" in out[4].reasons
+        assert not out[5].keep and "dup_lines" in out[5].reasons
+        assert not out[6].keep and "boilerplate" in out[6].reasons
