@@ -390,6 +390,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bm25_delta_prefilter"] = _delta_prefilter
 
+    def _delta_batch_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The last cell of the serving matrix (batch × growing∪sealed
+        × tombstones+prefilter): the same mutation sequence as
+        bm25_delta_batch, answered for all five query sets with a
+        payload-key prefilter (doc_id %2 == 0) applied to both legs of
+        every query — one sealed batch job + one delta Catalyst plan."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from bm25spark.build import build_index
+        from bm25spark.config import Bm25Config
+        from bm25spark.maintain import (
+            delete,
+            insert,
+            search_with_delta_batch_df,
+        )
+
+        docs = _docs(spark, sf_dir)
+        d = tempfile.mkdtemp(prefix="bm25spark-deltabatchpre-gate-")
+        build_index(
+            spark,
+            docs.filter(F.col("doc_id") % 3 != 0),
+            d,
+            "text",
+            ["doc_id"],
+            cfg=Bm25Config(shard_size=1 << 14),
+        )
+        insert(spark, d, docs.filter(F.col("doc_id") % 3 == 0), "text")
+        delete(
+            spark, d, docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        )
+        insert(spark, d, docs.filter(F.col("doc_id") % 21 == 0), "text")
+        allowed = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+        qs = {
+            name: " ".join(tokens)
+            for name, (tokens, _) in _QUERY_SETS.items()
+        }
+        return search_with_delta_batch_df(
+            spark, d, qs, 20, "text", prefilter=allowed
+        ).select(
+            "query_id",
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "score",
+        )
+
+    out["bm25_delta_batch_prefilter"] = _delta_batch_prefilter
+
     def _partial_index_slt(spark: SparkSession, sf_dir: str) -> DataFrame:
         """The reference's second sqllogictest (bm25query.slt:20-46):
         two *partial* indexes built over the id%2 subsets of the 10
@@ -558,6 +606,18 @@ def oracle_sql() -> dict[str, str]:
             tokens, 20,
             sealed_pred="(doc_id % 3) <> 0",
             live_pred=_DELTA_LIVE_PRED,
+        )
+        + ")"
+        for name, (tokens, _) in _QUERY_SETS.items()
+    ) + "\nORDER BY query_id, score DESC, doc_id"
+    # batch × delta × tombstones+prefilter (the full matrix): per-query
+    # oracles with the mutation predicates AND the prefilter key set
+    out["bm25_delta_batch_prefilter"] = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS query_id, * FROM ("
+        + oracle.bm25_delta_topk_sql(
+            tokens, 20,
+            sealed_pred="(doc_id % 3) <> 0",
+            live_pred=f"({_DELTA_LIVE_PRED} AND (doc_id % 2) = 0)",
         )
         + ")"
         for name, (tokens, _) in _QUERY_SETS.items()

@@ -76,21 +76,28 @@ def mkdirs(path: str) -> None:
     fs.create_dir(p, recursive=True)
 
 
-def rmtree(path: str) -> None:
-    """Recursive delete of a directory OR a single file, silent on a
-    missing path (shutil.rmtree ignore_errors analogue — the file case
-    covers control files like a legacy sequence counter riding a
-    retired-paths list)."""
+def rmtree(path: str) -> bool:
+    """Recursive delete of a directory OR a single file. Returns True
+    when the path is gone afterwards (deleted now or already missing)
+    and False when a real delete error left it in place — callers that
+    track reclamation (retired-generation GC) keep the entry and retry
+    later instead of silently orphaning the directory. Only a missing
+    path is "vacuously done"; permission/transient-store errors are
+    failures."""
     fs, p = resolve(path)
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.NotFound:
+        return True
     try:
-        fs.delete_dir(p)
-        return
-    except (FileNotFoundError, OSError):
-        pass
-    try:
-        fs.delete_file(p)
-    except (FileNotFoundError, OSError):
-        pass
+        if info.type == pafs.FileType.Directory:
+            fs.delete_dir(p)
+        else:
+            fs.delete_file(p)
+        return True
+    except FileNotFoundError:
+        return True
+    except OSError:
+        return fs.get_file_info(p).type == pafs.FileType.NotFound
 
 
 def read_text(path: str) -> str:

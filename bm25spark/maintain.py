@@ -132,18 +132,39 @@ class _MutationLock:
     racing a vacuum fails loudly (TimeoutError) instead of writing
     into a growing segment the vacuum is absorbing.
 
-    Local filesystems only: object stores expose no atomic
-    create-exclusive through pyarrow.fs, so there the lock degrades to
-    a no-op and the single-driver mutation model is a documented
-    requirement (readers need no lock either way — publishes are
-    atomic meta repoints). A lockfile older than
-    ``BM25SPARK_LOCK_STALE_SEC`` (default 3600) is presumed leaked by
-    a crashed driver and is stolen."""
+    Object stores expose no atomic create-exclusive through
+    pyarrow.fs, so there the lock CANNOT be enforced. Rather than
+    silently degrade, acquiring a mutation lock on a non-local
+    ``index_dir`` raises unless ``BM25SPARK_SINGLE_WRITER=1``
+    explicitly acknowledges the single-driver mutation model (readers
+    need no lock either way — publishes are atomic meta repoints).
+
+    Liveness vs long holders: the holder heartbeats the lockfile
+    (mtime touch) from a daemon thread every ``stale/4`` seconds, so a
+    legitimately long vacuum is never mistaken for a leaked lock. A
+    lockfile whose mtime is older than ``BM25SPARK_LOCK_STALE_SEC``
+    (default 3600) is presumed leaked by a crashed driver and stolen:
+    the waiter renames it aside (exactly one of N waiters wins the
+    rename), re-reads the renamed file, and — if its content is not
+    the token it observed stale (a fresh holder slipped in between
+    the mtime check and the rename) — restores it and re-loops.
+    Holders additionally :meth:`assert_held` before every meta
+    publish, so a holder that *was* stolen from aborts instead of
+    publishing over the stealer's work."""
 
     def __init__(self, index_dir: str, timeout: float | None = None):
         import uuid
 
         self.enabled = fsio.is_local(index_dir)
+        if not self.enabled and os.environ.get("BM25SPARK_SINGLE_WRITER") != "1":
+            raise RuntimeError(
+                f"mutation on non-local index {index_dir!r}: object stores "
+                "expose no atomic create-exclusive, so the mutation lock "
+                "cannot be enforced there. If exactly ONE driver ever "
+                "mutates this index, set BM25SPARK_SINGLE_WRITER=1 to "
+                "acknowledge the single-writer model; two concurrent "
+                "mutators WILL corrupt sequences/generations."
+            )
         self.path = (
             os.path.join(fsio.local_path(index_dir), ".mutlock")
             if self.enabled
@@ -156,8 +177,44 @@ class _MutationLock:
             else timeout
         )
         self.stale = float(os.environ.get("BM25SPARK_LOCK_STALE_SEC", "3600"))
+        self._hb_stop = None  # threading.Event while held
+
+    # -- helpers -------------------------------------------------------
+    def _read_token(self, path: str) -> str | None:
+        try:
+            with open(path) as f:
+                return f.read()
+        except (FileNotFoundError, OSError):
+            return None
+
+    def assert_held(self) -> None:
+        """Fail loudly if this process no longer holds the lock (a
+        waiter stole it after a >stale stall). Called by mutators
+        immediately before publishing meta, so a stolen-from holder
+        aborts instead of silently clobbering the stealer's state."""
+        if not self.enabled:
+            return
+        if self._read_token(self.path) != self.token:
+            raise RuntimeError(
+                f"mutation lock {self.path} lost (stolen after a "
+                f">{self.stale}s stall or deleted); aborting before "
+                "publish — the index was NOT modified by this mutator's "
+                "final step"
+            )
+
+    def _heartbeat(self, stop) -> None:
+        interval = max(1.0, self.stale / 4.0)
+        while not stop.wait(interval):
+            # refresh only OUR lock (don't resurrect a stealer's)
+            if self._read_token(self.path) == self.token:
+                try:
+                    os.utime(self.path)
+                except OSError:
+                    pass
 
     def __enter__(self):
+        import threading
+
         if not self.enabled:
             return self
         deadline = time.monotonic() + self.timeout
@@ -166,16 +223,40 @@ class _MutationLock:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.write(fd, self.token.encode())
                 os.close(fd)
+                self._hb_stop = threading.Event()
+                threading.Thread(
+                    target=self._heartbeat,
+                    args=(self._hb_stop,),
+                    daemon=True,
+                    name="bm25spark-mutlock-heartbeat",
+                ).start()
                 return self
             except FileExistsError:
                 try:
+                    observed = self._read_token(self.path)
                     if time.time() - os.path.getmtime(self.path) > self.stale:
                         # atomic steal: rename the stale lock aside —
                         # exactly ONE of N waiters wins the rename (the
                         # losers get FileNotFoundError and re-loop), so
                         # two waiters can never both enter through an
                         # unlink/create race
-                        os.rename(self.path, f"{self.path}.stale.{os.getpid()}")
+                        aside = f"{self.path}.stale.{os.getpid()}"
+                        os.rename(self.path, aside)
+                        # TOCTOU guard: if the renamed file is not the
+                        # one we observed stale (the holder released
+                        # and a fresh holder acquired between our
+                        # mtime check and the rename), put it back —
+                        # os.link fails with EEXIST if yet another
+                        # waiter already created a new lock, in which
+                        # case the displaced fresh holder aborts at
+                        # its next assert_held (documented residual
+                        # window, requires a >stale stall to open)
+                        if self._read_token(aside) != observed:
+                            try:
+                                os.link(aside, self.path)
+                            except OSError:
+                                pass
+                        os.unlink(aside)  # no litter either way
                         continue
                 except FileNotFoundError:
                     continue
@@ -188,16 +269,27 @@ class _MutationLock:
                 time.sleep(0.05)
 
     def __exit__(self, *exc):
-        if self.enabled:
+        if not self.enabled:
+            return False
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+            self._hb_stop = None
+        # compare-and-unlink without a read-then-unlink window: rename
+        # the lock to a private name first (atomic claim), verify it is
+        # OURS, then delete; if it was a stealer's, restore it
+        priv = f"{self.path}.rel.{os.getpid()}"
+        try:
+            os.rename(self.path, priv)
+        except FileNotFoundError:
+            return False
+        if self._read_token(priv) == self.token:
+            os.unlink(priv)
+        else:
             try:
-                # release only OUR lock: if a stale-steal replaced it
-                # (we overran BM25SPARK_LOCK_STALE_SEC), the file now
-                # carries the stealer's token and must stay
-                with open(self.path) as f:
-                    if f.read() == self.token:
-                        os.unlink(self.path)
-            except FileNotFoundError:
+                os.link(priv, self.path)
+            except OSError:
                 pass
+            os.unlink(priv)
         return False
 
 
@@ -552,7 +644,6 @@ def search_with_delta(
     query_text: str,
     k: int,
     text_col: str,
-    mode: str = "taat",  # kept for API compat; the sealed leg is taat
 ) -> list[tuple[tuple, float]]:
     """O6: growing ∪ sealed top-k. Returns [(payload tuple, score)] with
     raw float64 scores — a thin collect over :func:`search_with_delta_df`."""
@@ -623,6 +714,18 @@ def gc_index(
     if lock is not None:
         lock.__enter__()
     try:
+        # sweep stale-lock litter from crashed steals (a successful
+        # steal unlinks its rename-aside file itself; a waiter that
+        # died between rename and unlink leaves one behind)
+        if fsio.is_local(index_dir):
+            import glob as _glob
+
+            root = fsio.local_path(index_dir)
+            for f in _glob.glob(os.path.join(root, ".mutlock.stale.*")):
+                try:
+                    os.unlink(f)
+                except OSError:
+                    pass
         mp = fsio.join(index_dir, "meta.json")
         meta = _json.loads(fsio.read_text(mp))
         entries = _retired_entries(meta)
@@ -634,18 +737,27 @@ def gc_index(
         for rel, at in entries.items():
             # retired entries are simple top-level names written by
             # vacuum; refuse anything that could step outside the index
-            # (works for URIs too, where realpath does not apply)
+            # (works for URIs too, where realpath does not apply).
+            # Refused names are KEPT (never silently dropped — they
+            # signal a hand-edited meta worth noticing), as are paths
+            # whose delete failed, so a later gc retries instead of
+            # orphaning the directory forever.
             if not rel or "/" in rel or "\\" in rel or rel in (".", ".."):
+                keep[rel] = at
                 continue
             if now - at < grace:
                 keep[rel] = at
                 continue
-            fsio.rmtree(fsio.join(index_dir, rel))
-            reclaimed = True
+            if fsio.rmtree(fsio.join(index_dir, rel)):
+                reclaimed = True
+            else:
+                keep[rel] = at
         if keep:
             meta["retired"] = {"entries": keep}
         else:
             meta.pop("retired", None)
+        if lock is not None:
+            lock.assert_held()
         fsio.write_text_atomic(mp, _json.dumps(meta, indent=2))
         return reclaimed
     finally:
@@ -680,7 +792,7 @@ def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
         old_gen = _gen_of(idx.meta)
         gen = old_gen + 1
         return _vacuum_locked(
-            spark, idx, index_dir, text_col, cfg, pc, old_gen, gen
+            spark, idx, index_dir, text_col, cfg, pc, old_gen, gen, lock
         )
     finally:
         lock.__exit__(None, None, None)
@@ -695,6 +807,7 @@ def _vacuum_locked(
     pc: list,
     old_gen: int,
     gen: int,
+    lock: "_MutationLock | None" = None,
 ) -> str:
     # reclaim the grandparent generation (if its grace elapsed) —
     # under the already-held mutation lock
@@ -834,6 +947,11 @@ def _vacuum_locked(
     for p_ in retiring:
         entries.setdefault(p_, now)
     new_meta["retired"] = {"entries": {p_: entries[p_] for p_ in sorted(entries)}}
+    # publish gate: a vacuum that stalled past the stale window and was
+    # stolen from must NOT repoint meta (its mut_gen absorption raced a
+    # newly admitted mutator) — abort loudly instead
+    if lock is not None:
+        lock.assert_held()
     fsio.write_text_atomic(
         fsio.join(index_dir, "meta.json"), _json.dumps(new_meta, indent=2)
     )
@@ -935,6 +1053,7 @@ def search_with_delta_batch_df(
     text_col: str,
     round_score: int | None = 4,
     slack: int = 128,
+    prefilter: DataFrame | None = None,
 ) -> DataFrame:
     """Batched growing∪sealed top-k — the full serving matrix in two
     Spark jobs regardless of batch size M: the sealed leg is
@@ -944,6 +1063,13 @@ def search_with_delta_batch_df(
     (:func:`_delta_topk_batch_df`), then a per-query windowed re-rank.
     Per-query results identical to :func:`search_with_delta_df`
     (asserted in tests and the driver gate).
+
+    ``prefilter``: optional allowed *payload key* rows (P3 composed
+    with O6, same semantics as :func:`search_with_delta_df`): the
+    sealed leg routes it per shard alongside the tombstone blocklist
+    (one shared allowlist mask per shard task, applied to every query
+    in the batch), and the growing leg semi-joins the delta before
+    scoring. Statistics stay sealed/whole-corpus either way.
 
     Returns (query_id, payload cols..., score), ordered by
     (query_id, score desc, payload cols)."""
@@ -993,9 +1119,16 @@ def search_with_delta_batch_df(
         k_fetch,
         round_score=None,
         blocked=_tombstones_df(spark, index_dir, gen=gen),
+        prefilter=prefilter,
     ).select("query_id", *pc, "score")
 
     delta = _live_delta(spark, idx, index_dir)
+    if delta is not None and prefilter is not None:
+        # P3 on the growing leg: same broadcast semi-join as the
+        # single-query path (search_with_delta_df)
+        delta = delta.join(
+            F.broadcast(prefilter.select(*pc).distinct()), pc, "left_semi"
+        )
     if delta is not None:
         dtop = _delta_topk_batch_df(
             spark, idx, delta, live, k_fetch, text_col,

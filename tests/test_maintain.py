@@ -748,3 +748,170 @@ def test_delta_search_prefilter_composes(spark, lifecycle):
     }
     for r in got:
         assert full[r.doc_id] == r.score, r.doc_id
+
+
+def test_delta_batch_prefilter_parity(spark, lifecycle):
+    """The last cell of the serving matrix (batch × delta ×
+    tombstone+prefilter): search_with_delta_batch_df with BOTH a
+    tombstone set and a payload-key prefilter live returns per-query
+    rows identical to M single search_with_delta_df calls under the
+    same constraints."""
+    from bm25spark.maintain import (
+        search_with_delta_batch_df,
+        search_with_delta_df,
+    )
+
+    d, oracle, rnd = lifecycle
+    insert(
+        spark, d,
+        spark.createDataFrame(
+            [(1000, "t1 t1 t2"), (1001, "t1 t1 t2"), (1002, "t5 t5")],
+            "doc_id INT, text STRING",
+        ),
+        "text",
+    )
+    delete(spark, d, spark.createDataFrame([(2,), (4,)], "doc_id INT"))
+    allowed = spark.createDataFrame(
+        [(i,) for i in range(0, 1004, 2)], "doc_id INT"
+    )
+    qs = {"a": "t1 t2", "b": "t5", "c": "zz_absent"}
+    batch = search_with_delta_batch_df(
+        spark, d, qs, 25, "text", prefilter=allowed
+    ).collect()
+    by_q: dict = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    assert by_q, "batch returned nothing"
+    for rows in by_q.values():
+        assert all(i % 2 == 0 for i, _ in rows)
+        assert all(i not in (2, 4) for i, _ in rows)
+    for qid, text in qs.items():
+        single = [
+            (r.doc_id, r.score)
+            for r in search_with_delta_df(
+                spark, d, text, 25, "text", prefilter=allowed
+            ).collect()
+        ]
+        assert by_q.get(qid, []) == single, qid
+
+
+class TestLockHardening:
+    """Round-5 lock work: loud non-local no-op, heartbeat vs stale
+    steal, steal hygiene (no litter), publish-gate assert_held, and
+    retrying GC."""
+
+    def test_nonlocal_mutation_is_loud(self, tmp_path, monkeypatch):
+        from bm25spark import fs as fsio
+        from bm25spark.maintain import _MutationLock
+
+        real_is_local = fsio.is_local
+        monkeypatch.setattr(
+            fsio, "is_local", lambda p: False if "fakestore" in p else real_is_local(p)
+        )
+        monkeypatch.delenv("BM25SPARK_SINGLE_WRITER", raising=False)
+        with pytest.raises(RuntimeError, match="BM25SPARK_SINGLE_WRITER"):
+            _MutationLock(str(tmp_path / "fakestore_idx"))
+        # explicit single-writer acknowledgement -> documented no-op
+        monkeypatch.setenv("BM25SPARK_SINGLE_WRITER", "1")
+        lk = _MutationLock(str(tmp_path / "fakestore_idx"))
+        assert lk.enabled is False
+        with lk:
+            lk.assert_held()  # no-op when disabled
+
+    def test_stale_steal_no_litter_and_publish_gate(
+        self, tmp_path, monkeypatch
+    ):
+        import glob
+        import os as _os
+
+        from bm25spark.maintain import _MutationLock
+
+        d = str(tmp_path)
+        a = _MutationLock(d)  # default stale (1h): heartbeat idle here
+        a.__enter__()
+        try:
+            # age the lockfile past B's stale window
+            old = _os.stat(a.path).st_mtime - 10.0
+            _os.utime(a.path, (old, old))
+            monkeypatch.setenv("BM25SPARK_LOCK_STALE_SEC", "5")
+            b = _MutationLock(d, timeout=5)
+            b.__enter__()
+            try:
+                # steal succeeded, no .mutlock.stale.* litter remains
+                assert glob.glob(_os.path.join(d, ".mutlock.stale.*")) == []
+                b.assert_held()
+                with pytest.raises(RuntimeError, match="lock .* lost"):
+                    a.assert_held()  # stolen-from holder must abort
+            finally:
+                b.__exit__(None, None, None)
+            # B's release removed the lock; A's release must not crash
+            # (and must not delete anything it doesn't own)
+        finally:
+            a.__exit__(None, None, None)
+        assert not _os.path.exists(a.path)
+
+    def test_exit_leaves_stealers_lock_intact(self, tmp_path, monkeypatch):
+        import os as _os
+
+        from bm25spark.maintain import _MutationLock
+
+        d = str(tmp_path)
+        a = _MutationLock(d)
+        a.__enter__()
+        old = _os.stat(a.path).st_mtime - 10.0
+        _os.utime(a.path, (old, old))
+        monkeypatch.setenv("BM25SPARK_LOCK_STALE_SEC", "5")
+        b = _MutationLock(d, timeout=5)
+        b.__enter__()
+        # A releases while B holds: compare-and-unlink must restore
+        # B's lockfile, not delete it
+        a.__exit__(None, None, None)
+        assert _os.path.exists(b.path)
+        b.assert_held()
+        b.__exit__(None, None, None)
+        assert not _os.path.exists(b.path)
+
+    def test_gc_keeps_refused_and_failed_entries(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import json
+
+        from bm25spark import fs as fsio
+        from bm25spark.maintain import _retired_entries, gc_index
+
+        rnd = random.Random(5)
+        rows = [_mkdoc(rnd, i) for i in range(40)]
+        d = str(tmp_path / "idx")
+        build_index(
+            spark,
+            spark.createDataFrame(rows, "doc_id INT, text STRING"),
+            d, "text", ["doc_id"], cfg=Bm25Config(shard_size=128),
+        )
+        import os as _os
+
+        _os.makedirs(_os.path.join(d, "oldgen"), exist_ok=True)
+        mp = fsio.join(d, "meta.json")
+        meta = json.loads(fsio.read_text(mp))
+        meta["retired"] = {
+            "entries": {"oldgen": 1.0, "evil/../escape": 1.0}
+        }
+        fsio.write_text_atomic(mp, json.dumps(meta))
+
+        # maintain.fsio IS this module object, so patching here patches
+        # the gc call path too
+        real_rmtree = fsio.rmtree
+        monkeypatch.setattr(
+            fsio,
+            "rmtree",
+            lambda p: False if p.endswith("oldgen") else real_rmtree(p),
+        )
+        assert gc_index(d, grace_sec=0) is False  # nothing reclaimed
+        meta2 = json.loads(fsio.read_text(mp))
+        ent = _retired_entries(meta2)
+        # failed delete AND refused name both survive for retry/audit
+        assert "oldgen" in ent and "evil/../escape" in ent
+        # fs back to normal -> the failed entry is reclaimed on retry
+        monkeypatch.undo()
+        assert gc_index(d, grace_sec=0) is True
+        ent3 = _retired_entries(json.loads(fsio.read_text(mp)))
+        assert "oldgen" not in ent3 and "evil/../escape" in ent3
