@@ -155,12 +155,49 @@ ANALYZERS: dict[str, Callable[[str], list[str]]] = {
     "unicode": tokenize_unicode,
 }
 
+#: name -> content fingerprint of the analyzer's *behavior-defining
+#: data* (wordlist hash for dictionary analyzers, the literal
+#: ``builtin:`` tag for in-tree ones). Stored in ``meta.json`` at
+#: build time and re-checked at index open, so reopening an index
+#: under the same analyzer NAME but a different wordlist fails loudly
+#: instead of silently tokenizing queries differently. Custom
+#: ``register_analyzer`` registrations may pass ``fingerprint=None``,
+#: which disables the check for that analyzer (documented opt-out).
+ANALYZER_FINGERPRINTS: dict[str, str] = {
+    name: f"builtin:{name}" for name in ANALYZERS
+}
+
 
 def get_analyzer(name: str) -> Callable[[str], list[str]]:
     try:
         return ANALYZERS[name]
     except KeyError:
         raise ValueError(f"unknown analyzer {name!r}; have {sorted(ANALYZERS)}")
+
+
+def analyzer_fingerprint(name: str) -> str | None:
+    """The currently-registered fingerprint for ``name`` (None when the
+    registration opted out of fingerprinting)."""
+    return ANALYZER_FINGERPRINTS.get(name)
+
+
+def check_analyzer_fingerprint(name: str, expected: str | None) -> None:
+    """Raise when the registered analyzer ``name`` provably differs
+    from the one an index was built with (``expected`` from
+    meta.json). Skipped when either side is unfingerprinted (old
+    indexes; opt-out registrations)."""
+    if expected is None:
+        return
+    current = ANALYZER_FINGERPRINTS.get(name)
+    if current is not None and current != expected:
+        raise ValueError(
+            f"analyzer {name!r} is registered with fingerprint "
+            f"{current!r} but this index was built with {expected!r} — "
+            "the wordlist/configuration behind the name changed, so "
+            "queries would tokenize differently from the indexed "
+            "corpus. Re-register the original analyzer (same wordlist) "
+            "or rebuild/vacuum the index with the new one."
+        )
 
 
 def make_dict_analyzer(
@@ -176,11 +213,17 @@ def make_dict_analyzer(
     in jieba/lindera with the same one-liner where those libs exist.
 
     ``name`` registers the analyzer immediately (the returned function
-    is also usable unregistered, e.g. for ad-hoc tokenize calls)."""
+    is also usable unregistered, e.g. for ad-hoc tokenize calls),
+    fingerprinted by a content hash of the normalized wordlist — an
+    index built under that name refuses to open against a different
+    wordlist (see :func:`check_analyzer_fingerprint`)."""
     vocab = {unicodedata.normalize("NFKC", w).lower() for w in words if w}
     if not vocab:
         raise ValueError("dictionary analyzer needs a non-empty wordlist")
     longest = max(len(w) for w in vocab)
+    fingerprint = "dict:" + hashlib.sha256(
+        "\n".join(sorted(vocab)).encode("utf-8")
+    ).hexdigest()[:32]
 
     def _segment_cjk(run: str) -> list[str]:
         out: list[str] = []
@@ -213,22 +256,33 @@ def make_dict_analyzer(
         return out
 
     if name is not None:
-        register_analyzer(name, analyze)
+        register_analyzer(name, analyze, fingerprint=fingerprint)
     return analyze
 
 
-def register_analyzer(name: str, fn: Callable[[str], list[str]]) -> None:
+def register_analyzer(
+    name: str,
+    fn: Callable[[str], list[str]],
+    fingerprint: str | None = None,
+) -> None:
     """Plug in a custom analyzer (the extension point for the
     reference's pg_tokenizer ecosystem — jieba/lindera and friends,
     README.md:174-344, are *tokenizer configs outside the index* there
     too). The function must be a pure text -> token-list mapping; it
     ships to executors inside the tokenizer UDF's closure (cloudpickle),
     so driver-defined functions work. The index's ``meta.json`` stores
-    only the *name*, so the same registration must run before an index
-    built with it is reopened."""
+    the *name* plus the registration's ``fingerprint``: a version
+    string for the analyzer's behavior (wordlist hash, config digest).
+    The same registration must run before an index built with it is
+    reopened, and a mismatched fingerprint fails the open loudly.
+    ``fingerprint=None`` opts the analyzer out of that check."""
     if not callable(fn):
         raise TypeError("analyzer must be callable")
     ANALYZERS[name] = fn
+    if fingerprint is not None:
+        ANALYZER_FINGERPRINTS[name] = fingerprint
+    else:
+        ANALYZER_FINGERPRINTS.pop(name, None)
 
 
 def intern(seed: bytes, token: bytes) -> bytes:

@@ -66,6 +66,7 @@ from pyspark.sql.types import (
 
 from . import fs as fsio
 from . import packing
+from .analyze import analyzer_fingerprint as _analyzer_fingerprint
 from .config import BLOCK_SIZE, FORMAT_MAGIC, FORMAT_VERSION, Bm25Config
 from .scoring import tf_score
 from .udfs import with_doc_terms
@@ -730,6 +731,11 @@ def finalize_index(
         "b": cfg.b,
         "seed": cfg.seed.hex(),
         "analyzer": cfg.analyzer,
+        # behavior fingerprint of the analyzer at build time (wordlist
+        # hash for dictionary analyzers) — verified at open so the
+        # same NAME with a different wordlist cannot silently tokenize
+        # queries unlike the indexed corpus
+        "analyzer_fingerprint": _analyzer_fingerprint(cfg.analyzer),
         "shard_size": cfg.shard_size,
         "term_buckets": cfg.term_buckets,
         "n_docs": n_docs,

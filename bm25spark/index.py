@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from . import artifacts
 from . import fs as fsio
-from .analyze import analyze_query, get_analyzer
+from .analyze import analyze_query, check_analyzer_fingerprint, get_analyzer
 from .build import term_bucket
 from .scoring import Cache
 from .wand import TermPostings, bmw_topk, taat_topk
@@ -54,6 +54,11 @@ class Bm25Index:
         self.b = float(self.meta["b"])
         self.seed = bytes.fromhex(self.meta["seed"])
         self.analyzer = get_analyzer(self.meta["analyzer"])
+        # refuse to tokenize queries with a different analyzer than the
+        # corpus was indexed with (same name, different wordlist)
+        check_analyzer_fingerprint(
+            self.meta["analyzer"], self.meta.get("analyzer_fingerprint")
+        )
         self.n_docs = int(self.meta["n_docs"])
         self.avgdl = float(self.meta["avgdl"]) if self.n_docs else 0.0
         self.shard_size = int(self.meta["shard_size"])

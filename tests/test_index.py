@@ -468,3 +468,37 @@ def test_dict_segmenter_end_to_end(spark, tmp_path):
         assert [(r.doc_id, round(r.score, 9)) for r in wand] == [
             (r.doc_id, round(r.score, 9)) for r in exact
         ], q
+
+
+def test_analyzer_fingerprint_guard(spark, tmp_path):
+    """Same analyzer NAME, different wordlist -> reopening the index
+    fails loudly instead of silently tokenizing queries differently
+    (VERDICT r4 missing #4). Re-registering the ORIGINAL wordlist
+    opens fine; built-ins are fingerprinted too (stable across
+    sessions by construction)."""
+    import pytest as _pytest
+
+    from bm25spark.analyze import make_dict_analyzer
+
+    words_v1 = ["全文検索", "分散", "処理"]
+    make_dict_analyzer(words_v1, name="fp_dict")
+    rows = [(0, "全文検索の分散処理"), (1, "分散システム")]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    d = str(tmp_path / "idx_fp")
+    build_index(
+        spark, df, d, "text", ["doc_id"],
+        cfg=Bm25Config(analyzer="fp_dict", shard_size=128),
+    )
+    import json
+
+    meta = json.loads(open(f"{d}/meta.json").read())
+    assert meta["analyzer_fingerprint"].startswith("dict:")
+
+    # same name, DIFFERENT wordlist -> open refuses
+    make_dict_analyzer(["完全に", "違う", "辞書"], name="fp_dict")
+    with _pytest.raises(ValueError, match="fingerprint"):
+        Bm25Index(spark, d)
+    # original wordlist back (any order/dup) -> opens and searches
+    make_dict_analyzer(list(reversed(words_v1)) + ["分散"], name="fp_dict")
+    idx = Bm25Index(spark, d)
+    assert [i for i, _ in idx.search("全文検索", 10)] == [0]
