@@ -193,6 +193,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         out["bm25_dist_q_prefilter"] = _dist_prefilter
 
+        def _dist_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            """The θ-seeded exact decode pre-cut forced through the
+            real Spark tasks (prune_min_bytes=0 — the size gate
+            normally skips pruning on shards this small), composed
+            with a prefilter so the masked-θ path is exercised too.
+            Results must equal bm25_dist_q_prefilter exactly (same
+            oracle): pruning is a decode/IO saver, never a semantics
+            change."""
+            from pyspark.sql import functions as F
+
+            from bm25spark.api import index_for_parquet
+            from bm25spark.distributed import search_distributed
+
+            idx = index_for_parquet(
+                spark, f"{sf_dir}/documents.parquet", "text", ["doc_id"]
+            )
+            allowed = (
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .filter(F.col("doc_id") % 2 == 0)
+                .select("doc_id")
+            )
+            return search_distributed(
+                spark,
+                idx.index_dir,
+                "merge spark window",
+                10,
+                prefilter=allowed,
+                prune_min_bytes=0,
+            ).select(F.col("doc_id").cast("bigint").alias("doc_id"), "score")
+
+        out["bm25_dist_q_pruned"] = _dist_pruned
+
+        def _dist_batch_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            """Batched union-of-queries decode pre-cut forced through
+            the Spark tasks (prune_blocks_batch with tombstones live):
+            per-query results must equal bm25_dist_batch_del exactly
+            (same oracle)."""
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            from bm25spark.build import build_index
+            from bm25spark.config import Bm25Config
+            from bm25spark.distributed import search_distributed_batch
+            from bm25spark.maintain import _tombstones_df, delete
+
+            docs = _docs(spark, sf_dir)
+            d = tempfile.mkdtemp(prefix="bm25spark-batchprune-gate-")
+            build_index(
+                spark, docs, d, "text", ["doc_id"],
+                cfg=Bm25Config(shard_size=1 << 14),
+            )
+            delete(
+                spark, d, docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+            )
+            qs = {
+                name: " ".join(tokens)
+                for name, (tokens, _) in _QUERY_SETS.items()
+            }
+            return search_distributed_batch(
+                spark, d, qs, 10,
+                blocked=_tombstones_df(spark, d),
+                prune_min_bytes=0,
+            ).select(
+                "query_id",
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                "score",
+            )
+
+        out["bm25_dist_batch_pruned"] = _dist_batch_pruned
+
     out["corpus_stats"] = lambda spark, sf: stats.corpus_stats(spark, _docs(spark, sf))
     out["term_df_top50"] = lambda spark, sf: stats.term_df(spark, _docs(spark, sf), 50)
     out["doc_fieldnorms"] = lambda spark, sf: stats.doc_fieldnorms(
@@ -531,6 +602,9 @@ def oracle_sql() -> dict[str, str]:
         out["bm25_dist_q_prefilter"] = oracle.bm25_delta_topk_sql(
             toks, 10, sealed_pred="TRUE", live_pred="((doc_id % 2) = 0)"
         )
+        # forced decode pruning is a pure decode/IO saver: identical
+        # semantics, identical oracles
+        out["bm25_dist_q_pruned"] = out["bm25_dist_q_prefilter"]
         # batched serving with tombstones: sealed (full-corpus) stats,
         # deleted docs excluded from candidates — per-query oracles
         # unioned, mirroring queries()["bm25_dist_batch_del"]
@@ -543,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
             + ")"
             for name, (tokens, _) in _QUERY_SETS.items()
         ) + "\nORDER BY query_id, score DESC, doc_id"
+        out["bm25_dist_batch_pruned"] = out["bm25_dist_batch_del"]
 
     out["bm25_tokenize_mappings"] = oracle.tokenize_mappings_sql()
     out["corpus_stats"] = oracle.corpus_stats_sql()

@@ -246,6 +246,26 @@ def main() -> None:
                 extras[f"{tag}_prune_decoded_frac_{pq}"] = round(
                     st["bytes_kept"] / st["bytes_total"], 3
                 )
+        # batched pre-cut (prune_blocks_batch): fraction of packed
+        # bytes the batch path decodes for ALL wand queries together —
+        # the union of per-query keeps, decoded once via the shared
+        # cache (r4 decoded 100% here by design)
+        from bm25spark.wand import prune_blocks_batch
+
+        term_map, qt = {}, {}
+        for name, q in wand_queries.items():
+            keys = bidx.query_keys(q)
+            stats_q = bidx.term_stats(keys)
+            present = [kk for kk in keys if kk in stats_q]
+            for kk, tp in zip(present, bidx.term_postings(q)):
+                tp.decoded = None
+                term_map.setdefault(kk, tp)
+            qt[name] = present
+        _, stb = prune_blocks_batch(term_map, qt, fns_arr, 138)
+        if stb["bytes_total"]:
+            extras[f"{tag}_prune_decoded_frac_batch"] = round(
+                stb["bytes_kept"] / stb["bytes_total"], 3
+            )
 
     sf1_mult = int(os.environ.get("BM25SPARK_BENCH_SF1_MULT", "10"))
     if sf1_mult > 1:

@@ -16,6 +16,8 @@ term's shards out, not by melting one task.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -23,7 +25,22 @@ from pyspark.sql import functions as F
 
 from .index import Bm25Index
 from .scoring import Cache
-from .wand import TermPostings, prune_blocks, taat_topk
+from .wand import (
+    TermPostings,
+    _bytes_of,
+    prune_blocks,
+    prune_blocks_batch,
+    taat_topk,
+)
+
+#: decode pruning pays when the blocks it can skip are expensive to
+#: decompress (or, at scale, to READ — lazily-fetched blocks become
+#: skipped I/O); below this many packed posting bytes per query the
+#: vectorized decode is cheaper than the block-metadata pass, so the
+#: shard task decodes everything (both paths are exact — this is a
+#: pure latency knob). 100-TB-scale shards clear this by orders of
+#: magnitude; tune with BM25SPARK_PRUNE_MIN_BYTES (0 = always prune).
+PRUNE_MIN_BYTES = int(os.environ.get("BM25SPARK_PRUNE_MIN_BYTES", str(256 << 10)))
 
 
 class _OffsetMask:
@@ -180,8 +197,13 @@ def search_distributed(
     round_score: int | None = 4,
     prefilter: DataFrame | None = None,
     blocked: DataFrame | None = None,
+    prune_min_bytes: int | None = None,
 ) -> DataFrame:
     """-> DataFrame (payload cols..., score), best-first.
+
+    ``prune_min_bytes``: per-shard packed-byte threshold below which
+    the decode pre-cut is skipped (None = module default
+    PRUNE_MIN_BYTES; 0 = always prune). Both paths are exact.
 
     ``prefilter``: optional DataFrame of allowed *payload key* rows —
     the reference's bm25.prefilter (P3) in the scale path. Each shard
@@ -220,7 +242,8 @@ def search_distributed(
     # shard exactly like Bm25Index.search_df does
     k_fetch = k + (128 if round_score is not None else 0)
     binfo = spark.sparkContext.broadcast(
-        (term_info, n_docs, avgdl, k1, b, shard_size, docs_path, k_fetch)
+        (term_info, n_docs, avgdl, k1, b, shard_size, docs_path, k_fetch,
+         PRUNE_MIN_BYTES if prune_min_bytes is None else prune_min_bytes)
     )
 
     buckets = idx._buckets(present)
@@ -235,7 +258,8 @@ def search_distributed(
     )
 
     def run_shard(key, pdf, allowed_pdf=None):
-        (term_info, n_docs, avgdl, k1, b, shard_size, docs_path, k) = binfo.value
+        (term_info, n_docs, avgdl, k1, b, shard_size, docs_path, k,
+         prune_gate) = binfo.value
         shard = int(key[0])
         base = shard * shard_size
         fns = _shard_fieldnorms(docs_path, shard, shard_size)
@@ -258,8 +282,10 @@ def search_distributed(
             )
         # per-shard decode pre-cut (block-max metadata → θ-seeded
         # exact pruning): blocks that provably cannot reach this
-        # shard's top-k are never decompressed; results bit-identical
-        terms, _ = prune_blocks(terms, fns, k, allowed_mask=allowed_mask)
+        # shard's top-k are never decompressed; results bit-identical.
+        # Size-gated: tiny posting sets decode faster than they prune.
+        if sum(_bytes_of(t) for t in terms) >= prune_gate:
+            terms, _ = prune_blocks(terms, fns, k, allowed_mask=allowed_mask)
         hits = taat_topk(terms, fns, k, allowed_mask=allowed_mask)
         return pd.DataFrame(hits, columns=["doc_id", "score"])
 
@@ -316,6 +342,7 @@ def search_distributed_batch(
     round_score: int | None = 4,
     prefilter: DataFrame | None = None,
     blocked: DataFrame | None = None,
+    prune_min_bytes: int | None = None,
 ) -> DataFrame:
     """Batched distributed top-k: M queries answered by ONE Spark job.
 
@@ -382,6 +409,7 @@ def search_distributed_batch(
             shard_size,
             docs_path,
             k_fetch,
+            PRUNE_MIN_BYTES if prune_min_bytes is None else prune_min_bytes,
         )
     )
 
@@ -401,17 +429,14 @@ def search_distributed_batch(
     )
 
     def run_shard_batch(key, pdf, allowed_pdf=None):
-        (term_info, qterms, n_docs, avgdl, k1, b, shard_size, docs_path, k) = (
-            binfo.value
-        )
+        (term_info, qterms, n_docs, avgdl, k1, b, shard_size, docs_path, k,
+         prune_gate) = binfo.value
         shard = int(key[0])
         base = shard * shard_size
         fns = _shard_fieldnorms(docs_path, shard, shard_size)
         tps = _termpostings_from_blocks(
             pdf, base, term_info, n_docs, avgdl, k1, b
         )
-        for tp in tps.values():
-            tp.decoded = tp.decode_all()  # decode ONCE, reuse per query
         allowed_mask = None
         if allowed_pdf is not None:
             # ONE shard-local mask shared by every query in the batch
@@ -423,6 +448,20 @@ def search_distributed_batch(
                 allowed_pdf["doc_id"].to_numpy(np.int64) - base,
                 blocklist=mask_blocklist,
             )
+        # batched θ-seeded decode pre-cut: each query's provably-
+        # irrelevant blocks are identified from block-max metadata, and
+        # only the UNION of kept blocks is ever decompressed — decoded
+        # ONCE (shared cache) and reused by every query's kernel run;
+        # per-query results stay bit-identical (see prune_blocks_batch).
+        # Size-gated like the single-query path: below the threshold,
+        # plain decode-once is faster than pruning.
+        if sum(_bytes_of(t) for t in tps.values()) >= prune_gate:
+            tps, _ = prune_blocks_batch(
+                tps, qterms, fns, k, allowed_mask=allowed_mask
+            )
+        else:
+            for tp in tps.values():
+                tp.decoded = tp.decode_all()  # decode ONCE, reuse per query
         out = []
         for qid, keys in qterms.items():
             terms = [tps[key] for key in keys if key in tps]

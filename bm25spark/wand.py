@@ -464,6 +464,247 @@ def _slice_blocks(tp: TermPostings, keep: np.ndarray) -> TermPostings:
     )
 
 
+def _range_max(
+    tp_u: TermPostings, ubs_u: np.ndarray, lo: np.ndarray, hi: np.ndarray
+) -> np.ndarray:
+    """max block_ub of term ``tp_u`` over its blocks overlapping each
+    query range [lo[j], hi[j]] (0.0 where none overlap). Blocks ascend
+    in doc id, so the overlapping set is the contiguous run [a, b);
+    the tiny Python loop is bounded by the number of QUERY blocks, and
+    each iteration is a NumPy slice-max."""
+    a = np.searchsorted(tp_u.max_doc, lo, side="left")
+    b = np.searchsorted(tp_u.min_doc, hi, side="right")
+    out = np.zeros(len(lo), dtype=np.float64)
+    for j in range(len(lo)):
+        if a[j] < b[j]:
+            out[j] = ubs_u[a[j]:b[j]].max()
+    return out
+
+
+def _acc_range_max(
+    acc_ids: np.ndarray, acc_sc: np.ndarray, lo: np.ndarray, hi: np.ndarray
+) -> np.ndarray:
+    """max accumulated partial score among docs with id in [lo[j],
+    hi[j]] (0.0 where none) — the joint bound over all already-decoded
+    terms: max_d Σ_u c_u(d) is far tighter than Σ_u max_d c_u(d) when
+    no single doc tops every term."""
+    a = np.searchsorted(acc_ids, lo, side="left")
+    b = np.searchsorted(acc_ids, hi, side="right")
+    out = np.zeros(len(lo), dtype=np.float64)
+    for j in range(len(lo)):
+        if a[j] < b[j]:
+            out[j] = acc_sc[a[j]:b[j]].max()
+    return out
+
+
+class _BlockDecodeCache:
+    """Memoizes per-block decodes of ONE TermPostings across pruning
+    passes (θ-seeding chunks; the M queries of a batch), so each packed
+    block is decompressed at most once no matter how many queries or
+    refinement rounds touch it. Blocks are non-overlapping and
+    ascending in doc id (build invariant: ascending (shard,
+    block_ord)), so concatenating cached blocks in index order
+    reproduces ``decode_all``'s ascending-id output exactly."""
+
+    __slots__ = ("tp", "_ids", "_tfs")
+
+    def __init__(self, tp: TermPostings):
+        self.tp = tp
+        self._ids: dict[int, np.ndarray] = {}
+        self._tfs: dict[int, np.ndarray] = {}
+        if tp.decoded is not None:
+            # a resident server pre-decoded the whole term — split the
+            # arrays back per block so fetches are free
+            counts = tp.count.astype(np.int64)
+            offs = np.cumsum(counts)[:-1]
+            for i, (a, t) in enumerate(
+                zip(np.split(tp.decoded[0], offs), np.split(tp.decoded[1], offs))
+            ):
+                self._ids[i], self._tfs[i] = a, t
+
+    def fetch(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(global ids int64, tfs int64) of the given ascending block
+        indices, concatenated in block order (= ascending doc id)."""
+        il = [int(i) for i in idx]
+        missing = [i for i in il if i not in self._ids]
+        if missing:
+            marr = np.asarray(missing, dtype=np.int64)
+            ids, tfs = _slice_blocks(self.tp, marr).decode_all()
+            counts = self.tp.count[marr].astype(np.int64)
+            offs = np.cumsum(counts)[:-1]
+            for i, a, t in zip(missing, np.split(ids, offs), np.split(tfs, offs)):
+                self._ids[i], self._tfs[i] = a, t
+        if not il:
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        return (
+            np.concatenate([self._ids[i] for i in il]),
+            np.concatenate([self._tfs[i] for i in il]),
+        )
+
+
+def _prune_keeps(
+    tps: list[TermPostings],
+    ubs: list[np.ndarray],
+    caches: list["_BlockDecodeCache"],
+    fieldnorms,
+    k: int,
+    allowed_mask,
+) -> list[np.ndarray]:
+    """Kept-block indices per term for ONE query — the iterative
+    θ-refinement core shared by :func:`prune_blocks` and
+    :func:`prune_blocks_batch`.
+
+    Terms are processed in descending token-upper-bound order; EVERY
+    term runs the chunked θ-seeded decode loop (blocks in descending
+    total-upper-bound order, θ refreshed as true contributions merge
+    into per-doc partial sums), so a term can self-cut mid-decode and
+    later terms start with the stacked θ of all earlier ones — which
+    is what lets equal-upper-bound multi-term queries (where a
+    T0-only θ can never beat the summed bound) still cut.
+
+    The total upper bound of block B of term t at term-entry time:
+
+        UB(B) = block_ub(B)                                  (own term)
+              + max{acc partial sum of docs in B's id range}  (decoded
+                terms, jointly — max of SUM, not sum of maxes)
+              + Σ_{u not yet processed} max{block_ub of u's blocks
+                overlapping B's id range}                     (future)
+
+    Exactness: partial sums over decoded kept blocks are true-score
+    LOWER bounds, so the k-th best masked partial θ is a lower bound
+    on the final k-th score. UB(B) upper-bounds the true score of
+    every doc d in B that still has all its blocks: acc(d) is then d's
+    exact decoded-terms contribution (<= the range max), and the
+    future terms are bounded by their FULL block sets' overlap maxima.
+    A doc that already LOST a block was proven < θ when that block was
+    cut (strict <, θ monotone), so under-counting it in acc cannot
+    wrongly keep... or prune anything about it that matters. Hence a
+    skipped block contains only docs strictly below the final k-th
+    (can neither enter nor tie), and every true top-k doc keeps ALL
+    its blocks (any block containing it has UB >= its true score >= θ,
+    by induction over terms) and is scored exactly. ``taat_topk`` over
+    the kept blocks is therefore bit-identical to the unpruned run
+    (hypothesis-fuzzed, single and batch)."""
+    from .config import BLOCK_SIZE
+
+    T = len(tps)
+    order = sorted(range(T), key=lambda i: -tps[i].token_upper_bound())
+    theta = 0.0
+    acc_ids = np.empty(0, dtype=np.int64)
+    acc_sc = np.empty(0, dtype=np.float64)
+    keeps: list[np.ndarray | None] = [None] * T
+
+    def masked(tp, ids, tfs):
+        if allowed_mask is not None and len(ids):
+            m = np.asarray(allowed_mask[ids], dtype=bool)
+            ids, tfs = ids[m], tfs[m]
+        if not len(ids):
+            return ids, np.empty(0, dtype=np.float64)
+        return ids, np.asarray(
+            tp.cache.evaluate(fieldnorms[ids], tfs), dtype=np.float64
+        )
+
+    def merge(ids, sc):
+        nonlocal acc_ids, acc_sc, theta
+        if len(ids):
+            u, inv = np.unique(
+                np.concatenate([acc_ids, ids]), return_inverse=True
+            )
+            s = np.zeros(len(u), dtype=np.float64)
+            np.add.at(s, inv, np.concatenate([acc_sc, sc]))
+            acc_ids, acc_sc = u, s
+        if len(acc_sc) >= k:
+            theta = float(
+                np.partition(acc_sc, len(acc_sc) - k)[len(acc_sc) - k]
+            )
+
+    for j, ti in enumerate(order):
+        tp, cache = tps[ti], caches[ti]
+        nb = tp.n_blocks
+        tot = ubs[ti]
+        if T > 1 and j > 0:
+            tot = tot.copy()
+            for u in order[j + 1 :]:
+                tot += _range_max(tps[u], ubs[u], tp.min_doc, tp.max_doc)
+            tot += _acc_range_max(acc_ids, acc_sc, tp.min_doc, tp.max_doc)
+        if T == 1:
+            # single term: chunked θ-seeding decode in descending
+            # block-ub order; a stale θ is still a valid lower bound,
+            # it only delays the cut by at most one chunk. First chunk
+            # just big enough to seed θ (≈k postings); later chunks
+            # stay small so the cut can land early even on few-block
+            # terms. One contribution per doc, so θ needs no per-doc
+            # grouping — a bounded top-k buffer of raw masked scores
+            # (never re-partitioning the full history).
+            o = np.argsort(-tot, kind="stable")
+            pos, cut = 0, nb
+            topk_buf = np.empty(0, dtype=np.float64)
+            n_surv = 0
+            while pos < nb:
+                step = max(1, -(-k // BLOCK_SIZE)) if pos == 0 else 8
+                chunk = o[pos : pos + step]
+                if n_surv >= k and tot[chunk[0]] < theta:
+                    cut = pos  # max ub of every remaining block < θ
+                    break
+                ids, tfs = cache.fetch(np.sort(chunk))
+                _, sc = masked(tp, ids, tfs)
+                n_surv += len(sc)
+                topk_buf = np.concatenate([topk_buf, sc])
+                if len(topk_buf) > k:
+                    topk_buf = np.partition(topk_buf, len(topk_buf) - k)[
+                        len(topk_buf) - k :
+                    ]
+                if n_surv >= k:
+                    theta = float(topk_buf.min())
+                pos += step
+            keeps[ti] = np.sort(o[:cut])
+        elif j == 0:
+            # strongest term decoded whole in ONE batched unpack (its
+            # own chunked self-cut is near-impossible: during its loop
+            # θ <= its token ub while tot also carries every other
+            # term's overlap maxima); its masked contributions seed the
+            # accumulator — fetch order is ascending block = ascending
+            # doc id, so acc is sorted without an argsort
+            ids, tfs = cache.fetch(np.arange(nb))
+            acc_ids, acc_sc = masked(tp, ids, tfs)
+            if len(acc_sc) >= k:
+                theta = float(
+                    np.partition(acc_sc, len(acc_sc) - k)[len(acc_sc) - k]
+                )
+            keeps[ti] = np.arange(nb)
+        else:
+            # one-shot cut against the stacked θ, then ONE decode +
+            # ONE merge so the next term sees the refined θ (the last
+            # term's merge cannot prune anything further — its kept
+            # blocks are decoded lazily by the kernel via the cache)
+            keep = (
+                np.flatnonzero(tot >= theta) if theta > 0.0 else np.arange(nb)
+            )
+            keeps[ti] = keep
+            if j < T - 1 and len(keep):
+                ids, tfs = cache.fetch(keep)
+                merge(*masked(tp, ids, tfs))
+    return keeps  # type: ignore[return-value]
+
+
+def _bytes_of(tp: TermPostings, idx=None) -> int:
+    rng = range(tp.n_blocks) if idx is None else idx
+    return sum(len(tp.ids_bytes[i]) + len(tp.tfs_bytes[i]) for i in rng)
+
+
+def _apply_keep(
+    tp: TermPostings, keep: np.ndarray, cache: "_BlockDecodeCache"
+) -> TermPostings:
+    """TermPostings restricted to ``keep`` with the kernel-ready
+    decoded arrays attached (assembled from the cache — nothing is
+    decompressed twice)."""
+    out = tp if len(keep) == tp.n_blocks else _slice_blocks(tp, keep)
+    if len(keep):
+        out.decoded = cache.fetch(keep)
+    return out
+
+
 def prune_blocks(
     terms: list[TermPostings],
     fieldnorms,
@@ -471,44 +712,19 @@ def prune_blocks(
     allowed_mask=None,
 ) -> tuple[list[TermPostings], dict]:
     """Exact block-level decode pruning: drop whole posting blocks that
-    provably cannot place a document in the top-k, BEFORE decompressing
-    them. ``taat_topk`` over the pruned terms is bit-identical to the
-    unpruned run (tests pin this); what's saved is decode work and — at
-    scale, where blocks are read lazily — I/O bytes.
-
-    Scheme (single term): decode blocks in descending block-max order;
-    once the decoded postings contain >= k (mask-surviving) candidates,
-    the k-th best *true* score so far is a valid lower bound θ on the
-    final k-th score, and every undecoded block with block_ub < θ can
-    be skipped — any doc in it scores <= block_ub < θ (strict <, so
-    θ-ties survive and the doc-id tiebreak stays exact).
-
-    Scheme (multi term): fully decode T0 := argmax token-upper-bound
-    and score it alone; the k-th best masked T0-only score θ is a lower
-    bound on the final k-th score (T0-partials are true-score lower
-    bounds, so >= k docs finish >= θ). A block B of term t is skipped
-    iff  UB(B) := Σ_u max{block_ub of u's blocks overlapping B's doc
-    range} < θ. Correctness: every doc in a skipped block has true
-    score <= UB(B) < θ; every θ-witness keeps ALL its blocks (its T0
-    contribution alone puts UB >= θ for any block containing it), so
-    witnesses score exactly, the final k-th is >= θ, and no
-    partially-scored doc (all < θ) can surface or tie into the top-k.
-    Returned scores are therefore the exact scores, accumulated in the
-    same term order — bit-identical.
+    provably cannot place a document in the top-k, BEFORE
+    decompressing them (see :func:`_prune_keeps` for the scheme and
+    the exactness argument). ``taat_topk`` over the pruned terms is
+    bit-identical to the unpruned run (tests + hypothesis fuzz pin
+    this); what's saved is decode work and — at scale, where blocks
+    are read lazily — I/O bytes.
 
     Returns (pruned_terms, stats) with stats = {blocks_total,
     blocks_kept, bytes_total, bytes_kept}."""
     terms = [t for t in terms if t.n_blocks]
-
-    def _bytes(tp, idx=None):
-        rng = range(tp.n_blocks) if idx is None else idx
-        return sum(
-            len(tp.ids_bytes[i]) + len(tp.tfs_bytes[i]) for i in rng
-        )
-
     stats = {
         "blocks_total": sum(t.n_blocks for t in terms),
-        "bytes_total": sum(_bytes(t) for t in terms),
+        "bytes_total": sum(_bytes_of(t) for t in terms),
         "blocks_kept": 0,
         "bytes_kept": 0,
     }
@@ -516,120 +732,79 @@ def prune_blocks(
         stats["blocks_kept"] = stats["blocks_total"]
         stats["bytes_kept"] = stats["bytes_total"]
         return terms, stats
-
-    def _masked_scores(tp, ids, tfs):
-        if allowed_mask is not None and len(ids):
-            m = np.asarray(allowed_mask[ids], dtype=bool)
-            ids, tfs = ids[m], tfs[m]
-        if not len(ids):
-            return np.empty(0, dtype=np.float64)
-        return np.asarray(
-            tp.cache.evaluate(fieldnorms[ids], tfs), dtype=np.float64
-        )
-
-    if len(terms) == 1:
-        # descending-block-max order, decoded in chunks (the batched
-        # bitwidth-grouped unpack stays effective); θ is refreshed per
-        # chunk — a stale θ is still a valid lower bound, it only
-        # delays the cut by at most one chunk. The first chunk is just
-        # big enough to seed θ (≈k postings); later chunks stay small
-        # so the cut can land early even on few-block terms.
-        from .config import BLOCK_SIZE
-
-        tp = terms[0]
-        ubs = _block_ubs(tp)
-        order = np.argsort(-ubs, kind="stable")
-        scores, dec_ids, dec_tfs = [], [], []
-        n_surviving = 0
-        theta = 0.0
-        cut = tp.n_blocks
-        pos = 0
-        while pos < tp.n_blocks:
-            step = max(1, -(-k // BLOCK_SIZE)) if pos == 0 else 8
-            chunk = order[pos : pos + step]
-            if n_surviving >= k and ubs[chunk[0]] < theta:
-                cut = pos  # max ub of every remaining block < θ
-                break
-            part = _slice_blocks(tp, np.sort(chunk))
-            ids, tfs = part.decode_all()
-            dec_ids.append(ids)
-            dec_tfs.append(tfs)
-            s = _masked_scores(tp, ids, tfs)
-            scores.append(s)
-            n_surviving += len(s)
-            if n_surviving >= k:
-                allsc = np.concatenate(scores)
-                theta = float(
-                    np.partition(allsc, len(allsc) - k)[len(allsc) - k]
-                )
-            pos += step
-        keep = np.sort(order[:cut])
-        out = _slice_blocks(tp, keep)
-        # everything kept was already decoded during θ-seeding — hand
-        # the kernel the assembled ascending-id arrays so nothing is
-        # decompressed twice (ids are globally unique, so the argsort
-        # reproduces decode_all's ascending order exactly)
-        if dec_ids:
-            ids = np.concatenate(dec_ids)
-            tfs = np.concatenate(dec_tfs)
-            o = np.argsort(ids, kind="stable")
-            out.decoded = (ids[o], tfs[o])
-        stats["blocks_kept"] = len(keep)
-        stats["bytes_kept"] = _bytes(tp, keep.tolist())
-        return [out], stats
-
-    # ---- multi-term: θ from the strongest term's true partial scores
-    t0i = max(range(len(terms)), key=lambda i: terms[i].token_upper_bound())
-    t0 = terms[t0i]
-    ids0, tfs0 = t0.decode_all()
-    s0 = _masked_scores(t0, ids0, tfs0)
-    theta = 0.0
-    if len(s0) >= k:
-        theta = float(np.partition(s0, len(s0) - k)[len(s0) - k])
-
     ubs = [_block_ubs(t) for t in terms]
+    caches = [_BlockDecodeCache(t) for t in terms]
+    keeps = _prune_keeps(terms, ubs, caches, fieldnorms, k, allowed_mask)
+    out = []
+    for tp, keep, cache in zip(terms, keeps, caches):
+        stats["blocks_kept"] += len(keep)
+        stats["bytes_kept"] += _bytes_of(tp, keep.tolist())
+        pruned = _apply_keep(tp, keep, cache)
+        if pruned.n_blocks:
+            out.append(pruned)
+    return out, stats
 
-    def _range_max(ui: int, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
-        """max block_ub of term ui over blocks overlapping [lo, hi]
-        (vectorized over the query blocks via prefix/suffix maxima:
-        overlapping blocks form a contiguous run [a, b), and
-        max(ub[a:b]) == max over the run — computed per query block
-        with a tiny Python loop over runs, bounded by n_blocks)."""
-        u = terms[ui]
-        a = np.searchsorted(u.max_doc, lo, side="left")
-        b = np.searchsorted(u.min_doc, hi, side="right")
-        out = np.zeros(len(lo), dtype=np.float64)
-        uu = ubs[ui]
-        for j in range(len(lo)):
-            if a[j] < b[j]:
-                out[j] = uu[a[j]:b[j]].max()
-        return out
 
-    pruned: list[TermPostings] = []
-    kept_blocks = 0
-    kept_bytes = 0
-    for ti, tp in enumerate(terms):
-        if ti == t0i or theta <= 0.0:
-            # T0 is already decoded (θ needed all of it); attach the
-            # arrays so the kernel skips re-decoding
-            if ti == t0i:
-                tp.decoded = (ids0, tfs0)
-            pruned.append(tp)
-            kept_blocks += tp.n_blocks
-            kept_bytes += _bytes(tp)
+def prune_blocks_batch(
+    term_map: dict,
+    qterms: dict,
+    fieldnorms,
+    k: int,
+    allowed_mask=None,
+) -> tuple[dict, dict]:
+    """Batched exact decode pruning: for M queries sharing one shard's
+    posting blocks, compute each query's kept-block set with
+    :func:`_prune_keeps` (per-block decodes memoized ACROSS queries by
+    a shared cache) and decode only the UNION of kept blocks per term
+    — a block is decompressed iff at least one query might need it.
+    Running ``taat_topk`` per query over the union-kept terms is still
+    bit-identical per query: a superset of a query's own kept blocks
+    only adds docs that provably score strictly below that query's
+    k-th, which can neither enter nor tie into its top-k.
+
+    ``term_map``: {term_key: TermPostings}; ``qterms``:
+    {query_id: [term_key, ...]}. Returns ({term_key: pruned
+    TermPostings with .decoded attached}, stats) — terms whose blocks
+    no query keeps are dropped from the map."""
+    alive = {key: tp for key, tp in term_map.items() if tp.n_blocks}
+    stats = {
+        "blocks_total": sum(t.n_blocks for t in alive.values()),
+        "bytes_total": sum(_bytes_of(t) for t in alive.values()),
+        "blocks_kept": 0,
+        "bytes_kept": 0,
+    }
+    if not alive or k <= 0:
+        stats["blocks_kept"] = stats["blocks_total"]
+        stats["bytes_kept"] = stats["bytes_total"]
+        for tp in alive.values():
+            if tp.decoded is None:
+                tp.decoded = tp.decode_all()
+        return alive, stats
+    ubs = {key: _block_ubs(tp) for key, tp in alive.items()}
+    caches = {key: _BlockDecodeCache(tp) for key, tp in alive.items()}
+    union = {
+        key: np.zeros(tp.n_blocks, dtype=bool) for key, tp in alive.items()
+    }
+    for qkeys in qterms.values():
+        present = [key for key in qkeys if key in alive]
+        if not present:
             continue
-        lo, hi = tp.min_doc, tp.max_doc
-        ub_total = ubs[ti].copy()
-        for ui in range(len(terms)):
-            if ui != ti:
-                ub_total += _range_max(ui, lo, hi)
-        keep = np.flatnonzero(ub_total >= theta)
-        if len(keep) == tp.n_blocks:
-            pruned.append(tp)
-        else:
-            pruned.append(_slice_blocks(tp, keep))
-        kept_blocks += len(keep)
-        kept_bytes += _bytes(tp, keep.tolist())
-    stats["blocks_kept"] = kept_blocks
-    stats["bytes_kept"] = kept_bytes
-    return [t for t in pruned if t.n_blocks], stats
+        keeps = _prune_keeps(
+            [alive[key] for key in present],
+            [ubs[key] for key in present],
+            [caches[key] for key in present],
+            fieldnorms,
+            k,
+            allowed_mask,
+        )
+        for key, keep in zip(present, keeps):
+            union[key][keep] = True
+    out = {}
+    for key, tp in alive.items():
+        keep = np.flatnonzero(union[key])
+        stats["blocks_kept"] += len(keep)
+        stats["bytes_kept"] += _bytes_of(tp, keep.tolist())
+        pruned = _apply_keep(tp, keep, caches[key])
+        if pruned.n_blocks:
+            out[key] = pruned
+    return out, stats

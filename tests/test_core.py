@@ -569,3 +569,75 @@ class TestPruneBlocksProperty:
         got = taat_topk(pruned, fieldnorms, k, allowed_mask=mask)
         assert got == want, (seed, n_docs, k, stats)
         assert stats["blocks_kept"] <= stats["blocks_total"]
+
+
+class TestPruneBlocksBatchProperty:
+    """Batch (union-of-queries) pruning must leave every query's
+    taat_topk bit-identical to its unpruned run, while the union keep
+    never exceeds the total."""
+
+    @given(seed=st.integers(0, 10_000))
+    @settings(max_examples=60, deadline=None)
+    def test_batch_pruned_taat_bit_identical(self, seed):
+        import random as _random
+
+        import numpy as np
+
+        from bm25spark.wand import prune_blocks_batch, taat_topk
+
+        rnd = _random.Random(seed)
+        n_docs = rnd.choice([40, 300, 1500])
+        shard_size = rnd.choice([128, 1 << 14])
+        k1, b = 1.2, 0.75
+        avgdl = rnd.uniform(5.0, 200.0)
+        fieldnorms = np.array(
+            [rnd.randint(1, 40) for _ in range(n_docs)], dtype=np.uint8
+        )
+        n_terms = rnd.randint(1, 5)
+        keys = [bytes([65 + i]) * 4 for i in range(n_terms)]
+        term_map = {
+            key: TestPruneBlocksProperty._mk_term(
+                rnd, n_docs, shard_size, k1, b, avgdl, fieldnorms
+            )
+            for key in keys
+        }
+        # fresh copies for the unpruned reference runs (prune attaches
+        # .decoded to the originals)
+        rnd2 = _random.Random(seed)
+        rnd2.choice([40, 300, 1500]); rnd2.choice([128, 1 << 14])
+        rnd2.uniform(5.0, 200.0)
+        [rnd2.randint(1, 40) for _ in range(n_docs)]
+        rnd2.randint(1, 5)
+        ref_map = {
+            key: TestPruneBlocksProperty._mk_term(
+                rnd2, n_docs, shard_size, k1, b, avgdl, fieldnorms
+            )
+            for key in keys
+        }
+        n_q = rnd.randint(1, 3)
+        qterms = {
+            f"q{i}": rnd.sample(keys, rnd.randint(1, n_terms))
+            for i in range(n_q)
+        }
+        k = rnd.choice([1, 3, 10, 200])
+        mask = None
+        if rnd.random() < 0.5:
+            mask = np.zeros(n_docs, dtype=bool)
+            mask[:: rnd.randint(2, 5)] = True
+        want = {
+            qid: taat_topk(
+                [ref_map[key] for key in qkeys], fieldnorms, k,
+                allowed_mask=mask,
+            )
+            for qid, qkeys in qterms.items()
+        }
+        pruned, stats = prune_blocks_batch(
+            term_map, qterms, fieldnorms, k, allowed_mask=mask
+        )
+        for qid, qkeys in qterms.items():
+            got = taat_topk(
+                [pruned[key] for key in qkeys if key in pruned],
+                fieldnorms, k, allowed_mask=mask,
+            )
+            assert got == want[qid], (seed, qid, k, stats)
+        assert stats["blocks_kept"] <= stats["blocks_total"]

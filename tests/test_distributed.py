@@ -178,3 +178,45 @@ class TestDistributed:
                     ).collect()
                 ]
                 assert by_q.get(qid, []) == single, (qid, sorted(kw))
+
+
+class TestPruneGate:
+    def test_forced_prune_identical_single_and_batch(self, spark, dist_index):
+        """prune_min_bytes=0 forces the θ-seeded decode pre-cut through
+        the real Spark tasks (the size gate normally skips it on tiny
+        shards); results must be identical to the gated (decode-all)
+        run — single query, batch, and with a prefilter+tombstone mask
+        live (the masked-θ path)."""
+        from pyspark.sql import functions as F
+
+        from bm25spark.distributed import (
+            search_distributed,
+            search_distributed_batch,
+        )
+
+        d, rows = dist_index
+        pre = spark.createDataFrame(
+            [(i,) for i in sorted(rows) if (i // 3) % 2 == 0], "doc_id INT"
+        )
+        blocked = spark.createDataFrame([(3,), (9,)], "doc_id BIGINT")
+
+        for kwargs in (
+            {},
+            {"prefilter": pre, "blocked": blocked},
+        ):
+            want = search_distributed(
+                spark, d, "t1 t22 t333", 30, **kwargs
+            ).collect()
+            got = search_distributed(
+                spark, d, "t1 t22 t333", 30, prune_min_bytes=0, **kwargs
+            ).collect()
+            assert [tuple(r) for r in got] == [tuple(r) for r in want], kwargs
+
+        qs = {"a": "t1 t22 t333", "b": "t0", "c": "t7 t9 t11 t13"}
+        want = search_distributed_batch(
+            spark, d, qs, 20, blocked=blocked
+        ).collect()
+        got = search_distributed_batch(
+            spark, d, qs, 20, blocked=blocked, prune_min_bytes=0
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
