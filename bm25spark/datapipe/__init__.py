@@ -33,6 +33,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_wav_features": lambda s, d: multimodal.audio_features(
             multimodal.synthesize_wav_media(_docs(s, d))
         ).orderBy("doc_id"),
+        # REAL image path: write genuine 24-bpp BMP containers, parse
+        # them back with struct+NumPy, emit integer-exact pixel sums
+        "image_bmp_features": lambda s, d: multimodal.image_features(
+            multimodal.synthesize_bmp_media(_docs(s, d))
+        ).orderBy("doc_id"),
         "dedup_exact_groups": lambda s, d: dedup.exact_dup_groups(_docs(s, d)),
         "dedup_minhash_signatures": lambda s, d: dedup.minhash_signatures(
             _docs(s, d)
@@ -115,6 +120,7 @@ def oracle_registry() -> dict[str, str]:
 
     return {
         "audio_wav_features": multimodal.audio_wav_features_sql(),
+        "image_bmp_features": multimodal.image_bmp_features_sql(),
         "dedup_exact_groups": dedup.exact_dup_groups_sql(),
         "dedup_minhash_signatures": dedup.minhash_signatures_sql(),
         "dedup_minhash_pairs": dedup.minhash_candidate_pairs_sql(),

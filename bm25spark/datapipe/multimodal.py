@@ -60,15 +60,59 @@ FEATURES_SCHEMA = StructType(
 
 
 def decode_image(data: bytes) -> "np.ndarray":
-    """STUB — real image decode needs a codec library not present in
-    this environment. The Spark plumbing around it (schema, batching,
-    partitioning) is real; replace this body with PIL/cv2 to go live.
-    """
+    """Image decode. REAL for uncompressed BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER, 24-bpp BI_RGB, bottom-up or top-down) — parsed
+    with struct+NumPy, no codec library needed; returns an (H, W, 3)
+    uint8 array in file channel order (BGR), top row first.
+    COMPRESSED formats (PNG/JPEG/...) remain stubbed: they need a
+    codec library not present in this environment — replace the
+    fallthrough with PIL/cv2 to go live."""
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
     raise NotImplementedError(
-        "image decoding requires a codec library (PIL/cv2) not available "
-        "in this environment; use extract_features for the wired-up "
-        "deterministic feature path"
+        "only uncompressed 24-bpp BMP decodes in this environment; "
+        "compressed formats (PNG/JPEG) need a codec library (PIL/cv2) "
+        "— use extract_features for the wired-up deterministic "
+        "feature path"
     )
+
+
+def _decode_bmp(data: bytes) -> "np.ndarray":
+    """Parse a 24-bpp uncompressed BMP: 14-byte file header ('BM',
+    size, reserved, pixel-data offset) + 40-byte BITMAPINFOHEADER
+    (width, height — negative height = top-down, planes, bpp,
+    compression=0). Rows are padded to 4-byte boundaries; bottom-up
+    files store the last image row first."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP container")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if hdr_size < 40 or planes != 1 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP (header={hdr_size}, planes={planes}, "
+            f"compression={compression})"
+        )
+    if bpp != 24:
+        raise ValueError(f"only 24-bpp BMP supported, got bpp={bpp}")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
+    row_size = (3 * w + 3) // 4 * 4
+    need = pix_off + row_size * h
+    if len(data) < need:
+        raise ValueError(f"truncated BMP: {len(data)} < {need} bytes")
+    rows = (
+        np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=pix_off)
+        .reshape(h, row_size)[:, : 3 * w]
+        .reshape(h, w, 3)
+    )
+    return rows if top_down else rows[::-1]
 
 
 def attach_fake_media(docs: DataFrame) -> DataFrame:
@@ -143,6 +187,157 @@ def frame_sample_plan(media_df: DataFrame, every_n: int = 10) -> DataFrame:
         )
         .orderBy("doc_id", "frame_no")
     )
+
+
+# ------------------------------------------------------------- image (REAL) --
+
+#: synthesized-pixel parameters: pixel (x, y) channel c of doc d has
+#: value ((d*IMG_MIX_A + p*IMG_MIX_B + c*IMG_MIX_C) mod 256) with
+#: p = y*width + x in TOP-DOWN image coordinates — int64-exact, so a
+#: SQL oracle regenerates the pixels without parsing BMP bytes.
+IMG_MIX_A = 2654435761
+IMG_MIX_B = 40503
+IMG_MIX_C = 97
+
+
+def bmp_dims(doc_id: int) -> tuple[int, int]:
+    """(width, height); width cycles through non-multiple-of-4 row
+    sizes so the 4-byte row padding path is always exercised."""
+    return 5 + int(doc_id) % 13, 4 + int(doc_id) % 7
+
+
+def _bmp_pixels(doc_id: int, w: int, h: int) -> np.ndarray:
+    """(h, w, 3) uint8 in top-down rows, file channel order."""
+    p = np.arange(w * h, dtype=np.int64)[:, None]
+    c = np.arange(3, dtype=np.int64)[None, :]
+    v = (np.int64(doc_id) * IMG_MIX_A + p * IMG_MIX_B + c * IMG_MIX_C) % 256
+    return v.astype(np.uint8).reshape(h, w, 3)
+
+
+def synthesize_bmp(doc_id: int) -> bytes:
+    """A genuine 24-bpp bottom-up BMP container (BITMAPFILEHEADER +
+    BITMAPINFOHEADER, BI_RGB, rows padded to 4 bytes)."""
+    import struct
+
+    w, h = bmp_dims(doc_id)
+    px = _bmp_pixels(doc_id, w, h)
+    row_size = (3 * w + 3) // 4 * 4
+    body = np.zeros((h, row_size), dtype=np.uint8)
+    body[:, : 3 * w] = px[::-1].reshape(h, 3 * w)  # bottom-up row order
+    pix_off = 14 + 40
+    file_size = pix_off + row_size * h
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pix_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_size * h, 2835, 2835, 0, 0
+    )
+    return header + info + body.tobytes()
+
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_pixels", LongType(), False),
+        StructField("b_sum", LongType(), False),
+        StructField("g_sum", LongType(), False),
+        StructField("r_sum", LongType(), False),
+    ]
+)
+
+
+def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, media_type, media) with REAL BMP containers — the
+    image analogue of :func:`synthesize_wav_media`. Arrow-batched; the
+    per-row loop is the container writer itself."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "image/bmp",
+                    "media": [synthesize_bmp(int(i)) for i in ids],
+                }
+            )
+
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("media_type", StringType(), False),
+                StructField("media", BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def image_features(media_df: DataFrame) -> DataFrame:
+    """Decode every ``image/bmp`` blob (REAL struct+NumPy BMP parse)
+    and emit integer-exact pixel features (dims + per-channel sums).
+    mapInPandas keeps partitioning — no shuffle; per-blob loop is the
+    decoder itself, feature math is NumPy."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["doc_id"].astype("int64"), pdf["media"]):
+                px = decode_image(bytes(blob)).astype(np.int64)
+                h, w = px.shape[:2]
+                sums = px.reshape(-1, 3).sum(axis=0)
+                rows.append(
+                    (int(i), w, h, w * h, int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "b_sum", "g_sum", "r_sum",
+                ],
+            )
+
+    return (
+        media_df.filter(F.col("media_type") == "image/bmp")
+        .select("doc_id", "media")
+        .mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+    )
+
+
+def image_bmp_features_sql() -> str:
+    """DuckDB oracle: regenerate the closed-form pixels per doc and
+    compute the same integer features the BMP decode path produces —
+    container write → struct+NumPy parse → channel sums must land on
+    exactly these values."""
+    return f"""
+WITH params AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         5 + doc_id % 13 AS w,
+         4 + doc_id % 7 AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM params
+),
+chans AS (
+  SELECT doc_id, w, h, p,
+         (doc_id * {IMG_MIX_A} + p * {IMG_MIX_B} + 0) % 256 AS b,
+         (doc_id * {IMG_MIX_A} + p * {IMG_MIX_B} + {IMG_MIX_C}) % 256 AS g,
+         (doc_id * {IMG_MIX_A} + p * {IMG_MIX_B} + {2 * IMG_MIX_C}) % 256 AS r
+  FROM px
+)
+SELECT doc_id,
+       any_value(w)::INTEGER AS width,
+       any_value(h)::INTEGER AS height,
+       (any_value(w) * any_value(h))::BIGINT AS n_pixels,
+       sum(b)::BIGINT AS b_sum,
+       sum(g)::BIGINT AS g_sum,
+       sum(r)::BIGINT AS r_sum
+FROM chans
+GROUP BY doc_id
+ORDER BY doc_id
+"""
 
 
 # ------------------------------------------------------------- audio (REAL) --
