@@ -15,10 +15,15 @@ Atomicity contract (the publish discipline every caller relies on):
 
 - :func:`write_text_atomic` — on a local filesystem: write a temp
   file in the same directory, then ``os.replace`` (atomic rename).
-  On an object store: one direct PUT — object stores publish a
+  On an object store: one direct PUT — S3/GCS publish a
   single-object write atomically (readers see the old object or the
   new one, never a torn write), so the temp+rename dance is not only
-  unnecessary but weaker (two PUTs).
+  unnecessary but weaker (two PUTs). Honesty note: a filesystem that
+  creates-then-appends visibly through ``open_output_stream`` (plain
+  HDFS) can expose a torn ``meta.json`` to a concurrently opening
+  reader; artifact consistency still holds (meta-last discipline),
+  but on such stores pair readers with retry-on-parse-error or point
+  ``index_dir`` at a rename-atomic mount.
 - :func:`move_dir` — local: one atomic ``rename``. Object store:
   recursive copy + delete (NOT atomic) — which is fine for every
   caller here because artifacts are always published *meta-last*:

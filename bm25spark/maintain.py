@@ -329,7 +329,7 @@ def insert(spark: SparkSession, index_dir: str, rows: DataFrame, text_col: str) 
     payload key score as two independent pseudo-docs (the reference's
     heap semantics: each inserted tuple is its own document), matching
     what vacuum produces when it gives each row its own doc_id."""
-    with _MutationLock(index_dir):
+    with _MutationLock(index_dir) as lock:
         # meta is read UNDER the lock: a mutator that queued behind a
         # vacuum must see the post-vacuum generation, or its rows land
         # in the retired mut dir and silently vanish at gc
@@ -344,13 +344,17 @@ def insert(spark: SparkSession, index_dir: str, rows: DataFrame, text_col: str) 
             .write.mode("append")
             .parquet(_delta_path(index_dir, gen))
         )
+        # a stalled-then-stolen-from insert wrote into a generation a
+        # concurrent vacuum may have retired — fail loudly instead of
+        # returning success for rows the next gc will delete
+        lock.assert_held()
 
 
 def delete(spark: SparkSession, index_dir: str, keys: DataFrame) -> None:
     """Tombstone documents by payload key — M3. ``keys`` has the
     index's payload columns. Only delta rows inserted *before* this
     call are masked (sequence-stamped tombstones)."""
-    with _MutationLock(index_dir):
+    with _MutationLock(index_dir) as lock:
         # meta (generation AND the docs artifact the ids are resolved
         # against) is read under the lock — see insert()
         idx = Bm25Index(spark, index_dir)
@@ -368,6 +372,7 @@ def delete(spark: SparkSession, index_dir: str, keys: DataFrame) -> None:
         keys.select(*pc).withColumn("_seq", F.lit(seq).cast("long")).write.mode(
             "append"
         ).parquet(_delta_tomb_path(index_dir, gen))
+        lock.assert_held()  # see insert()
 
 
 def _tombstones_df(
@@ -691,7 +696,9 @@ def _retired_entries(meta: dict) -> dict[str, float]:
 
 
 def gc_index(
-    index_dir: str, grace_sec: float | None = None, _locked: bool = False
+    index_dir: str,
+    grace_sec: float | None = None,
+    _held_lock: "_MutationLock | None" = None,
 ) -> bool:
     """Delete retired artifact dirs whose OWN grace period has elapsed
     (``BM25SPARK_VACUUM_GRACE_SEC``, default 0). Timestamps are
@@ -701,7 +708,9 @@ def gc_index(
     start of every vacuum; call explicitly to reclaim sooner. Takes the
     mutation lock (it rewrites meta.json): an explicit gc racing a
     vacuum can no longer clobber the vacuum's freshly published meta
-    with a stale copy. Returns True when something was reclaimed."""
+    with a stale copy. The meta rewrite is assert_held-gated (with the
+    caller's lock when invoked from a vacuum body). Returns True when
+    something was reclaimed."""
     import json as _json
     import time as _time
 
@@ -710,7 +719,12 @@ def gc_index(
         if grace_sec is None
         else grace_sec
     )
-    lock = _MutationLock(index_dir) if not _locked else None
+    # when called from inside a vacuum, the HOLDER's lock rides along
+    # so the meta rewrite below still runs behind assert_held — a
+    # stolen-from vacuum must not clobber the stealer's published meta
+    # from its in-body gc either
+    lock = _MutationLock(index_dir) if _held_lock is None else None
+    gate = lock if lock is not None else _held_lock
     if lock is not None:
         lock.__enter__()
     try:
@@ -721,11 +735,13 @@ def gc_index(
             import glob as _glob
 
             root = fsio.local_path(index_dir)
-            for f in _glob.glob(os.path.join(root, ".mutlock.stale.*")):
-                try:
-                    os.unlink(f)
-                except OSError:
-                    pass
+            for pat in (".mutlock.stale.*", ".mutlock.rel.*"):
+                litter = _glob.glob(os.path.join(root, pat))
+                for f in litter:
+                    try:
+                        os.unlink(f)
+                    except OSError:
+                        pass
         mp = fsio.join(index_dir, "meta.json")
         meta = _json.loads(fsio.read_text(mp))
         entries = _retired_entries(meta)
@@ -756,8 +772,8 @@ def gc_index(
             meta["retired"] = {"entries": keep}
         else:
             meta.pop("retired", None)
-        if lock is not None:
-            lock.assert_held()
+        if gate is not None:
+            gate.assert_held()
         fsio.write_text_atomic(mp, _json.dumps(meta, indent=2))
         return reclaimed
     finally:
@@ -811,7 +827,7 @@ def _vacuum_locked(
 ) -> str:
     # reclaim the grandparent generation (if its grace elapsed) —
     # under the already-held mutation lock
-    gc_index(index_dir, _locked=True)
+    gc_index(index_dir, _held_lock=lock)
     work = fsio.join(index_dir, f"gen{gen}.build")
     fsio.rmtree(work)
     fsio.mkdirs(work)

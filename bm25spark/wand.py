@@ -594,6 +594,20 @@ def _prune_keeps(
     acc_ids = np.empty(0, dtype=np.int64)
     acc_sc = np.empty(0, dtype=np.float64)
     keeps: list[np.ndarray | None] = [None] * T
+    # multi-term fp-rigor margin (single-term comparisons are exact:
+    # block_ub IS the max kernel fp score of the block, and θ values
+    # are kernel-identical single contributions). For T > 1 both sides
+    # of a cut comparison carry order-dependent rounding: θ partials
+    # accumulate in desc-token-ub order (can land a few ulps above the
+    # kernel's query-order sum) and UB(B) is itself an fp sum of
+    # non-negative bound components (can land a few ulps below the
+    # math bound, hence below a kernel score it must dominate). For
+    # non-negative addends any-order fp summation is within
+    # (1+eps)^(n-1) of the math sum in both directions, so deflating θ
+    # by (1 - 16*(T+2)*eps) — far below 1/(1+eps)^(2T+4) — makes
+    # every strict cut rigorous at a ~1e-14 relative cost to pruning
+    # power. Bit-identity of the final top-k is what the fuzz pins.
+    theta_slack = 1.0 - 16.0 * (T + 2) * float(np.finfo(np.float64).eps)
 
     def masked(tp, ids, tfs):
         if allowed_mask is not None and len(ids):
@@ -615,9 +629,8 @@ def _prune_keeps(
             np.add.at(s, inv, np.concatenate([acc_sc, sc]))
             acc_ids, acc_sc = u, s
         if len(acc_sc) >= k:
-            theta = float(
-                np.partition(acc_sc, len(acc_sc) - k)[len(acc_sc) - k]
-            )
+            kth = float(np.partition(acc_sc, len(acc_sc) - k)[len(acc_sc) - k])
+            theta = kth * theta_slack  # see theta_slack rationale above
 
     for j, ti in enumerate(order):
         tp, cache = tps[ti], caches[ti]
@@ -669,8 +682,11 @@ def _prune_keeps(
             ids, tfs = cache.fetch(np.arange(nb))
             acc_ids, acc_sc = masked(tp, ids, tfs)
             if len(acc_sc) >= k:
-                theta = float(
-                    np.partition(acc_sc, len(acc_sc) - k)[len(acc_sc) - k]
+                theta = (
+                    float(
+                        np.partition(acc_sc, len(acc_sc) - k)[len(acc_sc) - k]
+                    )
+                    * theta_slack  # the CUT comparisons sum fp bounds
                 )
             keeps[ti] = np.arange(nb)
         else:
