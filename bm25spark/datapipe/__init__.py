@@ -38,6 +38,15 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_bmp_features": lambda s, d: multimodal.image_features(
             multimodal.synthesize_bmp_media(_docs(s, d))
         ).orderBy("doc_id"),
+        # REAL video path: write genuine RIFF/AVI containers (raw DIB
+        # frames), parse them back with struct+NumPy, emit
+        # integer-exact per-video and per-sampled-frame channel sums
+        "video_avi_features": lambda s, d: multimodal.video_features(
+            multimodal.synthesize_avi_media(_docs(s, d))
+        ).orderBy("doc_id"),
+        "video_frame_sample": lambda s, d: multimodal.frame_sample(
+            multimodal.synthesize_avi_media(_docs(s, d)), every_n=2
+        ).orderBy("doc_id", "frame_no"),
         "dedup_exact_groups": lambda s, d: dedup.exact_dup_groups(_docs(s, d)),
         "dedup_minhash_signatures": lambda s, d: dedup.minhash_signatures(
             _docs(s, d)
@@ -121,6 +130,8 @@ def oracle_registry() -> dict[str, str]:
     return {
         "audio_wav_features": multimodal.audio_wav_features_sql(),
         "image_bmp_features": multimodal.image_bmp_features_sql(),
+        "video_avi_features": multimodal.video_avi_features_sql(),
+        "video_frame_sample": multimodal.video_frame_sample_sql(every_n=2),
         "dedup_exact_groups": dedup.exact_dup_groups_sql(),
         "dedup_minhash_signatures": dedup.minhash_signatures_sql(),
         "dedup_minhash_pairs": dedup.minhash_candidate_pairs_sql(),

@@ -9,13 +9,16 @@ writer→parser roundtrip is exercised end to end (and gate-checked
 against a DuckDB oracle that recomputes the features from the PCM's
 closed form).
 
-Image/video decoding remains STUBBED (:func:`decode_image` raises
-NotImplementedError — the container has no image codec library), but
-everything Spark-side is real and tested: the schema, the batch shape,
-the UDF signature, partition-preserving processing, and a
-deterministic fake feature extractor (byte histogram + entropy)
-standing in for a real decoder. Swapping in PIL/ffmpeg is a
-one-function change.
+IMAGE IS REAL for uncompressed 24-bpp BMP (:func:`decode_image`,
+struct+NumPy) and VIDEO IS REAL for uncompressed RIFF/AVI with raw
+DIB '00db' frames (:func:`decode_video`, struct+NumPy): genuine
+containers are written (:func:`synthesize_bmp_media`,
+:func:`synthesize_avi_media`), parsed back, and gate-checked against
+closed-form pixel oracles. Only COMPRESSED codecs (PNG/JPEG/H.264/…)
+remain stubbed — they need codec libraries absent from this
+environment; the deterministic fake feature extractor (byte
+histogram + entropy) stands in for those, and swapping in PIL/PyAV
+is a one-function change.
 """
 
 from __future__ import annotations
@@ -515,4 +518,390 @@ SELECT doc_id,
 FROM lagged
 GROUP BY doc_id
 ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------- video (REAL) --
+
+#: synthesized-frame parameters: frame f, pixel p (top-down y*w+x),
+#: channel c of doc d has value
+#: ((d*IMG_MIX_A + f*VID_MIX_F + p*IMG_MIX_B + c*IMG_MIX_C) mod 256)
+#: — int64-exact, so a SQL oracle regenerates every frame without
+#: parsing AVI bytes. Frames are stored as uncompressed bottom-up DIBs
+#: ('00db' chunks), the same raw-BGR row layout BMP uses.
+VID_FPS = 10
+VID_MIX_F = 2246822519  # per-frame mix (same Knuth-prime family as WAV_MIX_B)
+
+
+def avi_dims(doc_id: int) -> tuple[int, int]:
+    """(width, height); width cycles through non-multiple-of-4 row
+    sizes so the DIB 4-byte row padding path is always exercised."""
+    return 5 + int(doc_id) % 11, 4 + int(doc_id) % 5
+
+
+def avi_frame_count(doc_id: int) -> int:
+    return 3 + int(doc_id) % 5
+
+
+def _avi_pixels(doc_id: int, f: int, w: int, h: int) -> np.ndarray:
+    """(h, w, 3) uint8 for frame ``f``, top-down rows, BGR order."""
+    p = np.arange(w * h, dtype=np.int64)[:, None]
+    c = np.arange(3, dtype=np.int64)[None, :]
+    v = (
+        np.int64(doc_id) * IMG_MIX_A
+        + np.int64(f) * VID_MIX_F
+        + p * IMG_MIX_B
+        + c * IMG_MIX_C
+    ) % 256
+    return v.astype(np.uint8).reshape(h, w, 3)
+
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Iterate (fourcc, payload_offset, payload_size) over a RIFF
+    chunk run; chunks are word-aligned (odd sizes padded)."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def synthesize_avi(doc_id: int) -> bytes:
+    """A genuine RIFF/AVI container: LIST hdrl (avih + LIST strl with
+    a 'vids'/'DIB ' strh and a 24-bpp BI_RGB strf), LIST movi with one
+    uncompressed bottom-up '00db' DIB per frame (rows padded to 4
+    bytes), and a keyframe idx1 index."""
+    import struct
+
+    w, h = avi_dims(doc_id)
+    n = avi_frame_count(doc_id)
+    row_size = (3 * w + 3) // 4 * 4
+    frame_bytes = row_size * h
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        out = fourcc + struct.pack("<I", len(payload)) + payload
+        return out + b"\x00" if len(payload) % 2 else out
+
+    def list_chunk(listtype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", listtype + payload)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // VID_FPS,  # dwMicroSecPerFrame
+        frame_bytes * VID_FPS,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags = AVIF_HASINDEX
+        n, 0, 1,  # dwTotalFrames, dwInitialFrames, dwStreams
+        frame_bytes, w, h, 0, 0, 0, 0,  # dwSuggestedBufferSize, dims, reserved
+    )
+    # AVISTREAMHEADER (56 bytes): fccType, fccHandler, dwFlags,
+    # wPriority, wLanguage, dwInitialFrames, dwScale, dwRate, dwStart,
+    # dwLength, dwSuggestedBufferSize, dwQuality, dwSampleSize, rcFrame
+    strh = struct.pack(
+        "<4s4sIHH8I4h",
+        b"vids", b"DIB ",
+        0, 0, 0,  # dwFlags, wPriority, wLanguage
+        0,  # dwInitialFrames
+        1, VID_FPS,  # dwScale, dwRate
+        0, n,  # dwStart, dwLength
+        frame_bytes, 0, 0,  # dwSuggestedBufferSize, dwQuality, dwSampleSize
+        0, 0, w, h,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl = list_chunk(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    frames = []
+    for f in range(n):
+        px = _avi_pixels(doc_id, f, w, h)
+        body = np.zeros((h, row_size), dtype=np.uint8)
+        body[:, : 3 * w] = px[::-1].reshape(h, 3 * w)  # bottom-up rows
+        frames.append(chunk(b"00db", body.tobytes()))
+    movi = list_chunk(b"movi", b"".join(frames))
+    idx_entries, off = [], 4  # offsets are relative to the 'movi' fourcc
+    for fc in frames:
+        idx_entries.append(
+            struct.pack("<4sIII", b"00db", 0x10, off, frame_bytes)
+        )
+        off += len(fc)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    payload = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def decode_video(data: bytes) -> dict:
+    """REAL video decode for uncompressed RIFF/AVI ('vids' stream with
+    the 'DIB '/raw handler, 24-bpp BI_RGB frames in '00db' chunks).
+    Parsed with struct+NumPy -- no codec library needed. Returns
+    ``{"frames": (T, H, W, 3) uint8 top-row-first BGR, "fps": int,
+    "n_frames": int}``. Compressed codecs (H.264/VP9/'00dc' streams)
+    remain stubbed: they need a codec library not present in this
+    environment -- swap in PyAV/ffmpeg to go live."""
+    import struct
+
+    if data[:4] != b"RIFF" or len(data) < 12 or data[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "only uncompressed RIFF/AVI (DIB '00db' frames) decodes in "
+            "this environment; other containers/codecs need a codec "
+            "library (PyAV/ffmpeg)"
+        )
+    riff_size = struct.unpack_from("<I", data, 4)[0]
+    end = min(len(data), 8 + riff_size)
+    strh = strf = None
+    frame_spans: list[tuple[int, int]] = []
+    for fourcc, off, size in _riff_chunks(data, 12, end):
+        if fourcc != b"LIST":
+            continue
+        listtype = data[off : off + 4]
+        if listtype == b"hdrl":
+            for f2, o2, s2 in _riff_chunks(data, off + 4, off + size):
+                if f2 == b"LIST" and data[o2 : o2 + 4] == b"strl":
+                    for f3, o3, s3 in _riff_chunks(data, o2 + 4, o2 + s2):
+                        if f3 == b"strh" and strh is None:
+                            strh = (o3, s3)
+                        elif f3 == b"strf" and strf is None:
+                            strf = (o3, s3)
+        elif listtype == b"movi":
+            for f2, o2, s2 in _riff_chunks(data, off + 4, off + size):
+                if f2[2:4] == b"dc":
+                    raise ValueError(
+                        "compressed '..dc' AVI frames unsupported "
+                        "(only raw DIB '00db')"
+                    )
+                if f2[2:4] == b"db":
+                    frame_spans.append((o2, s2))
+    if strh is None or strf is None:
+        raise ValueError("malformed AVI: missing strh/strf headers")
+    o, s = strh
+    if s < 56:
+        raise ValueError(f"malformed AVI: strh size {s} < 56")
+    fcc_type, handler = struct.unpack_from("<4s4s", data, o)
+    scale, rate, _start, length = struct.unpack_from("<4I", data, o + 20)
+    if fcc_type != b"vids":
+        raise ValueError(f"unsupported AVI stream type {fcc_type!r}")
+    if handler not in (b"DIB ", b"\x00\x00\x00\x00", b"RGB "):
+        raise ValueError(f"unsupported AVI video handler {handler!r}")
+    o, s = strf
+    if s < 40:
+        raise ValueError(f"malformed AVI: strf size {s} < 40")
+    _hs, w, h = struct.unpack_from("<Iii", data, o)
+    _planes, bpp = struct.unpack_from("<HH", data, o + 12)
+    compression = struct.unpack_from("<I", data, o + 16)[0]
+    if compression != 0:
+        raise ValueError(f"unsupported AVI compression {compression}")
+    if bpp != 24:
+        raise ValueError(f"only 24-bpp AVI frames supported, got bpp={bpp}")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad AVI dimensions {w}x{h}")
+    if length and length != len(frame_spans):
+        raise ValueError(
+            f"frame count mismatch: strh declares {length}, "
+            f"movi holds {len(frame_spans)}"
+        )
+    row_size = (3 * w + 3) // 4 * 4
+    need = row_size * h
+    frames = np.empty((len(frame_spans), h, w, 3), dtype=np.uint8)
+    for i, (fo, fs) in enumerate(frame_spans):
+        if fs < need or fo + need > len(data):
+            raise ValueError(f"truncated AVI frame {i}: {fs} < {need} bytes")
+        rows = (
+            np.frombuffer(data, dtype=np.uint8, count=need, offset=fo)
+            .reshape(h, row_size)[:, : 3 * w]
+            .reshape(h, w, 3)
+        )
+        frames[i] = rows if top_down else rows[::-1]
+    fps = rate // scale if scale else 0
+    return {"frames": frames, "fps": int(fps), "n_frames": len(frame_spans)}
+
+
+VIDEO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("fps", IntegerType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("n_pixels", LongType(), False),
+        StructField("b_sum", LongType(), False),
+        StructField("g_sum", LongType(), False),
+        StructField("r_sum", LongType(), False),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_no", IntegerType(), False),
+        StructField("b_sum", LongType(), False),
+        StructField("g_sum", LongType(), False),
+        StructField("r_sum", LongType(), False),
+    ]
+)
+
+
+def synthesize_avi_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, media_type, media) with REAL AVI containers — the
+    video analogue of :func:`synthesize_wav_media`. Arrow-batched; the
+    per-row loop is the container writer itself."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "video/avi",
+                    "media": [synthesize_avi(int(i)) for i in ids],
+                }
+            )
+
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("media_type", StringType(), False),
+                StructField("media", BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def video_features(media_df: DataFrame) -> DataFrame:
+    """Decode every ``video/avi`` blob (REAL struct+NumPy RIFF parse)
+    and emit integer-exact per-video features (dims, fps, frame count,
+    per-channel sums over all frames). mapInPandas keeps partitioning
+    — no shuffle; the per-blob loop is the decoder itself, feature
+    math is NumPy over the (T, H, W, 3) array."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["doc_id"].astype("int64"), pdf["media"]):
+                v = decode_video(bytes(blob))
+                fr = v["frames"].astype(np.int64)
+                t, h, w = fr.shape[:3]
+                sums = fr.reshape(-1, 3).sum(axis=0)
+                rows.append(
+                    (
+                        int(i), w, h, v["fps"], t, t * w * h,
+                        int(sums[0]), int(sums[1]), int(sums[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "fps", "n_frames",
+                    "n_pixels", "b_sum", "g_sum", "r_sum",
+                ],
+            )
+
+    return (
+        media_df.filter(F.col("media_type") == "video/avi")
+        .select("doc_id", "media")
+        .mapInPandas(run, VIDEO_FEATURES_SCHEMA)
+    )
+
+
+def frame_sample(media_df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampler: decode each ``video/avi`` blob once, keep
+    frames where ``frame_no % every_n == 0``, and emit per-frame
+    channel sums — the decode-side counterpart of
+    :func:`frame_sample_plan` (which only plans the task fan-out).
+    One output row per sampled frame; no shuffle."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["doc_id"].astype("int64"), pdf["media"]):
+                fr = decode_video(bytes(blob))["frames"].astype(np.int64)
+                for f in range(0, fr.shape[0], every_n):
+                    sums = fr[f].reshape(-1, 3).sum(axis=0)
+                    rows.append(
+                        (int(i), f, int(sums[0]), int(sums[1]), int(sums[2]))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_no", "b_sum", "g_sum", "r_sum"],
+            )
+
+    return (
+        media_df.filter(F.col("media_type") == "video/avi")
+        .select("doc_id", "media")
+        .mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+    )
+
+
+def _video_chans_cte() -> str:
+    """Shared oracle CTE: regenerate every (doc, frame, pixel) channel
+    value from the closed form."""
+    return f"""params AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         5 + doc_id % 11 AS w,
+         4 + doc_id % 5 AS h,
+         3 + doc_id % 5 AS n
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, w, h, n, unnest(range(n)) AS f FROM params
+),
+px AS (
+  SELECT doc_id, w, h, n, f, unnest(range(w * h)) AS p FROM fr
+),
+chans AS (
+  SELECT doc_id, w, h, n, f,
+         (doc_id * {IMG_MIX_A} + f * {VID_MIX_F} + p * {IMG_MIX_B} + 0) % 256 AS b,
+         (doc_id * {IMG_MIX_A} + f * {VID_MIX_F} + p * {IMG_MIX_B} + {IMG_MIX_C}) % 256 AS g,
+         (doc_id * {IMG_MIX_A} + f * {VID_MIX_F} + p * {IMG_MIX_B} + {2 * IMG_MIX_C}) % 256 AS r
+  FROM px
+)"""
+
+
+def video_avi_features_sql() -> str:
+    """DuckDB oracle: regenerate the closed-form frames per doc and
+    compute the same integer features the AVI decode path produces —
+    container write → struct+NumPy parse → channel sums must land on
+    exactly these values."""
+    return f"""
+WITH {_video_chans_cte()}
+SELECT doc_id,
+       any_value(w)::INTEGER AS width,
+       any_value(h)::INTEGER AS height,
+       {VID_FPS}::INTEGER AS fps,
+       any_value(n)::BIGINT AS n_frames,
+       (any_value(w) * any_value(h) * any_value(n))::BIGINT AS n_pixels,
+       sum(b)::BIGINT AS b_sum,
+       sum(g)::BIGINT AS g_sum,
+       sum(r)::BIGINT AS r_sum
+FROM chans
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def video_frame_sample_sql(every_n: int = 2) -> str:
+    """DuckDB oracle for :func:`frame_sample`: per sampled frame, the
+    closed-form channel sums."""
+    return f"""
+WITH {_video_chans_cte()}
+SELECT doc_id,
+       f::INTEGER AS frame_no,
+       sum(b)::BIGINT AS b_sum,
+       sum(g)::BIGINT AS g_sum,
+       sum(r)::BIGINT AS r_sum
+FROM chans
+WHERE f % {every_n} = 0
+GROUP BY doc_id, f
+ORDER BY doc_id, frame_no
 """

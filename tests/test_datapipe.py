@@ -864,3 +864,99 @@ class TestImageReal:
             assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
             sums = px.reshape(-1, 3).sum(axis=0)
             assert (r.b_sum, r.g_sum, r.r_sum) == tuple(int(x) for x in sums)
+
+
+class TestVideoReal:
+    """REAL AVI decode (struct + NumPy) — completes the audio/image/
+    video triple: one genuinely-decoded uncompressed format each."""
+
+    def test_roundtrip_frames_exact(self):
+        import numpy as np
+
+        from bm25spark.datapipe import multimodal
+
+        for doc_id in (0, 7, 12, 101, 9999):
+            w, h = multimodal.avi_dims(doc_id)
+            n = multimodal.avi_frame_count(doc_id)
+            v = multimodal.decode_video(multimodal.synthesize_avi(doc_id))
+            assert v["fps"] == multimodal.VID_FPS
+            assert v["n_frames"] == n
+            assert v["frames"].shape == (n, h, w, 3)
+            for f in range(n):
+                want = multimodal._avi_pixels(doc_id, f, w, h)
+                assert np.array_equal(v["frames"][f], want), (doc_id, f)
+
+    def test_unsupported_variants_fail_loudly(self):
+        import struct
+
+        import pytest as _pytest
+
+        from bm25spark.datapipe import multimodal
+
+        good = multimodal.synthesize_avi(5)
+
+        # locate strf payload (BITMAPINFOHEADER) to corrupt bpp/compression
+        strf_off = good.index(b"strf") + 8
+        blob = bytearray(good)
+        struct.pack_into("<H", blob, strf_off + 14, 32)  # bpp 24 -> 32
+        with _pytest.raises(ValueError, match="24-bpp"):
+            multimodal.decode_video(bytes(blob))
+        blob = bytearray(good)
+        struct.pack_into("<I", blob, strf_off + 16, 1)  # BI_RLE8
+        with _pytest.raises(ValueError, match="compression"):
+            multimodal.decode_video(bytes(blob))
+        # compressed '00dc' frame chunk
+        blob = bytearray(good)
+        dc = blob.index(b"00db")
+        blob[dc : dc + 4] = b"00dc"
+        with _pytest.raises(ValueError, match="compressed"):
+            multimodal.decode_video(bytes(blob))
+        # strh frame count disagreeing with movi
+        strh_off = good.index(b"strh") + 8
+        blob = bytearray(good)
+        struct.pack_into("<I", blob, strh_off + 32, 99)  # dwLength
+        with _pytest.raises(ValueError, match="frame count"):
+            multimodal.decode_video(bytes(blob))
+        # non-AVI containers remain stubbed, loudly
+        with _pytest.raises(NotImplementedError):
+            multimodal.decode_video(b"\x00\x00\x00\x18ftypmp42" + b"x" * 64)
+
+    def test_spark_features_and_frame_sample(self, spark):
+        import numpy as np
+
+        from bm25spark.datapipe import multimodal
+
+        docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id LONG")
+        media = multimodal.synthesize_avi_media(docs)
+        got = multimodal.video_features(media).orderBy("doc_id").collect()
+        assert len(got) == 30
+        for r in got:
+            w, h = multimodal.avi_dims(r.doc_id)
+            n = multimodal.avi_frame_count(r.doc_id)
+            assert (r.width, r.height, r.fps, r.n_frames, r.n_pixels) == (
+                w, h, multimodal.VID_FPS, n, n * w * h,
+            )
+            all_px = np.stack(
+                [multimodal._avi_pixels(r.doc_id, f, w, h) for f in range(n)]
+            ).astype(np.int64)
+            sums = all_px.reshape(-1, 3).sum(axis=0)
+            assert (r.b_sum, r.g_sum, r.r_sum) == tuple(int(x) for x in sums)
+
+        sampled = (
+            multimodal.frame_sample(media, every_n=2)
+            .orderBy("doc_id", "frame_no")
+            .collect()
+        )
+        by_doc = {}
+        for r in sampled:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc_id, rows in by_doc.items():
+            w, h = multimodal.avi_dims(doc_id)
+            n = multimodal.avi_frame_count(doc_id)
+            assert [r.frame_no for r in rows] == list(range(0, n, 2))
+            for r in rows:
+                px = multimodal._avi_pixels(doc_id, r.frame_no, w, h)
+                sums = px.astype(np.int64).reshape(-1, 3).sum(axis=0)
+                assert (r.b_sum, r.g_sum, r.r_sum) == tuple(
+                    int(x) for x in sums
+                )
