@@ -569,11 +569,16 @@ def _riff_chunks(data: bytes, start: int, end: int):
         pos += 8 + size + (size & 1)
 
 
-def synthesize_avi(doc_id: int) -> bytes:
-    """A genuine RIFF/AVI container: LIST hdrl (avih + LIST strl with
-    a 'vids'/'DIB ' strh and a 24-bpp BI_RGB strf), LIST movi with one
-    uncompressed bottom-up '00db' DIB per frame (rows padded to 4
-    bytes), and a keyframe idx1 index."""
+def synthesize_avi(doc_id: int, with_audio: bool = False) -> bytes:
+    """A genuine RIFF/AVI container: LIST hdrl (avih + one LIST strl
+    per stream), LIST movi with one uncompressed bottom-up DIB per
+    video frame (rows padded to 4 bytes), and a keyframe idx1 index.
+
+    ``with_audio=True`` produces the common real-world shape: a PCM
+    s16le 'auds' stream listed FIRST (so video is stream 01 and its
+    frames are '01db' chunks), with '00wb' audio chunks interleaved
+    frame-by-frame in movi — exercising the decoder's stream
+    selection rather than a single-stream fast path."""
     import struct
 
     w, h = avi_dims(doc_id)
@@ -588,19 +593,21 @@ def synthesize_avi(doc_id: int) -> bytes:
     def list_chunk(listtype: bytes, payload: bytes) -> bytes:
         return chunk(b"LIST", listtype + payload)
 
+    n_streams = 2 if with_audio else 1
+    vid_stream = 1 if with_audio else 0
     avih = struct.pack(
         "<14I",
         1_000_000 // VID_FPS,  # dwMicroSecPerFrame
         frame_bytes * VID_FPS,  # dwMaxBytesPerSec
         0,  # dwPaddingGranularity
         0x10,  # dwFlags = AVIF_HASINDEX
-        n, 0, 1,  # dwTotalFrames, dwInitialFrames, dwStreams
+        n, 0, n_streams,  # dwTotalFrames, dwInitialFrames, dwStreams
         frame_bytes, w, h, 0, 0, 0, 0,  # dwSuggestedBufferSize, dims, reserved
     )
     # AVISTREAMHEADER (56 bytes): fccType, fccHandler, dwFlags,
     # wPriority, wLanguage, dwInitialFrames, dwScale, dwRate, dwStart,
     # dwLength, dwSuggestedBufferSize, dwQuality, dwSampleSize, rcFrame
-    strh = struct.pack(
+    strh_v = struct.pack(
         "<4s4sIHH8I4h",
         b"vids", b"DIB ",
         0, 0, 0,  # dwFlags, wPriority, wLanguage
@@ -610,27 +617,50 @@ def synthesize_avi(doc_id: int) -> bytes:
         frame_bytes, 0, 0,  # dwSuggestedBufferSize, dwQuality, dwSampleSize
         0, 0, w, h,  # rcFrame
     )
-    strf = struct.pack(
+    strf_v = struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
     )
-    hdrl = list_chunk(
-        b"hdrl",
-        chunk(b"avih", avih)
-        + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
-    )
-    frames = []
+    strl_v = list_chunk(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v))
+    strls = strl_v
+    audio_per_frame = WAV_RATE // VID_FPS  # samples per video frame
+    if with_audio:
+        strh_a = struct.pack(
+            "<4s4sIHH8I4h",
+            b"auds", b"\x00\x00\x00\x00",
+            0, 0, 0, 0,
+            1, WAV_RATE,  # dwScale, dwRate
+            0, n * audio_per_frame,  # dwLength in samples
+            audio_per_frame * 2, 0, 2,  # sugbuf, quality, dwSampleSize=2
+            0, 0, 0, 0,
+        )
+        # WAVEFORMATEX: PCM, mono, 8 kHz, 16-bit
+        strf_a = struct.pack(
+            "<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16
+        )
+        strl_a = list_chunk(
+            b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a)
+        )
+        strls = strl_a + strl_v  # audio stream FIRST (stream 00)
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih) + strls)
+    vdb = b"%02ddb" % vid_stream
+    movi_chunks = []
     for f in range(n):
+        if with_audio:
+            pcm = _pcm_samples(
+                doc_id * 1000 + f, audio_per_frame
+            ).tobytes()
+            movi_chunks.append(chunk(b"00wb", pcm))
         px = _avi_pixels(doc_id, f, w, h)
         body = np.zeros((h, row_size), dtype=np.uint8)
         body[:, : 3 * w] = px[::-1].reshape(h, 3 * w)  # bottom-up rows
-        frames.append(chunk(b"00db", body.tobytes()))
-    movi = list_chunk(b"movi", b"".join(frames))
+        movi_chunks.append(chunk(vdb, body.tobytes()))
+    movi = list_chunk(b"movi", b"".join(movi_chunks))
     idx_entries, off = [], 4  # offsets are relative to the 'movi' fourcc
-    for fc in frames:
+    for mc in movi_chunks:
         idx_entries.append(
-            struct.pack("<4sIII", b"00db", 0x10, off, frame_bytes)
+            struct.pack("<4sIII", mc[:4], 0x10, off, len(mc) - 8)
         )
-        off += len(fc)
+        off += len(mc)
     idx1 = chunk(b"idx1", b"".join(idx_entries))
     payload = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(payload)) + payload
@@ -654,8 +684,10 @@ def decode_video(data: bytes) -> dict:
         )
     riff_size = struct.unpack_from("<I", data, 4)[0]
     end = min(len(data), 8 + riff_size)
-    strh = strf = None
-    frame_spans: list[tuple[int, int]] = []
+    # streams in declaration order (stream NN <-> NNth strl list);
+    # movi chunks are routed to their stream by their fourcc prefix
+    streams: list[dict] = []
+    movi_chunks: list[tuple[bytes, int, int]] = []
     for fourcc, off, size in _riff_chunks(data, 12, end):
         if fourcc != b"LIST":
             continue
@@ -663,32 +695,46 @@ def decode_video(data: bytes) -> dict:
         if listtype == b"hdrl":
             for f2, o2, s2 in _riff_chunks(data, off + 4, off + size):
                 if f2 == b"LIST" and data[o2 : o2 + 4] == b"strl":
+                    st: dict = {}
                     for f3, o3, s3 in _riff_chunks(data, o2 + 4, o2 + s2):
-                        if f3 == b"strh" and strh is None:
-                            strh = (o3, s3)
-                        elif f3 == b"strf" and strf is None:
-                            strf = (o3, s3)
+                        if f3 == b"strh" and "strh" not in st:
+                            st["strh"] = (o3, s3)
+                        elif f3 == b"strf" and "strf" not in st:
+                            st["strf"] = (o3, s3)
+                    streams.append(st)
         elif listtype == b"movi":
-            for f2, o2, s2 in _riff_chunks(data, off + 4, off + size):
-                if f2[2:4] == b"dc":
-                    raise ValueError(
-                        "compressed '..dc' AVI frames unsupported "
-                        "(only raw DIB '00db')"
-                    )
-                if f2[2:4] == b"db":
-                    frame_spans.append((o2, s2))
-    if strh is None or strf is None:
+            movi_chunks.extend(_riff_chunks(data, off + 4, off + size))
+    vid = next(
+        (
+            i
+            for i, st in enumerate(streams)
+            if "strh" in st and data[st["strh"][0] : st["strh"][0] + 4] == b"vids"
+        ),
+        None,
+    )
+    if vid is None:
+        raise ValueError("malformed AVI: no 'vids' stream")
+    st = streams[vid]
+    if "strf" not in st:
         raise ValueError("malformed AVI: missing strh/strf headers")
-    o, s = strh
+    prefix = b"%02d" % vid
+    frame_spans: list[tuple[int, int]] = []
+    for f2, o2, s2 in movi_chunks:
+        if f2 == prefix + b"dc":
+            raise ValueError(
+                "compressed '..dc' AVI frames unsupported (only raw DIB)"
+            )
+        if f2 == prefix + b"db":
+            frame_spans.append((o2, s2))
+        # other streams' chunks ('..wb' audio etc.) are skipped
+    o, s = st["strh"]
     if s < 56:
         raise ValueError(f"malformed AVI: strh size {s} < 56")
-    fcc_type, handler = struct.unpack_from("<4s4s", data, o)
+    _fcc_type, handler = struct.unpack_from("<4s4s", data, o)
     scale, rate, _start, length = struct.unpack_from("<4I", data, o + 20)
-    if fcc_type != b"vids":
-        raise ValueError(f"unsupported AVI stream type {fcc_type!r}")
     if handler not in (b"DIB ", b"\x00\x00\x00\x00", b"RGB "):
         raise ValueError(f"unsupported AVI video handler {handler!r}")
-    o, s = strf
+    o, s = st["strf"]
     if s < 40:
         raise ValueError(f"malformed AVI: strf size {s} < 40")
     _hs, w, h = struct.unpack_from("<Iii", data, o)

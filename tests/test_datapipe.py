@@ -960,3 +960,34 @@ class TestVideoReal:
                 assert (r.b_sum, r.g_sum, r.r_sum) == tuple(
                     int(x) for x in sums
                 )
+
+    def test_interleaved_audio_stream_selection(self):
+        """Real-world AVI shape: PCM 'auds' stream declared first, so
+        video is stream 01 ('01db' chunks) with '00wb' audio chunks
+        interleaved — the decoder must route by stream index, not grab
+        the first strl or any '..db' chunk."""
+        import numpy as np
+
+        from bm25spark.datapipe import multimodal
+
+        for doc_id in (0, 11, 42):
+            blob = multimodal.synthesize_avi(doc_id, with_audio=True)
+            assert b"auds" in blob and b"01db" in blob and b"00wb" in blob
+            v = multimodal.decode_video(blob)
+            w, h = multimodal.avi_dims(doc_id)
+            n = multimodal.avi_frame_count(doc_id)
+            assert v["frames"].shape == (n, h, w, 3)
+            for f in range(n):
+                want = multimodal._avi_pixels(doc_id, f, w, h)
+                assert np.array_equal(v["frames"][f], want), (doc_id, f)
+
+    def test_no_video_stream_fails_loudly(self):
+        import pytest as _pytest
+
+        from bm25spark.datapipe import multimodal
+
+        blob = bytearray(multimodal.synthesize_avi(3, with_audio=True))
+        i = blob.index(b"vids")
+        blob[i : i + 4] = b"xxxx"
+        with _pytest.raises(ValueError, match="vids"):
+            multimodal.decode_video(bytes(blob))
