@@ -323,6 +323,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bm25_unicode_cjk"] = _unicode_cjk
 
+    def _wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """BERT-style WordPiece analyzer (the reference ecosystem's
+        ``bert`` tokenizer preset, pg_tokenizer; README.md:49-56) end
+        to end: exact BM25 over the gate corpus under a fixed subword
+        vocabulary — multi-piece segmentations ('window' -> win
+        ##dow), single-char fallbacks, and q/z words collapsing to
+        [unk] all hit real corpus rows. The oracle re-implements the
+        greedy longest-match walk as a recursive CTE."""
+        from bm25spark.analyze import make_wordpiece_analyzer
+        from bm25spark.config import Bm25Config
+        from bm25spark.fixtures import WORDPIECE_GATE_VOCAB
+        from bm25spark.query import exact_topk
+
+        make_wordpiece_analyzer(WORDPIECE_GATE_VOCAB, name="gate_wordpiece")
+        return exact_topk(
+            spark, _docs(spark, sf_dir), "text", "doc_id",
+            "merge spark window", 10,
+            cfg=Bm25Config(analyzer="gate_wordpiece"),
+        )
+
+    out["bm25_wordpiece"] = _wordpiece
+
+    def _custom_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Corpus-trained custom-model analyzer (the reference
+        ecosystem's create_custom_model_tokenizer flow, pg_tokenizer;
+        README.md:143-166): train a top-20 document-frequency
+        vocabulary from the gate corpus itself, then search with OOV
+        tokens dropped — 'spark' falls outside the top 20 here, so the
+        query degrades to its in-vocabulary terms on both sides. The
+        oracle performs the identical training in SQL."""
+        from bm25spark.analyze import make_vocab_analyzer
+        from bm25spark.api import train_corpus_vocab
+        from bm25spark.config import Bm25Config
+        from bm25spark.query import exact_topk
+
+        docs = _docs(spark, sf_dir)
+        vocab = train_corpus_vocab(docs, top_n=20)
+        make_vocab_analyzer(vocab, name="gate_custom_vocab")
+        return exact_topk(
+            spark, docs, "text", "doc_id", "merge spark window", 10,
+            cfg=Bm25Config(analyzer="gate_custom_vocab"),
+        )
+
+    out["bm25_custom_vocab"] = _custom_vocab
+
     def _tokenize_mappings(spark: SparkSession, sf_dir: str) -> DataFrame:
         """The reference's tokenize()::bm25vector surface
         (README.md:54-56) in relational form: (doc_id, token, tf)."""
@@ -642,6 +687,20 @@ def oracle_sql() -> dict[str, str]:
 
     out["bm25_unicode_cjk"] = oracle.bm25_unicode_topk_sql(
         CJK_PASSAGES, tokenize_unicode("全文検索"), 5
+    )
+
+    from bm25spark.analyze import make_wordpiece_analyzer, tokenize_simple
+    from bm25spark.fixtures import WORDPIECE_GATE_VOCAB
+
+    # query pieces computed by the SAME analyzer at SQL-generation time
+    _wp = make_wordpiece_analyzer(WORDPIECE_GATE_VOCAB)
+    out["bm25_wordpiece"] = oracle.wordpiece_topk_sql(
+        _wp("merge spark window"), 10, WORDPIECE_GATE_VOCAB
+    )
+    # raw (unfiltered) query tokens: the top-20 vocabulary filter is
+    # applied inside the SQL, mirroring the Spark-side training
+    out["bm25_custom_vocab"] = oracle.custom_vocab_topk_sql(
+        tokenize_simple("merge spark window"), 10, top_n=20
     )
 
     # golden values copied verbatim from the reference's sqllogictest

@@ -260,6 +260,125 @@ def make_dict_analyzer(
     return analyze
 
 
+def _wordpiece_segment(
+    word: str,
+    initial: "frozenset[str]",
+    cont: "frozenset[str]",
+    unk: str,
+    max_chars: int,
+) -> list[str]:
+    """Greedy longest-prefix WordPiece over one word: word-initial
+    pieces from ``initial``, continuations from ``cont`` (emitted with
+    the '##' marker). Any position with no match — or a word longer
+    than ``max_chars`` — collapses the whole word to ``unk``, exactly
+    the published BERT behavior."""
+    if len(word) > max_chars:
+        return [unk]
+    out: list[str] = []
+    pos, n = 0, len(word)
+    while pos < n:
+        table = initial if pos == 0 else cont
+        end = n
+        while end > pos and word[pos:end] not in table:
+            end -= 1
+        if end == pos:
+            return [unk]
+        out.append(word[pos:end] if pos == 0 else "##" + word[pos:end])
+        pos = end
+    return out
+
+
+def make_wordpiece_analyzer(
+    vocab: "Iterable[str]",
+    name: str | None = None,
+    unk: str = "[unk]",
+    max_chars: int = 100,
+) -> Callable[[str], list[str]]:
+    """BERT-style WordPiece subword analyzer — the self-contained
+    analogue of the reference ecosystem's ``bert`` tokenizer preset
+    (pg_tokenizer; reference README.md:49-56 tokenizes with it). The
+    algorithm is the published greedy longest-match-first subword
+    segmentation: vocabulary entries starting with ``##`` match only
+    word-continuations, others only word starts; an unmatchable (or
+    over-``max_chars``) word becomes ``unk``. Pre-tokenization is the
+    ``simple`` analyzer's lowercase word split, so the whole pipeline
+    remains ANSI-SQL-replicable (recursive longest-prefix walk) and
+    the driver gate can verify it end to end.
+
+    ``name`` registers the analyzer, fingerprinted by a content hash
+    of the vocabulary + unk + max_chars (same contract as
+    :func:`make_dict_analyzer`). Distinct words memoize their piece
+    sequence for the worker's lifetime."""
+    initial_s: set[str] = set()
+    cont_s: set[str] = set()
+    for p in vocab:
+        p = p.strip().lower()
+        if not p:
+            continue
+        if p.startswith("##"):
+            if len(p) > 2:
+                cont_s.add(p[2:])
+        else:
+            initial_s.add(p)
+    if not initial_s:
+        raise ValueError("wordpiece vocab needs word-initial pieces")
+    initial, cont = frozenset(initial_s), frozenset(cont_s)
+    fingerprint = "wordpiece:" + hashlib.sha256(
+        (
+            "\n".join(sorted(initial))
+            + "\n##\n"
+            + "\n".join(sorted(cont))
+            + f"\n{unk}\n{max_chars}"
+        ).encode("utf-8")
+    ).hexdigest()[:32]
+    memo: dict[str, list[str]] = {}
+
+    def analyze(text: str) -> list[str]:
+        out: list[str] = []
+        for w in _SIMPLE_RE.findall(text.lower()):
+            pieces = memo.get(w)
+            if pieces is None:
+                pieces = _wordpiece_segment(w, initial, cont, unk, max_chars)
+                memo[w] = pieces
+            out.extend(pieces)
+        return out
+
+    if name is not None:
+        register_analyzer(name, analyze, fingerprint=fingerprint)
+    return analyze
+
+
+def make_vocab_analyzer(
+    vocab: "Iterable[str]",
+    base: str = "simple",
+    name: str | None = None,
+) -> Callable[[str], list[str]]:
+    """Corpus-trained whole-token vocabulary filter — the analogue of
+    the reference ecosystem's *custom model* flow (pg_tokenizer
+    ``create_custom_model_tokenizer_and_trigger``, reference
+    README.md:143-166): a model trained from the corpus assigns ids to
+    known tokens and out-of-vocabulary tokens simply have no id. Here:
+    ``base``-analyzer tokens outside ``vocab`` are dropped. Train the
+    vocabulary with :func:`bm25spark.api.train_corpus_vocab`.
+
+    The base analyzer is captured at construction time, and the
+    fingerprint covers base name + vocabulary content."""
+    base_fn = get_analyzer(base)
+    keep = frozenset(t for t in vocab if t)
+    if not keep:
+        raise ValueError("vocab analyzer needs a non-empty vocabulary")
+    fingerprint = "vocab:" + hashlib.sha256(
+        (base + "\n" + "\n".join(sorted(keep))).encode("utf-8")
+    ).hexdigest()[:32]
+
+    def analyze(text: str) -> list[str]:
+        return [t for t in base_fn(text) if t in keep]
+
+    if name is not None:
+        register_analyzer(name, analyze, fingerprint=fingerprint)
+    return analyze
+
+
 def register_analyzer(
     name: str,
     fn: Callable[[str], list[str]],

@@ -144,3 +144,38 @@ def tokenize_mappings_df(
     return tokenize_udf_mappings(df, text_col, id_col, cfg).orderBy(
         "doc_id", "term_key"
     )
+
+
+def train_corpus_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 65536,
+    min_df: int = 1,
+) -> list[str]:
+    """Deterministic corpus-driven vocabulary training — the analogue
+    of the reference ecosystem's custom-model build (pg_tokenizer
+    trains a model from the corpus and assigns ids to its tokens;
+    reference README.md:143-160). Tokens are ranked by document
+    frequency over the ``simple``-analyzed corpus with the (df DESC,
+    token ASC) tie-break, so the result is identical at any
+    parallelism; the one distributed agg shuffles (token, partial-df)
+    pairs and only the top-``top_n`` rows reach the driver (bounded
+    collect, same discipline as IVF training).
+
+    Feed the result to :func:`bm25spark.analyze.make_vocab_analyzer`.
+    """
+    from pyspark.sql import functions as F
+
+    if not 0 < top_n <= 65536:
+        raise ValueError(f"top_n must be in (0, 65536], got {top_n}")
+    mappings = tokenize_mappings_df(df, text_col, id_col)
+    rows = (
+        mappings.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= int(min_df))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(top_n)
+        .collect()
+    )
+    return [r.token for r in rows]

@@ -108,3 +108,18 @@ CJK_PASSAGES: list[tuple[int, str]] = [
     (6, "spark による大規模データ処理"),
     (7, "検索 とは 情報 を 探す こと"),
 ]
+
+
+#: WordPiece gate vocabulary: every [a-z0-9] char EXCEPT q and z as
+#: both word-initial and continuation pieces (so any q/z-bearing word
+#: collapses to [unk] — exercising the UNK path on real corpus data),
+#: plus whole-word and suffix pieces that force genuine multi-piece
+#: segmentations ("window" -> win ##dow). Shared verbatim by the
+#: Spark gate entry and its DuckDB oracle.
+_WP_CHARS = "abcdefghijklmnoprstuvwxy0123456789"
+WORDPIECE_GATE_VOCAB: list[str] = (
+    list(_WP_CHARS)
+    + ["##" + c for c in _WP_CHARS]
+    + ["merge", "spark", "scan", "join", "batch", "win",
+       "##dow", "##ing", "##er", "##ed", "##ream"]
+)

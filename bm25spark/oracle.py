@@ -236,6 +236,202 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+def _scoring_tail_sql(qvals: str, k: int, k1: float, b: float) -> str:
+    """The shared fn/qdl/stats/q/dfs/scored pipeline + final select,
+    parameterized only by the inlined query-token VALUES — expects
+    ``tf`` and ``dl`` CTEs to already be in scope."""
+    return f"""
+fn(lo, hi, qdl) AS (VALUES {fieldnorm_values_sql()}),
+qdl AS (
+  SELECT dl.doc_id, fn.qdl FROM dl
+  JOIN fn ON dl.doc_len >= fn.lo AND dl.doc_len < fn.hi
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(doc_len)::DOUBLE / count(*) AS avgdl FROM dl
+),
+q(token) AS (VALUES {qvals}),
+dfs AS (
+  SELECT token, count(*)::BIGINT AS df FROM tf
+  WHERE token IN (SELECT token FROM q) GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((s.n + 1.0) / (dfs.df + 0.5))
+             * (tf.tf * ({k1} + 1.0))
+               / (tf.tf + {k1} * (1.0 - {b} + {b} * qdl.qdl / s.avgdl))) AS raw
+  FROM tf
+  JOIN dfs USING (token)
+  JOIN qdl ON tf.doc_id = qdl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT doc_id::BIGINT AS doc_id, round(raw, 4) AS score
+FROM scored WHERE raw > 0
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def wordpiece_topk_sql(
+    query_tokens: list[str],
+    k: int,
+    vocab: "list[str]",
+    unk: str = "[unk]",
+    max_chars: int = 100,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """BM25 top-k oracle under the WordPiece analyzer
+    (:func:`bm25spark.analyze.make_wordpiece_analyzer`): the greedy
+    longest-match-first segmentation is re-implemented relationally —
+    a precomputed longest-piece table per (word, position) plus a
+    recursive path walk — so DuckDB reproduces the Spark pipeline's
+    subword tokens, [unk] collapses included, bit-for-bit.
+    ``query_tokens`` are the already-segmented query pieces (run the
+    same analyzer Python-side at SQL-generation time)."""
+    initial = sorted({p.lower() for p in vocab if p and not p.startswith("##")})
+    cont = sorted({p[2:].lower() for p in vocab if len(p) > 2 and p.startswith("##")})
+    vi = ",".join(f"({_q(p)})" for p in initial)
+    # a continuation vocab can be empty; VALUES needs >=1 row, so fall
+    # back to a piece no [a-z0-9] word can ever contain
+    vc = ",".join(f"({_q(p)})" for p in cont) or "('~never~')"
+    qvals = ",".join(f"({_q(t)})" for t in sorted(set(query_tokens)))
+    return f"""
+WITH RECURSIVE
+wx AS (
+  SELECT {id_col} AS doc_id, w
+  FROM (
+    SELECT {id_col},
+           unnest(string_split_regex(lower({text_col}), '[^a-z0-9]+')) AS w
+    FROM {table} WHERE {text_col} IS NOT NULL
+  ) WHERE w <> ''
+),
+dw AS (SELECT DISTINCT w FROM wx),
+vi(piece) AS (VALUES {vi}),
+vc(piece) AS (VALUES {vc}),
+pos AS (
+  SELECT w, unnest(range(1, length(w)::BIGINT + 1))::INT AS p FROM dw
+),
+cand AS (
+  SELECT pos.w, pos.p, v.piece
+  FROM pos JOIN vi v
+    ON pos.p = 1 AND substr(pos.w, 1, length(v.piece)) = v.piece
+  UNION ALL
+  SELECT pos.w, pos.p, v.piece
+  FROM pos JOIN vc v
+    ON pos.p > 1 AND substr(pos.w, pos.p, length(v.piece)) = v.piece
+),
+best AS (
+  SELECT w, p, max_by(piece, length(piece)) AS piece,
+         max(length(piece))::INT AS plen
+  FROM cand GROUP BY w, p
+),
+seg(w, tok, np) AS (
+  SELECT b.w, b.piece, 1 + b.plen FROM best b WHERE b.p = 1
+  UNION ALL
+  SELECT b.w, '##' || b.piece, s.np + b.plen
+  FROM seg s JOIN best b ON b.w = s.w AND b.p = s.np
+),
+okw AS (
+  SELECT d.w FROM dw d
+  JOIN (SELECT w, max(np) AS maxnp FROM seg GROUP BY w) m ON d.w = m.w
+  WHERE m.maxnp = length(d.w) + 1 AND length(d.w) <= {max_chars}
+),
+wtok AS (
+  SELECT s.w, s.tok FROM seg s WHERE s.w IN (SELECT w FROM okw)
+  UNION ALL
+  SELECT d.w, {_q(unk)} AS tok FROM dw d
+  WHERE d.w NOT IN (SELECT w FROM okw)
+),
+tok AS (
+  SELECT wx.doc_id, wtok.tok AS token FROM wx JOIN wtok ON wx.w = wtok.w
+),
+tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+),
+dl AS (
+  SELECT d.{id_col} AS doc_id, coalesce(sum(tf.tf), 0)::BIGINT AS doc_len
+  FROM {table} d LEFT JOIN tf ON d.{id_col} = tf.doc_id
+  WHERE d.{text_col} IS NOT NULL GROUP BY 1
+),
+{_scoring_tail_sql(qvals, k, k1, b)}
+"""
+
+
+def custom_vocab_topk_sql(
+    raw_query_tokens: list[str],
+    k: int,
+    top_n: int,
+    min_df: int = 1,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """BM25 top-k oracle under the corpus-trained vocabulary analyzer
+    (:func:`bm25spark.api.train_corpus_vocab` +
+    :func:`bm25spark.analyze.make_vocab_analyzer`): the *training*
+    itself is part of the oracle — the top-``top_n`` tokens by
+    (df DESC, token ASC) are selected in SQL, out-of-vocabulary
+    corpus AND query tokens drop out, and doc lengths shrink to the
+    kept tokens, exactly as the Spark pipeline behaves.
+    ``raw_query_tokens`` are the UNfiltered simple-analyzer query
+    tokens (the vocabulary filter is applied in SQL)."""
+    qvals = ",".join(f"({_q(t)})" for t in sorted(set(raw_query_tokens)))
+    return f"""
+WITH {_tok_cte(table, id_col, text_col)},
+vocabt AS (
+  SELECT token FROM tf GROUP BY token
+  HAVING count(*) >= {min_df}
+  ORDER BY count(*) DESC, token ASC LIMIT {top_n}
+),
+tfv AS (
+  SELECT * FROM tf WHERE token IN (SELECT token FROM vocabt)
+),
+dlv AS (
+  SELECT d.{id_col} AS doc_id, coalesce(sum(tfv.tf), 0)::BIGINT AS doc_len
+  FROM {table} d LEFT JOIN tfv ON d.{id_col} = tfv.doc_id
+  WHERE d.{text_col} IS NOT NULL GROUP BY 1
+),
+fn(lo, hi, qdl) AS (VALUES {fieldnorm_values_sql()}),
+qdl AS (
+  SELECT dlv.doc_id, fn.qdl FROM dlv
+  JOIN fn ON dlv.doc_len >= fn.lo AND dlv.doc_len < fn.hi
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(doc_len)::DOUBLE / count(*) AS avgdl
+  FROM dlv
+),
+q0(token) AS (VALUES {qvals}),
+q AS (SELECT token FROM q0 WHERE token IN (SELECT token FROM vocabt)),
+dfs AS (
+  SELECT token, count(*)::BIGINT AS df FROM tfv
+  WHERE token IN (SELECT token FROM q) GROUP BY 1
+),
+scored AS (
+  SELECT tfv.doc_id,
+         sum(ln((s.n + 1.0) / (dfs.df + 0.5))
+             * (tfv.tf * ({k1} + 1.0))
+               / (tfv.tf + {k1} * (1.0 - {b} + {b} * qdl.qdl / s.avgdl))) AS raw
+  FROM tfv
+  JOIN dfs USING (token)
+  JOIN qdl ON tfv.doc_id = qdl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT doc_id::BIGINT AS doc_id, round(raw, 4) AS score
+FROM scored WHERE raw > 0
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 def tokenize_mappings_sql(
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
 ) -> str:

@@ -502,3 +502,110 @@ def test_analyzer_fingerprint_guard(spark, tmp_path):
     make_dict_analyzer(list(reversed(words_v1)) + ["分散"], name="fp_dict")
     idx = Bm25Index(spark, d)
     assert [i for i, _ in idx.search("全文検索", 10)] == [0]
+
+
+class TestWordpieceAndVocabAnalyzers:
+    """BERT-style WordPiece + corpus-trained vocabulary analyzers —
+    the two pg_tokenizer surfaces (bert preset, custom model;
+    reference README.md:49-56,143-166) previously missing."""
+
+    def test_wordpiece_canonical_segmentation(self):
+        from bm25spark.analyze import make_wordpiece_analyzer
+
+        wp = make_wordpiece_analyzer(["un", "##aff", "##able", "aff"])
+        assert wp("unaffable") == ["un", "##aff", "##able"]
+        # greedy longest-match-first: initial 'aff' wins over 'a...'
+        assert wp("affable") == ["aff", "##able"]
+        # no continuation for the tail -> whole word is [unk]
+        assert wp("unaffordable") == ["[unk]"]
+        # pre-tokenization is the simple analyzer's split
+        assert wp("un-aff") == ["un", "aff"]
+
+    def test_wordpiece_unk_and_max_chars(self):
+        import pytest as _pytest
+
+        from bm25spark.analyze import make_wordpiece_analyzer
+
+        chars = "abcdefghijklmnopqrstuvwxyz0123456789"
+        wp = make_wordpiece_analyzer(
+            list(chars) + ["##" + c for c in chars], max_chars=5
+        )
+        assert wp("abcde") == list("abcde")[:1] + ["##" + c for c in "bcde"]
+        assert wp("abcdef") == ["[unk]"]  # over max_chars
+        with _pytest.raises(ValueError, match="word-initial"):
+            make_wordpiece_analyzer(["##only", "##cont"])
+
+    def test_wordpiece_matches_oracle_sql(self, spark):
+        """Spark exact_topk under the gate vocabulary == the
+        recursive-CTE DuckDB oracle, on a corpus with multi-piece,
+        single-char, and [unk] words."""
+        import duckdb
+
+        from bm25spark.analyze import make_wordpiece_analyzer
+        from bm25spark.config import Bm25Config
+        from bm25spark.fixtures import WORDPIECE_GATE_VOCAB
+        from bm25spark.oracle import wordpiece_topk_sql
+        from bm25spark.query import exact_topk
+
+        rows = [
+            (1, "merge the window batch"),
+            (2, "quartz zebra merge"),  # q/z words -> [unk]
+            (3, "window window streaming"),
+            (4, "spark scanner merged windows"),
+            (5, "plain words here"),
+        ]
+        wp = make_wordpiece_analyzer(WORDPIECE_GATE_VOCAB, name="wp_test")
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        got = [
+            (r.doc_id, r.score)
+            for r in exact_topk(
+                spark, df, "text", "doc_id", "merge quartz window", 5,
+                cfg=Bm25Config(analyzer="wp_test"),
+            ).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM (VALUES "
+            + ",".join(f"({i}, '{t}')" for i, t in rows)
+            + ") AS t(doc_id, text)"
+        )
+        want = [
+            (r[0], r[1])
+            for r in con.execute(
+                wordpiece_topk_sql(
+                    wp("merge quartz window"), 5, WORDPIECE_GATE_VOCAB
+                )
+            ).fetchall()
+        ]
+        assert got == want and len(got) > 0
+
+    def test_vocab_analyzer_filters_and_train_is_deterministic(self, spark):
+        from bm25spark.analyze import make_vocab_analyzer
+        from bm25spark.api import train_corpus_vocab
+
+        rows = [(i, "alpha beta gamma" if i % 2 else "alpha delta") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        v1 = train_corpus_vocab(df, top_n=2)
+        v2 = train_corpus_vocab(df.repartition(7), top_n=2)
+        # df(alpha)=10 > df(beta)=df(gamma)=5 = df(delta)=5; tie-break
+        # is token ASC -> beta
+        assert v1 == v2 == ["alpha", "beta"]
+        va = make_vocab_analyzer(v1)
+        assert va("delta alpha beta theta") == ["alpha", "beta"]
+
+    def test_analyzer_fingerprints_differ_by_content(self):
+        from bm25spark.analyze import (
+            ANALYZER_FINGERPRINTS,
+            make_vocab_analyzer,
+            make_wordpiece_analyzer,
+        )
+
+        make_wordpiece_analyzer(["ab", "##cd"], name="fp_wp")
+        fp1 = ANALYZER_FINGERPRINTS["fp_wp"]
+        make_wordpiece_analyzer(["ab", "##ce"], name="fp_wp")
+        assert ANALYZER_FINGERPRINTS["fp_wp"] != fp1
+        make_vocab_analyzer(["x"], name="fp_v")
+        fpv = ANALYZER_FINGERPRINTS["fp_v"]
+        make_vocab_analyzer(["y"], name="fp_v")
+        assert ANALYZER_FINGERPRINTS["fp_v"] != fpv
+        assert fp1.startswith("wordpiece:") and fpv.startswith("vocab:")
