@@ -35,6 +35,73 @@ def load_table(spark: SparkSession, source: str, fmt: str = "auto") -> DataFrame
     return spark.read.format(fmt).load(source)
 
 
+_BUILTIN_ANALYZERS = ("simple", "code", "english", "unicode")
+
+
+def _read_vocab_file(path: str) -> list[str]:
+    """One vocabulary entry per line (URI-capable via the fs control
+    plane). No comment syntax: '##'-prefixed lines are WordPiece
+    continuation pieces, not comments. Blank lines dropped."""
+    from . import fs as fsio
+
+    return [ln.strip() for ln in fsio.read_text(path).splitlines() if ln.strip()]
+
+
+def _vocab_analyzer_args(p) -> None:
+    p.add_argument(
+        "--wordpiece-vocab", default=None,
+        help="file of WordPiece pieces ('##'-prefixed = continuation); "
+        "registers a BERT-style subword analyzer",
+    )
+    p.add_argument(
+        "--vocab", default=None,
+        help="file of whole tokens; registers a vocabulary-filter "
+        "analyzer (custom-model flow)",
+    )
+    p.add_argument(
+        "--vocab-base", default="simple",
+        help="base analyzer the --vocab filter applies to",
+    )
+
+
+def _register_vocab_analyzer(args, name: str) -> None:
+    """Register the analyzer a --wordpiece-vocab/--vocab flag
+    describes under ``name`` (the build's --analyzer, or the opened
+    index's recorded analyzer) — the fingerprint check at index open
+    then verifies the file matches the one the index was built with."""
+    wp = getattr(args, "wordpiece_vocab", None)
+    vf = getattr(args, "vocab", None)
+    if wp and vf:
+        raise SystemExit("--wordpiece-vocab and --vocab are mutually exclusive")
+    if not wp and not vf:
+        return
+    if name in _BUILTIN_ANALYZERS:
+        raise SystemExit(
+            f"refusing to shadow built-in analyzer {name!r}; pass a "
+            "custom --analyzer name at build time"
+        )
+    if wp:
+        from .analyze import make_wordpiece_analyzer
+
+        make_wordpiece_analyzer(_read_vocab_file(wp), name=name)
+    else:
+        from .analyze import make_vocab_analyzer
+
+        make_vocab_analyzer(
+            _read_vocab_file(vf), base=args.vocab_base, name=name
+        )
+
+
+def _index_analyzer_name(index_dir: str) -> str:
+    import json as _json
+
+    from . import fs as fsio
+
+    return _json.loads(
+        fsio.read_text(fsio.join(index_dir, "meta.json"))
+    ).get("analyzer", "code")
+
+
 def main(argv: list[str] | None = None) -> None:
     from .build import build_index
     from .config import Bm25Config, derive_seed
@@ -57,12 +124,25 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--shard-size", type=int, default=1 << 20)
     b.add_argument("--seed-name", default="bm25spark")
     b.add_argument("--resume", action="store_true")
+    _vocab_analyzer_args(b)
+    b.add_argument(
+        "--train-vocab", type=int, default=None, metavar="N",
+        help="train a top-N df vocabulary from the input corpus and "
+        "build with it (custom-model flow); writes the vocabulary to "
+        "--vocab-out for reopening",
+    )
+    b.add_argument(
+        "--vocab-out", default=None,
+        help="where --train-vocab writes the trained vocabulary "
+        "(default <index-dir>/vocab.txt)",
+    )
 
     for name in ("search", "search-dist"):
         s = sub.add_parser(name)
         s.add_argument("--index-dir", required=True)
         s.add_argument("--query", required=True)
         s.add_argument("-k", type=int, default=100)
+        _vocab_analyzer_args(s)
         if name == "search-dist":
             s.add_argument(
                 "--deleted-aware", action="store_true",
@@ -82,10 +162,12 @@ def main(argv: list[str] | None = None) -> None:
         "--deleted-aware", action="store_true",
         help="exclude tombstoned docs (P4 mask; see 'delete')",
     )
+    _vocab_analyzer_args(sb)
 
     v = sub.add_parser("vacuum")
     v.add_argument("--index-dir", required=True)
     v.add_argument("--text-col", required=True)
+    _vocab_analyzer_args(v)
 
     g = sub.add_parser("gc", help="reclaim the retired index generation")
     g.add_argument("--index-dir", required=True)
@@ -96,6 +178,7 @@ def main(argv: list[str] | None = None) -> None:
     ins.add_argument("--input", required=True)
     ins.add_argument("--format", default="auto")
     ins.add_argument("--text-col", required=True)
+    _vocab_analyzer_args(ins)
 
     de = sub.add_parser("delete")
     de.add_argument("--index-dir", required=True)
@@ -107,6 +190,7 @@ def main(argv: list[str] | None = None) -> None:
     sd.add_argument("--query", required=True)
     sd.add_argument("--text-col", required=True)
     sd.add_argument("-k", type=int, default=100)
+    _vocab_analyzer_args(sd)
 
     sdb = sub.add_parser(
         "search-delta-batch",
@@ -120,6 +204,7 @@ def main(argv: list[str] | None = None) -> None:
     )
     sdb.add_argument("--text-col", required=True)
     sdb.add_argument("-k", type=int, default=100)
+    _vocab_analyzer_args(sdb)
 
     ln = sub.add_parser("lineage")
     ln.add_argument("--index-dir", required=True)
@@ -127,7 +212,36 @@ def main(argv: list[str] | None = None) -> None:
     args = ap.parse_args(argv)
     spark = SparkSession.builder.appName(f"bm25spark-{args.cmd}").getOrCreate()
 
+    # index-opening commands: a vocabulary flag re-registers the
+    # analyzer the index was built with (fingerprint-checked at open)
+    if args.cmd != "build" and (
+        getattr(args, "wordpiece_vocab", None) or getattr(args, "vocab", None)
+    ):
+        _register_vocab_analyzer(args, _index_analyzer_name(args.index_dir))
+
     if args.cmd == "build":
+        df = load_table(spark, args.input, args.format)
+        vocab = None
+        if args.train_vocab is not None:
+            if args.wordpiece_vocab or args.vocab:
+                raise SystemExit(
+                    "--train-vocab is exclusive with "
+                    "--wordpiece-vocab/--vocab"
+                )
+            if args.analyzer in _BUILTIN_ANALYZERS:
+                raise SystemExit(
+                    "pass a custom --analyzer name with --train-vocab"
+                )
+            from .analyze import make_vocab_analyzer
+            from .api import train_corpus_vocab
+
+            vocab = train_corpus_vocab(
+                df, args.text_col, args.order_cols.split(",")[0],
+                top_n=args.train_vocab,
+            )
+            make_vocab_analyzer(vocab, base=args.vocab_base, name=args.analyzer)
+        else:
+            _register_vocab_analyzer(args, args.analyzer)
         cfg = Bm25Config(
             k1=args.k1,
             b=args.b,
@@ -135,7 +249,6 @@ def main(argv: list[str] | None = None) -> None:
             analyzer=args.analyzer,
             shard_size=args.shard_size,
         )
-        df = load_table(spark, args.input, args.format)
         build_index(
             spark,
             df,
@@ -145,8 +258,16 @@ def main(argv: list[str] | None = None) -> None:
             cfg=cfg,
             resume=args.resume,
         )
+        built = {"built": args.index_dir}
+        if vocab is not None:
+            from . import fs as fsio
+
+            out_path = args.vocab_out or fsio.join(args.index_dir, "vocab.txt")
+            fsio.write_text_atomic(out_path, "\n".join(vocab) + "\n")
+            built["vocab"] = out_path
         idx = Bm25Index(spark, args.index_dir)
-        print(json.dumps({"built": args.index_dir, "n_docs": idx.n_docs}))
+        built["n_docs"] = idx.n_docs
+        print(json.dumps(built))
     elif args.cmd == "search":
         idx = Bm25Index(spark, args.index_dir)
         for row in idx.search_df(args.query, args.k).collect():

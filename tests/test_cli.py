@@ -158,3 +158,66 @@ def test_search_delta_batch_cli(spark, corpus_path, tmp_path, capsys):
             json.loads(x) for x in capsys.readouterr().out.strip().splitlines()
         ]
         assert by_q.get(qid, []) == single, qid
+
+
+def test_vocab_analyzer_cli_lifecycle(spark, corpus_path, tmp_path, capsys):
+    """--train-vocab build writes the trained vocabulary next to the
+    index; reopening requires the file (via --vocab) and a different
+    file fails the fingerprint check; --wordpiece-vocab registers a
+    subword analyzer end to end."""
+    d = str(tmp_path / "idx_cv")
+    cli.main([
+        "build", "--input", corpus_path, "--format", "parquet",
+        "--text-col", "content", "--order-cols", "repo,path,commit",
+        "--index-dir", d, "--analyzer", "cv_test", "--train-vocab", "5",
+        "--shard-size", "16384",
+    ])
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["vocab"].endswith("vocab.txt")
+    vocab = open(built["vocab"]).read().split()
+    assert len(vocab) == 5
+
+    cli.main([
+        "search", "--index-dir", d, "--query", "parse merge", "-k", "3",
+        "--vocab", built["vocab"],
+    ])
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 3
+
+    bad = str(tmp_path / "bad_vocab.txt")
+    open(bad, "w").write("different\nwords\n")
+    with pytest.raises(ValueError, match="fingerprint"):
+        cli.main([
+            "search", "--index-dir", d, "--query", "parse", "-k", "3",
+            "--vocab", bad,
+        ])
+
+    wpv = str(tmp_path / "wp_vocab.txt")
+    chars = "abcdefghijklmnopqrstuvwxyz0123456789"
+    with open(wpv, "w") as f:
+        f.write("merge\nparse\n")
+        for c in chars:
+            f.write(f"{c}\n##{c}\n")
+    d2 = str(tmp_path / "idx_wp")
+    cli.main([
+        "build", "--input", corpus_path, "--format", "parquet",
+        "--text-col", "content", "--order-cols", "repo,path,commit",
+        "--index-dir", d2, "--analyzer", "wp_cli", "--wordpiece-vocab", wpv,
+        "--shard-size", "16384",
+    ])
+    capsys.readouterr()
+    cli.main([
+        "search", "--index-dir", d2, "--query", "parse merge", "-k", "3",
+        "--wordpiece-vocab", wpv,
+    ])
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 3
+
+    # shadowing a built-in analyzer name is refused
+    with pytest.raises(SystemExit, match="shadow"):
+        cli.main([
+            "build", "--input", corpus_path, "--format", "parquet",
+            "--text-col", "content", "--order-cols", "repo,path,commit",
+            "--index-dir", str(tmp_path / "x"), "--analyzer", "simple",
+            "--wordpiece-vocab", wpv,
+        ])

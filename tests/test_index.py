@@ -609,3 +609,41 @@ class TestWordpieceAndVocabAnalyzers:
         make_vocab_analyzer(["y"], name="fp_v")
         assert ANALYZER_FINGERPRINTS["fp_v"] != fpv
         assert fp1.startswith("wordpiece:") and fpv.startswith("vocab:")
+
+    def test_wordpiece_indexed_vs_exact_rank_identical(self, spark, tmp_path):
+        """The subword analyzer through the REAL index path: build →
+        BMW search must be rank-identical to the exact Catalyst scorer
+        (the reference's own fuzz invariant), with [unk] terms
+        participating as first-class postings."""
+        from bm25spark.analyze import make_wordpiece_analyzer
+        from bm25spark.config import Bm25Config
+        from bm25spark.fixtures import WORDPIECE_GATE_VOCAB
+        from bm25spark.index import Bm25Index
+        from bm25spark.build import build_index
+        from bm25spark.query import exact_topk
+
+        make_wordpiece_analyzer(WORDPIECE_GATE_VOCAB, name="wp_idx")
+        rows = [
+            (0, "merge the window batch stream"),
+            (1, "quartz zebra merge quartz"),
+            (2, "window window streaming scanner"),
+            (3, "spark merged windows batches"),
+            (4, "plain words only here"),
+            (5, "zigzag quizzes everywhere"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        d = str(tmp_path / "idx_wp")
+        cfg = Bm25Config(analyzer="wp_idx", shard_size=128)
+        build_index(spark, df, d, "text", ["doc_id"], cfg=cfg)
+        idx = Bm25Index(spark, d)
+        for q in ("merge quartz window", "zebra stream", "spark batch"):
+            wand = idx.search_df(q, 10, round_score=None).collect()
+            exact = exact_topk(
+                spark, df, "text", "doc_id", q, 10, cfg=cfg, round_score=None
+            ).collect()
+            assert [(r.doc_id, round(r.score, 9)) for r in wand] == [
+                (r.doc_id, round(r.score, 9)) for r in exact
+            ], q
+        # [unk] behaves as a real term: q/z docs rank for any unk query
+        got = {i for i, _ in idx.search("quiz", 10)}
+        assert got == {1, 5}
