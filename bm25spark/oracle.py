@@ -295,16 +295,31 @@ def wordpiece_topk_sql(
     subword tokens, [unk] collapses included, bit-for-bit.
     ``query_tokens`` are the already-segmented query pieces (run the
     same analyzer Python-side at SQL-generation time)."""
+    qvals = ",".join(f"({_q(t)})" for t in sorted(set(query_tokens)))
+    return f"""
+WITH RECURSIVE
+{_wordpiece_tf_dl_cte(vocab, unk, max_chars, table, id_col, text_col)},
+{_scoring_tail_sql(qvals, k, k1, b)}
+"""
+
+
+def _wordpiece_tf_dl_cte(
+    vocab: "list[str]",
+    unk: str,
+    max_chars: int,
+    table: str,
+    id_col: str,
+    text_col: str,
+) -> str:
+    """The WordPiece tokenization pipeline as CTEs ending in the
+    standard ``tf``/``dl`` shape (requires WITH RECURSIVE)."""
     initial = sorted({p.lower() for p in vocab if p and not p.startswith("##")})
     cont = sorted({p[2:].lower() for p in vocab if len(p) > 2 and p.startswith("##")})
     vi = ",".join(f"({_q(p)})" for p in initial)
     # a continuation vocab can be empty; VALUES needs >=1 row, so fall
     # back to a piece no [a-z0-9] word can ever contain
     vc = ",".join(f"({_q(p)})" for p in cont) or "('~never~')"
-    qvals = ",".join(f"({_q(t)})" for t in sorted(set(query_tokens)))
-    return f"""
-WITH RECURSIVE
-wx AS (
+    return f"""wx AS (
   SELECT {id_col} AS doc_id, w
   FROM (
     SELECT {id_col},
@@ -359,8 +374,25 @@ dl AS (
   SELECT d.{id_col} AS doc_id, coalesce(sum(tf.tf), 0)::BIGINT AS doc_len
   FROM {table} d LEFT JOIN tf ON d.{id_col} = tf.doc_id
   WHERE d.{text_col} IS NOT NULL GROUP BY 1
-),
-{_scoring_tail_sql(qvals, k, k1, b)}
+)"""
+
+
+def wordpiece_tokens_sql(
+    vocab: "list[str]",
+    unk: str = "[unk]",
+    max_chars: int = 100,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """(doc_id, token, tf) under the WordPiece analyzer — the
+    tokenization pipeline alone, for differential testing against the
+    Python implementation."""
+    return f"""
+WITH RECURSIVE
+{_wordpiece_tf_dl_cte(vocab, unk, max_chars, table, id_col, text_col)}
+SELECT doc_id::BIGINT AS doc_id, token, tf FROM tf
+ORDER BY doc_id, token
 """
 
 

@@ -647,3 +647,53 @@ class TestWordpieceAndVocabAnalyzers:
         # [unk] behaves as a real term: q/z docs rank for any unk query
         got = {i for i, _ in idx.search("quiz", 10)}
         assert got == {1, 5}
+
+    def test_wordpiece_sql_differential_fuzz(self):
+        """Hypothesis: for random vocabularies and random corpora, the
+        recursive-CTE SQL segmentation produces the exact (doc, token,
+        tf) multiset the Python analyzer produces — including [unk]
+        collapse and greedy longest-match tie behavior."""
+        from collections import Counter
+
+        import duckdb
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from bm25spark.analyze import make_wordpiece_analyzer
+        from bm25spark.oracle import wordpiece_tokens_sql
+
+        piece = st.text(alphabet="abc", min_size=1, max_size=3)
+        vocab_s = st.tuples(
+            st.lists(piece, min_size=1, max_size=8),   # initial
+            st.lists(piece, min_size=0, max_size=8),   # continuation
+        )
+        word = st.text(alphabet="abcq", min_size=1, max_size=8)
+        corpus_s = st.lists(
+            st.lists(word, min_size=0, max_size=6), min_size=1, max_size=5
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(vocab_s, corpus_s)
+        def run(vparts, docs):
+            initial, cont = vparts
+            vocab = list(initial) + ["##" + p for p in cont]
+            wp = make_wordpiece_analyzer(vocab)
+            rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+            want = Counter()
+            for i, text in rows:
+                for tok in wp(text):
+                    want[(i, tok)] += 1
+            con = duckdb.connect()
+            con.execute(
+                "CREATE VIEW documents AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, '{t}')" for i, t in rows)
+                + ") AS t(doc_id, text)"
+            )
+            got = Counter()
+            for doc_id, tok, tf in con.execute(
+                wordpiece_tokens_sql(vocab)
+            ).fetchall():
+                got[(doc_id, tok)] = tf
+            assert got == want, (vocab, rows)
+
+        run()
