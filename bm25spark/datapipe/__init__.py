@@ -91,7 +91,22 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": lambda s, d: textstats.corpus_quality_filter(
             _docs(s, d)
         ),
+        # benchmark decontamination over a deterministic eval split
+        # (gate pins n=4 so both hit and clean docs occur at every SF;
+        # the API default is the published 13)
+        "text_decontaminate": lambda s, d: _decontam_entry(s, d),
     }
+
+
+def _decontam_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from . import decontam
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontam.decontaminate_ngrams(train, bench, n=4)
 
 
 def _ivf_oracle_sql(sf_dir: str | None = None) -> str:
@@ -125,7 +140,7 @@ def _ivf_oracle_sql(sf_dir: str | None = None) -> str:
 
 
 def oracle_registry() -> dict[str, str]:
-    from . import dedup, multimodal, similarity, textstats
+    from . import decontam, dedup, multimodal, similarity, textstats
 
     return {
         "audio_wav_features": multimodal.audio_wav_features_sql(),
@@ -165,4 +180,7 @@ def oracle_registry() -> dict[str, str]:
         "text_repetition": textstats.text_repetition_sql(),
         "text_ngram_repetition": textstats.text_ngram_repetition_sql(),
         "text_quality_filter": textstats.corpus_quality_filter_sql(),
+        "text_decontaminate": decontam.decontaminate_ngrams_sql(
+            n=4, bench_pred="doc_id % 97 = 0"
+        ),
     }

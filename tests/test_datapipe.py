@@ -991,3 +991,73 @@ class TestVideoReal:
         blob[i : i + 4] = b"xxxx"
         with _pytest.raises(ValueError, match="vids"):
             multimodal.decode_video(bytes(blob))
+
+
+class TestDecontaminate:
+    """Benchmark n-gram decontamination: DuckDB differential on the
+    real corpus split, closed-form semantics on a tiny corpus, and the
+    broadcast plan shape the 100-TB story depends on."""
+
+    def test_matches_duckdb_oracle(self, spark, docs):
+        from pyspark.sql import functions as F
+
+        from bm25spark.datapipe import decontam
+
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        train = docs.filter(F.col("doc_id") % 97 != 0)
+        assert_matches(
+            decontam.decontaminate_ngrams(train, bench, n=4),
+            decontam.decontaminate_ngrams_sql(n=4, bench_pred="doc_id % 97 = 0"),
+        )
+
+    def test_closed_form_semantics(self, spark):
+        from bm25spark.datapipe import decontam
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+        )
+        train = spark.createDataFrame(
+            [
+                # hit: contains 'quick brown fox' (case/punct-invariant)
+                (1, "He said: QUICK, brown fox! runs away"),
+                # two distinct hits: both benchmark trigrams appear
+                (2, "the quick brown fox jumps again the quick brown"),
+                # clean: right words, wrong order
+                (3, "fox brown quick the jumps"),
+                # too short for any trigram
+                (4, "quick brown"),
+                # NULL text: dropped entirely
+                (5, None),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in decontam.decontaminate_ngrams(train, bench, n=3).collect()
+        }
+        assert set(rows) == {1, 2, 3, 4}
+        assert rows[1]["contaminated"] and rows[1]["n_contaminated"] == 1
+        assert rows[1]["first_gram"] == "quick brown fox"
+        assert rows[2]["n_contaminated"] >= 2
+        assert not rows[3]["contaminated"] and rows[3]["first_gram"] is None
+        assert not rows[4]["contaminated"]
+        # repeated occurrences of ONE gram in a doc count once
+        assert rows[2]["first_gram"].startswith("brown fox") or rows[2][
+            "first_gram"
+        ].startswith("quick brown")
+
+    def test_plan_broadcasts_benchmark_grams(self, spark, docs):
+        from pyspark.sql import functions as F
+
+        from bm25spark.datapipe import decontam
+
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        train = docs.filter(F.col("doc_id") % 97 != 0)
+        plan = (
+            decontam.decontaminate_ngrams(train, bench, n=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
