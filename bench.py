@@ -266,6 +266,47 @@ def main() -> None:
             extras[f"{tag}_prune_decoded_frac_batch"] = round(
                 stb["bytes_kept"] / stb["bytes_total"], 3
             )
+        # DYNAMIC skipping control: the reference's own scheme is
+        # block-max WAND with runtime θ (search.rs:243-279) — run our
+        # faithful bmw_topk on the same queries and count which blocks
+        # its cursors actually decompress (a _Cursor decodes only on
+        # _fill; seek_block skips without touching bytes). Where the
+        # static θ-seeded pre-cut reports frac 1.0 (uniform-ub
+        # corpora), this shows whether DYNAMIC pruning would have done
+        # better — i.e. whether the boundary is the scheme or the
+        # corpus.
+        from bm25spark.wand import bmw_topk
+
+        for pq, q in (("hot", "the"), ("multi", "merge spark window")):
+            tps = bidx.term_postings(q)
+            touched = [0]
+            total = 0
+            for t in tps:
+                t.decoded = None
+                total += sum(
+                    len(a) + len(bb)
+                    for a, bb in zip(t.ids_bytes, t.tfs_bytes)
+                )
+
+                def _wrap(t=t, seen=set(), orig=None):
+                    orig = t.decode
+
+                    def f(i, t=t, seen=seen, orig=orig):
+                        if i not in seen:
+                            seen.add(i)
+                            touched[0] += len(t.ids_bytes[i]) + len(
+                                t.tfs_bytes[i]
+                            )
+                        return orig(i)
+
+                    t.decode = f
+
+                _wrap()
+            bmw_topk(tps, fns_arr, 138)
+            if total:
+                extras[f"{tag}_bmw_decoded_frac_{pq}"] = round(
+                    touched[0] / total, 3
+                )
 
     sf1_mult = int(os.environ.get("BM25SPARK_BENCH_SF1_MULT", "10"))
     if sf1_mult > 1:
