@@ -362,13 +362,19 @@ def make_vocab_analyzer(
     vocabulary with :func:`bm25spark.api.train_corpus_vocab`.
 
     The base analyzer is captured at construction time, and the
-    fingerprint covers base name + vocabulary content."""
+    fingerprint covers base name + the base's own BEHAVIOR fingerprint
+    (when it has one — so a pluggable base rebuilt from a different
+    wordlist under the same name changes this fingerprint too) +
+    vocabulary content."""
     base_fn = get_analyzer(base)
     keep = frozenset(t for t in vocab if t)
     if not keep:
         raise ValueError("vocab analyzer needs a non-empty vocabulary")
+    base_fp = ANALYZER_FINGERPRINTS.get(base, "")
     fingerprint = "vocab:" + hashlib.sha256(
-        (base + "\n" + "\n".join(sorted(keep))).encode("utf-8")
+        (base + "\n" + base_fp + "\n" + "\n".join(sorted(keep))).encode(
+            "utf-8"
+        )
     ).hexdigest()[:32]
 
     def analyze(text: str) -> list[str]:

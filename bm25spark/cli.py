@@ -184,6 +184,7 @@ def main(argv: list[str] | None = None) -> None:
     de.add_argument("--index-dir", required=True)
     de.add_argument("--input", required=True, help="table of payload keys")
     de.add_argument("--format", default="auto")
+    _vocab_analyzer_args(de)
 
     sd = sub.add_parser("search-delta")
     sd.add_argument("--index-dir", required=True)
@@ -208,6 +209,7 @@ def main(argv: list[str] | None = None) -> None:
 
     ln = sub.add_parser("lineage")
     ln.add_argument("--index-dir", required=True)
+    _vocab_analyzer_args(ln)
 
     args = ap.parse_args(argv)
     spark = SparkSession.builder.appName(f"bm25spark-{args.cmd}").getOrCreate()
@@ -232,12 +234,28 @@ def main(argv: list[str] | None = None) -> None:
                 raise SystemExit(
                     "pass a custom --analyzer name with --train-vocab"
                 )
+            from pyspark.sql import functions as F
+
             from .analyze import make_vocab_analyzer
             from .api import train_corpus_vocab
 
+            # document frequency must count DOCUMENTS: with a
+            # composite sort key, the first column alone is not a
+            # per-row id (many docs per repo), so train on the full
+            # key tuple joined into one distinct-per-doc string
+            id_cols = args.order_cols.split(",")
+            if len(id_cols) == 1:
+                tdf, train_id = df, id_cols[0]
+            else:
+                train_id = "_vocab_doc_key"
+                tdf = df.withColumn(
+                    train_id,
+                    F.concat_ws(
+                        "\x1f", *[F.col(c).cast("string") for c in id_cols]
+                    ),
+                )
             vocab = train_corpus_vocab(
-                df, args.text_col, args.order_cols.split(",")[0],
-                top_n=args.train_vocab,
+                tdf, args.text_col, train_id, top_n=args.train_vocab,
             )
             make_vocab_analyzer(vocab, base=args.vocab_base, name=args.analyzer)
         else:

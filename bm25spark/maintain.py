@@ -282,14 +282,24 @@ class _MutationLock:
             os.rename(self.path, priv)
         except FileNotFoundError:
             return False
+        # the unlinks are guarded: once the rename freed self.path, a
+        # waiter can acquire and its gc litter sweep may have removed
+        # our .rel file before we get to it — a missing priv at this
+        # point means released-and-swept, not an error
         if self._read_token(priv) == self.token:
-            os.unlink(priv)
+            try:
+                os.unlink(priv)
+            except FileNotFoundError:
+                pass
         else:
             try:
                 os.link(priv, self.path)
             except OSError:
                 pass
-            os.unlink(priv)
+            try:
+                os.unlink(priv)
+            except FileNotFoundError:
+                pass
         return False
 
 
@@ -730,7 +740,10 @@ def gc_index(
     try:
         # sweep stale-lock litter from crashed steals (a successful
         # steal unlinks its rename-aside file itself; a waiter that
-        # died between rename and unlink leaves one behind)
+        # died between rename and unlink leaves one behind). Only
+        # age-qualified files are touched: a LIVE release is mid-flight
+        # between its rename-aside and unlink for milliseconds, and
+        # sweeping its .rel file would race the compare-and-unlink
         if fsio.is_local(index_dir):
             import glob as _glob
 
@@ -739,7 +752,8 @@ def gc_index(
                 litter = _glob.glob(os.path.join(root, pat))
                 for f in litter:
                     try:
-                        os.unlink(f)
+                        if _time.time() - os.path.getmtime(f) > 60.0:
+                            os.unlink(f)
                     except OSError:
                         pass
         mp = fsio.join(index_dir, "meta.json")

@@ -313,8 +313,11 @@ def _wordpiece_tf_dl_cte(
 ) -> str:
     """The WordPiece tokenization pipeline as CTEs ending in the
     standard ``tf``/``dl`` shape (requires WITH RECURSIVE)."""
-    initial = sorted({p.lower() for p in vocab if p and not p.startswith("##")})
-    cont = sorted({p[2:].lower() for p in vocab if len(p) > 2 and p.startswith("##")})
+    # mirror make_wordpiece_analyzer's normalization exactly:
+    # strip + lower BEFORE the ##-prefix classification
+    norm = [q for q in (p.strip().lower() for p in vocab) if q]
+    initial = sorted({q for q in norm if not q.startswith("##")})
+    cont = sorted({q[2:] for q in norm if q.startswith("##") and len(q) > 2})
     vi = ",".join(f"({_q(p)})" for p in initial)
     # a continuation vocab can be empty; VALUES needs >=1 row, so fall
     # back to a piece no [a-z0-9] word can ever contain
@@ -417,50 +420,26 @@ def custom_vocab_topk_sql(
     ``raw_query_tokens`` are the UNfiltered simple-analyzer query
     tokens (the vocabulary filter is applied in SQL)."""
     qvals = ",".join(f"({_q(t)})" for t in sorted(set(raw_query_tokens)))
+    # the shared scoring tail needs no explicit query-vocab filter: an
+    # out-of-vocabulary query token has no rows in the filtered ``tf``,
+    # so its ``dfs`` entry is empty and it contributes nothing —
+    # identical to filtering q through vocabt
     return f"""
-WITH {_tok_cte(table, id_col, text_col)},
+WITH tfraw AS (
+  SELECT * FROM ( WITH {_tok_cte(table, id_col, text_col)} SELECT * FROM tf )
+),
 vocabt AS (
-  SELECT token FROM tf GROUP BY token
+  SELECT token FROM tfraw GROUP BY token
   HAVING count(*) >= {min_df}
   ORDER BY count(*) DESC, token ASC LIMIT {top_n}
 ),
-tfv AS (
-  SELECT * FROM tf WHERE token IN (SELECT token FROM vocabt)
-),
-dlv AS (
-  SELECT d.{id_col} AS doc_id, coalesce(sum(tfv.tf), 0)::BIGINT AS doc_len
-  FROM {table} d LEFT JOIN tfv ON d.{id_col} = tfv.doc_id
+tf AS (SELECT * FROM tfraw WHERE token IN (SELECT token FROM vocabt)),
+dl AS (
+  SELECT d.{id_col} AS doc_id, coalesce(sum(tf.tf), 0)::BIGINT AS doc_len
+  FROM {table} d LEFT JOIN tf ON d.{id_col} = tf.doc_id
   WHERE d.{text_col} IS NOT NULL GROUP BY 1
 ),
-fn(lo, hi, qdl) AS (VALUES {fieldnorm_values_sql()}),
-qdl AS (
-  SELECT dlv.doc_id, fn.qdl FROM dlv
-  JOIN fn ON dlv.doc_len >= fn.lo AND dlv.doc_len < fn.hi
-),
-stats AS (
-  SELECT count(*)::DOUBLE AS n, sum(doc_len)::DOUBLE / count(*) AS avgdl
-  FROM dlv
-),
-q0(token) AS (VALUES {qvals}),
-q AS (SELECT token FROM q0 WHERE token IN (SELECT token FROM vocabt)),
-dfs AS (
-  SELECT token, count(*)::BIGINT AS df FROM tfv
-  WHERE token IN (SELECT token FROM q) GROUP BY 1
-),
-scored AS (
-  SELECT tfv.doc_id,
-         sum(ln((s.n + 1.0) / (dfs.df + 0.5))
-             * (tfv.tf * ({k1} + 1.0))
-               / (tfv.tf + {k1} * (1.0 - {b} + {b} * qdl.qdl / s.avgdl))) AS raw
-  FROM tfv
-  JOIN dfs USING (token)
-  JOIN qdl ON tfv.doc_id = qdl.doc_id
-  CROSS JOIN stats s
-  GROUP BY 1
-)
-SELECT doc_id::BIGINT AS doc_id, round(raw, 4) AS score
-FROM scored WHERE raw > 0
-ORDER BY score DESC, doc_id LIMIT {k}
+{_scoring_tail_sql(qvals, k, k1, b)}
 """
 
 

@@ -176,6 +176,10 @@ def test_vocab_analyzer_cli_lifecycle(spark, corpus_path, tmp_path, capsys):
     assert built["vocab"].endswith("vocab.txt")
     vocab = open(built["vocab"]).read().split()
     assert len(vocab) == 5
+    # df must count DOCUMENTS (all five appear in every one of the 120
+    # docs), not first-order-col groups — per-repo counting would tie
+    # the digit tokens at the same df and rank them first
+    assert vocab == ["def", "index", "merge", "parse", "return"]
 
     cli.main([
         "search", "--index-dir", d, "--query", "parse merge", "-k", "3",
@@ -183,6 +187,23 @@ def test_vocab_analyzer_cli_lifecycle(spark, corpus_path, tmp_path, capsys):
     ])
     lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert len(lines) == 3
+
+    # delete and lineage open the index too — the vocabulary flag must
+    # be available there (review finding: a vocab-analyzer index was
+    # un-deletable from the CLI)
+    keys = str(tmp_path / "del_keys.parquet")
+    spark.read.parquet(corpus_path).select(
+        "repo", "path", "commit"
+    ).limit(1).write.parquet(keys)
+    cli.main([
+        "delete", "--index-dir", d, "--input", keys, "--format", "parquet",
+        "--vocab", built["vocab"],
+    ])
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["deleted_from"] == d
+    cli.main(["lineage", "--index-dir", d, "--vocab", built["vocab"]])
+    capsys.readouterr()
 
     bad = str(tmp_path / "bad_vocab.txt")
     open(bad, "w").write("different\nwords\n")

@@ -504,6 +504,26 @@ def test_analyzer_fingerprint_guard(spark, tmp_path):
     assert [i for i, _ in idx.search("全文検索", 10)] == [0]
 
 
+def test_vocab_fingerprint_chains_base_behavior():
+    """A vocab analyzer built over a PLUGGABLE base must change its
+    fingerprint when the base's wordlist changes, even under the same
+    base name — hashing only the base NAME would silently pass the
+    guard (review finding)."""
+    from bm25spark.analyze import (
+        ANALYZER_FINGERPRINTS,
+        make_dict_analyzer,
+        make_vocab_analyzer,
+    )
+
+    make_dict_analyzer(["全文検索", "分散"], name="fpv_base")
+    make_vocab_analyzer(["全文検索"], base="fpv_base", name="fpv_top")
+    fp1 = ANALYZER_FINGERPRINTS["fpv_top"]
+    # same base NAME, different wordlist -> derived fingerprint moves
+    make_dict_analyzer(["違う", "辞書"], name="fpv_base")
+    make_vocab_analyzer(["全文検索"], base="fpv_base", name="fpv_top")
+    assert ANALYZER_FINGERPRINTS["fpv_top"] != fp1
+
+
 class TestWordpieceAndVocabAnalyzers:
     """BERT-style WordPiece + corpus-trained vocabulary analyzers —
     the two pg_tokenizer surfaces (bert preset, custom model;

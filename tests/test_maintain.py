@@ -915,3 +915,50 @@ class TestLockHardening:
         assert gc_index(d, grace_sec=0) is True
         ent3 = _retired_entries(json.loads(fsio.read_text(mp)))
         assert "oldgen" not in ent3 and "evil/../escape" in ent3
+
+
+class TestLockLitterRaces:
+    """The gc litter sweep must never race a live release (review
+    finding): fresh .rel/.stale files are age-gated, and __exit__
+    survives a racer deleting its rename-aside file mid-release."""
+
+    def test_gc_sweep_is_age_gated(self, tmp_path):
+        import json as _json
+        import os as _os
+        import time as _time
+
+        from bm25spark.maintain import gc_index
+
+        d = str(tmp_path)
+        with open(_os.path.join(d, "meta.json"), "w") as f:
+            _json.dump({}, f)
+        fresh = _os.path.join(d, ".mutlock.rel.111")
+        aged = _os.path.join(d, ".mutlock.stale.222")
+        for p in (fresh, aged):
+            with open(p, "w") as f:
+                f.write("tok")
+        old = _time.time() - 120.0
+        _os.utime(aged, (old, old))
+        gc_index(d)
+        assert _os.path.exists(fresh)       # live release in flight
+        assert not _os.path.exists(aged)    # crashed-steal litter
+
+    def test_release_survives_concurrent_sweep(self, tmp_path):
+        import os as _os
+
+        from bm25spark.maintain import _MutationLock
+
+        d = str(tmp_path)
+        a = _MutationLock(d)
+        a.__enter__()
+        orig = a._read_token
+
+        def read_and_sweep(path):
+            tok = orig(path)
+            if ".rel." in path and _os.path.exists(path):
+                _os.unlink(path)  # a gc sweep wins the race
+            return tok
+
+        a._read_token = read_and_sweep
+        a.__exit__(None, None, None)  # must not raise
+        assert not _os.path.exists(a.path)
