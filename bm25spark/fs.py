@@ -121,7 +121,17 @@ def write_text_atomic(path: str, text: str) -> None:
     """Publish a small control file atomically (see module docstring
     for the per-backend mechanism). The temp name is unique per
     writer (pid + counter), so two concurrent publishers can never
-    interleave into one torn temp file — last os.replace wins whole."""
+    interleave into one torn temp file — last os.replace wins whole.
+
+    Honesty note on the non-local branch: single-stream PUT is
+    whole-object atomic on S3/GCS-class object stores (readers see the
+    old object or the new one, never a prefix), but some pyarrow
+    filesystems (plain HDFS, for one) create-then-append VISIBLY, so a
+    concurrent reader could observe a short read of this file there.
+    Artifact consistency does not depend on it — every artifact dir is
+    written in full before the meta repoint (publish-last discipline) —
+    but meta.json itself is only torn-read-proof on stores with atomic
+    single-PUT semantics."""
     fs, p = resolve(path)
     if isinstance(fs, pafs.LocalFileSystem):
         global _TMP_SEQ
