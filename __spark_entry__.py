@@ -368,6 +368,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bm25_custom_vocab"] = _custom_vocab
 
+    def _inspect_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The reference's storage-introspection surface
+        (``bm25_page_inspect``, sql/install/vchord_bm25--0.3.0.sql:
+        117-124), re-expressed over the postings artifact: per-term
+        block count and document frequency for the hottest raw-keyed
+        terms. The oracle recomputes both from first principles —
+        df per (token, shard) over the build's deterministic internal
+        id assignment, blocks = ceil(per-shard df / 128) — so it
+        verifies the PHYSICAL block layout from SQL."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from bm25spark.api import inspect_index
+        from bm25spark.build import build_index
+        from bm25spark.config import Bm25Config
+
+        d = tempfile.mkdtemp(prefix="bm25spark-inspect-gate-")
+        build_index(
+            spark, _docs(spark, sf_dir), d, "text", ["doc_id"],
+            cfg=Bm25Config(shard_size=1 << 14),
+        )
+        return (
+            inspect_index(spark, d, limit=25)
+            .filter(F.col("token").isNotNull())
+            .select("token", "n_blocks", "df")
+        )
+
+    out["bm25_inspect_storage"] = _inspect_storage
+
     def _tokenize_mappings(spark: SparkSession, sf_dir: str) -> DataFrame:
         """The reference's tokenize()::bm25vector surface
         (README.md:54-56) in relational form: (doc_id, token, tf)."""
@@ -699,6 +729,7 @@ def oracle_sql() -> dict[str, str]:
     )
     # raw (unfiltered) query tokens: the top-20 vocabulary filter is
     # applied inside the SQL, mirroring the Spark-side training
+    out["bm25_inspect_storage"] = oracle.inspect_storage_sql(limit=25)
     out["bm25_custom_vocab"] = oracle.custom_vocab_topk_sql(
         tokenize_simple("merge spark window"), 10, top_n=20
     )

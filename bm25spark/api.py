@@ -179,3 +179,60 @@ def train_corpus_vocab(
         .collect()
     )
     return [r.token for r in rows]
+
+
+def inspect_index(
+    spark: SparkSession,
+    index_dir: str,
+    term: str | None = None,
+    limit: int = 50,
+) -> DataFrame:
+    """Per-term storage introspection — the analogue of the
+    reference's ``bm25_page_inspect(index, blkno)`` debugging surface
+    (sql/install/vchord_bm25--0.3.0.sql:117-124), re-expressed over
+    the postings artifact instead of page numbers: for each term,
+    block count, posting count (= document frequency), packed byte
+    footprint, and the term's WAND upper-bound inputs. One distributed
+    aggregation over the postings parquet; only ``limit`` rows return.
+
+    ``token`` is readable for raw-interned terms (tokens shorter than
+    the 16-byte key width are stored zero-padded, vector.rs:19-35) and
+    NULL for hashed keys — hashed digests always end in a nonzero
+    byte, so the trailing-NUL test is unambiguous for every token of
+    width < 16."""
+    from pyspark.sql import functions as F
+
+    idx = Bm25Index(spark, index_dir)
+    pdf = idx.postings_df()
+    if term is not None:
+        keys = idx.query_keys(term)
+        if not keys:
+            return spark.createDataFrame(
+                [],
+                "term_key BINARY, token STRING, n_blocks BIGINT, "
+                "df BIGINT, packed_bytes BIGINT, wand_fn INT, wand_tf BIGINT",
+            )
+        pdf = pdf.filter(
+            F.col("term_key").isin([bytearray(x) for x in keys])
+        )
+    agg = pdf.groupBy("term_key").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum("count").cast("bigint").alias("df"),
+        (
+            F.sum(F.length("ids_bytes")) + F.sum(F.length("tfs_bytes"))
+        ).cast("bigint").alias("packed_bytes"),
+        F.first("wand_fn").cast("int").alias("wand_fn"),
+        F.first("wand_tf").cast("bigint").alias("wand_tf"),
+    )
+    s = F.col("term_key").cast("string")
+    token = F.when(
+        F.endswith(s, F.lit("\x00")), F.rtrim(s, F.lit("\x00"))
+    ).otherwise(F.lit(None).cast("string"))
+    return (
+        agg.select(
+            "term_key", token.alias("token"), "n_blocks", "df",
+            "packed_bytes", "wand_fn", "wand_tf",
+        )
+        .orderBy(F.desc("df"), F.asc("term_key"))
+        .limit(int(limit))
+    )

@@ -211,6 +211,16 @@ def main(argv: list[str] | None = None) -> None:
     ln.add_argument("--index-dir", required=True)
     _vocab_analyzer_args(ln)
 
+    iv = sub.add_parser(
+        "inspect",
+        help="per-term storage stats (the reference's bm25_page_inspect "
+        "analogue over the postings artifact)",
+    )
+    iv.add_argument("--index-dir", required=True)
+    iv.add_argument("--term", default=None, help="restrict to one query term")
+    iv.add_argument("--limit", type=int, default=50)
+    _vocab_analyzer_args(iv)
+
     args = ap.parse_args(argv)
     spark = SparkSession.builder.appName(f"bm25spark-{args.cmd}").getOrCreate()
 
@@ -365,6 +375,15 @@ def main(argv: list[str] | None = None) -> None:
         idx = Bm25Index(spark, args.index_dir)
         for row in idx.lineage_df().collect():
             print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "inspect":
+        from .api import inspect_index
+
+        for row in inspect_index(
+            spark, args.index_dir, term=args.term, limit=args.limit
+        ).collect():
+            d = row.asDict()
+            d["term_key"] = bytes(d["term_key"]).hex()
+            print(json.dumps(d))
 
 
 if __name__ == "__main__":

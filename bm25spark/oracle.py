@@ -492,3 +492,38 @@ SELECT dl.doc_id::BIGINT AS doc_id, dl.doc_len AS doc_len, fn.qdl AS qdl
 FROM dl JOIN fn ON dl.doc_len >= fn.lo AND dl.doc_len < fn.hi
 ORDER BY doc_id
 """
+
+
+def inspect_storage_sql(
+    limit: int = 25,
+    shard_size: int = 1 << 14,
+    block_size: int = 128,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for :func:`bm25spark.api.inspect_index`'s (token,
+    n_blocks, df) projection — recomputes the physical block layout
+    from first principles: internal ids are the build's deterministic
+    dense assignment (row_number over the sort key among non-NULL-text
+    docs), postings never cross shards, and each (term, shard) run
+    packs into ceil(count / block_size) blocks. Assumes every surfaced
+    token is raw-interned (< 16 bytes — padded-key byte order then
+    equals token order, so the tie-break matches)."""
+    return f"""
+WITH ids AS (
+  SELECT {id_col} AS doc_id,
+         (row_number() OVER (ORDER BY {id_col}) - 1) AS iid
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+{_tok_cte(table, id_col, text_col)},
+per_shard AS (
+  SELECT tf.token, ids.iid // {shard_size} AS shard, count(*)::BIGINT AS c
+  FROM tf JOIN ids USING (doc_id) GROUP BY 1, 2
+)
+SELECT token,
+       sum((c + {block_size} - 1) // {block_size})::BIGINT AS n_blocks,
+       sum(c)::BIGINT AS df
+FROM per_shard GROUP BY 1
+ORDER BY df DESC, token ASC LIMIT {limit}
+"""

@@ -43,6 +43,16 @@ def test_build_search_vacuum_lineage(spark, corpus_path, tmp_path, capsys):
     lin = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert sum(r["n_docs"] for r in lin) == 120
 
+    # storage introspection (bm25_page_inspect analogue): 'merge'
+    # appears once in every doc -> df 120, one 128-cap block
+    cli.main(["inspect", "--index-dir", d, "--term", "merge"])
+    ins = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(ins) == 1 and ins[0]["token"] == "merge"
+    assert ins[0]["df"] == 120 and ins[0]["n_blocks"] == 1
+    cli.main(["inspect", "--index-dir", d, "--limit", "3"])
+    top = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(top) == 3 and all(r["df"] == 120 for r in top)
+
     cli.main(["vacuum", "--index-dir", d, "--text-col", "content"])
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == {
         "vacuumed": d
