@@ -717,3 +717,36 @@ class TestWordpieceAndVocabAnalyzers:
             assert got == want, (vocab, rows)
 
         run()
+
+
+def test_inspect_index_hashed_and_raw_keys(spark, tmp_path):
+    """Storage introspection: raw-interned keys decode back to the
+    token, hashed keys (>=16-byte tokens) surface as NULL, df /
+    n_blocks / packed_bytes agree with the physical artifact."""
+    from bm25spark.api import inspect_index
+
+    long_tok = "a" * 20  # >= KEY_WIDTH -> keyed-BLAKE3 hashed key
+    rows = [(i, f"merge {long_tok}") for i in range(5)] + [
+        (5, "merge only")
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    d = str(tmp_path / "idx_inspect")
+    build_index(
+        spark, df, d, "text", ["doc_id"],
+        cfg=Bm25Config(shard_size=128),
+    )
+    out = {
+        (r["token"], r["df"], r["n_blocks"]): r
+        for r in inspect_index(spark, d).collect()
+    }
+    assert ("merge", 6, 1) in out
+    # the hashed term: token NULL, df 5
+    hashed = [r for r in out.values() if r["token"] is None]
+    assert len(hashed) == 1 and hashed[0]["df"] == 5
+    assert len(bytes(hashed[0]["term_key"])) == 16
+    # packed bytes agree with the loaded postings
+    idx = Bm25Index(spark, d)
+    (tp,) = idx.term_postings("merge")
+    want = sum(len(a) + len(b) for a, b in zip(tp.ids_bytes, tp.tfs_bytes))
+    got = inspect_index(spark, d, term="merge").collect()[0]
+    assert got["packed_bytes"] == want and got["n_blocks"] == tp.n_blocks
