@@ -38,6 +38,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_bmp_features": lambda s, d: multimodal.image_features(
             multimodal.synthesize_bmp_media(_docs(s, d))
         ).orderBy("doc_id"),
+        # REAL COMPRESSED image path: genuine PNGs (zlib deflate, all
+        # five scanline filters) decoded with stdlib inflate + NumPy
+        # unfiltering — no codec library involved
+        "image_png_features": lambda s, d: multimodal.png_features(
+            multimodal.synthesize_png_media(_docs(s, d))
+        ).orderBy("doc_id"),
         # REAL video path: write genuine RIFF/AVI containers (raw DIB
         # frames), parse them back with struct+NumPy, emit
         # integer-exact per-video and per-sampled-frame channel sums
@@ -144,6 +150,7 @@ def oracle_registry() -> dict[str, str]:
 
     return {
         "audio_wav_features": multimodal.audio_wav_features_sql(),
+        "image_png_features": multimodal.image_png_features_sql(),
         "image_bmp_features": multimodal.image_bmp_features_sql(),
         "video_avi_features": multimodal.video_avi_features_sql(),
         "video_frame_sample": multimodal.video_frame_sample_sql(every_n=2),

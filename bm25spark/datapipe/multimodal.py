@@ -64,19 +64,23 @@ FEATURES_SCHEMA = StructType(
 
 def decode_image(data: bytes) -> "np.ndarray":
     """Image decode. REAL for uncompressed BMP (BITMAPFILEHEADER +
-    BITMAPINFOHEADER, 24-bpp BI_RGB, bottom-up or top-down) — parsed
-    with struct+NumPy, no codec library needed; returns an (H, W, 3)
-    uint8 array in file channel order (BGR), top row first.
-    COMPRESSED formats (PNG/JPEG/...) remain stubbed: they need a
-    codec library not present in this environment — replace the
-    fallthrough with PIL/cv2 to go live."""
+    BITMAPINFOHEADER, 24-bpp BI_RGB, bottom-up or top-down; struct +
+    NumPy) AND for compressed 8-bit RGB PNG (stdlib zlib inflate +
+    chunk walk + scanline unfiltering, all five filter types) — no
+    codec library needed for either. Returns an (H, W, 3) uint8
+    array in file channel order (BGR for BMP, RGB for PNG), top row
+    first. Transform-coded formats (JPEG/WebP/...) remain stubbed:
+    they need a codec library not present in this environment —
+    replace the fallthrough with PIL/cv2 to go live."""
     if data[:2] == b"BM":
         return _decode_bmp(data)
+    if data[:8] == _PNG_SIG:
+        return _decode_png(data)
     raise NotImplementedError(
-        "only uncompressed 24-bpp BMP decodes in this environment; "
-        "compressed formats (PNG/JPEG) need a codec library (PIL/cv2) "
-        "— use extract_features for the wired-up deterministic "
-        "feature path"
+        "only 24-bpp BMP and 8-bit RGB PNG decode in this "
+        "environment; transform-coded formats (JPEG/WebP) need a "
+        "codec library (PIL/cv2) — use extract_features for the "
+        "wired-up deterministic feature path"
     )
 
 
@@ -950,4 +954,276 @@ FROM chans
 WHERE f % {every_n} = 0
 GROUP BY doc_id, f
 ORDER BY doc_id, frame_no
+"""
+
+
+# ------------------------------------------------------------- PNG ----
+# REAL compressed-image path: PNG is the one compressed format fully
+# decodable with the standard library (zlib inflate + struct chunk
+# walk + NumPy unfiltering) — no codec package needed. The reference
+# repo has no media layer at all; this is part of the beyond-reference
+# training-data pipeline (multimodal columns).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_dims(doc_id: int) -> tuple[int, int]:
+    """(width, height); ≥5 rows so every filter type 0..4 appears in
+    each synthesized image (row r uses filter r % 5)."""
+    return 4 + int(doc_id) % 11, 5 + int(doc_id) % 6
+
+
+def _png_pixels(doc_id: int, w: int, h: int) -> np.ndarray:
+    """(h, w, 3) uint8, top-down rows, RGB channel order — the same
+    closed-form mix as BMP so the SQL oracle regenerates it."""
+    p = np.arange(w * h, dtype=np.int64)[:, None]
+    c = np.arange(3, dtype=np.int64)[None, :]
+    v = (np.int64(doc_id) * IMG_MIX_A + p * IMG_MIX_B + c * IMG_MIX_C) % 256
+    return v.astype(np.uint8).reshape(h, w, 3)
+
+
+def synthesize_png(doc_id: int) -> bytes:
+    """A genuine PNG (8-bit RGB, color type 2): signature, IHDR, one
+    IDAT holding the zlib-compressed filtered scanlines, IEND — with
+    correct CRCs. Row r is written with filter type r % 5, applying
+    the real filter transform (Sub/Up/Average/Paeth deltas), so the
+    decoder must correctly INVERT all five to reproduce the pixels."""
+    import struct
+    import zlib
+
+    w, h = png_dims(doc_id)
+    px = _png_pixels(doc_id, w, h).astype(np.int64)
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros((w, bpp), dtype=np.int64)
+    for r in range(h):
+        row = px[r]
+        f = r % 5
+        left = np.vstack([np.zeros((1, bpp), dtype=np.int64), row[:-1]])
+        if f == 0:
+            filt = row
+        elif f == 1:  # Sub
+            filt = row - left
+        elif f == 2:  # Up
+            filt = row - prev
+        elif f == 3:  # Average
+            filt = row - (left + prev) // 2
+        else:  # Paeth
+            up = prev
+            ul = np.vstack([np.zeros((1, bpp), dtype=np.int64), prev[:-1]])
+            p_ = left + up - ul
+            pa, pb, pc = np.abs(p_ - left), np.abs(p_ - up), np.abs(p_ - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+            )
+            filt = row - pred
+        raw.append(f)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """Parse an 8-bit RGB PNG: chunk walk with CRC verification,
+    concatenated-IDAT zlib inflate, then per-row inversion of the five
+    scanline filters (None/Sub/Up/Average/Paeth — Sub by cumulative
+    sum mod 256, Average/Paeth with the spec's left-dependent
+    recurrences). Returns (H, W, 3) uint8, top row first, RGB order.
+    Unsupported shapes (palette/alpha/16-bit/interlace) fail loudly."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG container")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        if len(payload) != ln or pos + 12 + ln > len(data):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+        if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = payload
+        elif ctype == b"IDAT":
+            idat.extend(payload)
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + ln
+    if ihdr is None or not ended:
+        raise ValueError("PNG missing IHDR/IEND")
+    w, h, depth, ctype_, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if (depth, ctype_, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={ctype_}, "
+            f"interlace={interlace}) — only 8-bit RGB non-interlaced "
+            "decodes here"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    raw = zlib.decompress(bytes(idat))
+    stride = 1 + 3 * w
+    if len(raw) != stride * h:
+        raise ValueError(f"bad PNG scanline data: {len(raw)} != {stride * h}")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    out = np.zeros((h, w, 3), dtype=np.int64)
+    prev = np.zeros((w, 3), dtype=np.int64)
+    for r in range(h):
+        f = int(arr[r, 0])
+        filt_row = arr[r, 1:].astype(np.int64).reshape(w, 3)
+        if f == 0:
+            row = filt_row
+        elif f == 1:  # Sub: recon = filt + left -> per-channel cumsum
+            row = np.cumsum(filt_row, axis=0) % 256
+        elif f == 2:  # Up
+            row = (filt_row + prev) % 256
+        elif f == 3:  # Average (left-dependent: sequential in x)
+            row = np.zeros((w, 3), dtype=np.int64)
+            left = np.zeros(3, dtype=np.int64)
+            for x in range(w):
+                row[x] = (filt_row[x] + (left + prev[x]) // 2) % 256
+                left = row[x]
+        elif f == 4:  # Paeth (left-dependent: sequential in x)
+            row = np.zeros((w, 3), dtype=np.int64)
+            left = np.zeros(3, dtype=np.int64)
+            ul = np.zeros(3, dtype=np.int64)
+            for x in range(w):
+                up = prev[x]
+                p_ = left + up - ul
+                pa, pb, pc = (
+                    np.abs(p_ - left), np.abs(p_ - up), np.abs(p_ - ul),
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                )
+                row[x] = (filt_row[x] + pred) % 256
+                left, ul = row[x], up
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[r] = row
+        prev = row
+    return out.astype(np.uint8)
+
+
+def synthesize_png_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, media_type, media) with REAL compressed PNG
+    containers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "image/png",
+                    "media": [synthesize_png(int(i)) for i in ids],
+                }
+            )
+
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("media_type", StringType(), False),
+                StructField("media", BinaryType(), False),
+            ]
+        ),
+    )
+
+
+PNG_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_pixels", LongType(), False),
+        StructField("r_sum", LongType(), False),
+        StructField("g_sum", LongType(), False),
+        StructField("b_sum", LongType(), False),
+    ]
+)
+
+
+def png_features(media_df: DataFrame) -> DataFrame:
+    """Decode every ``image/png`` blob (REAL inflate + unfilter) and
+    emit integer-exact features — dims + per-channel sums in the
+    file's RGB order. Same no-shuffle mapInPandas shape as the other
+    media decoders."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["doc_id"].astype("int64"), pdf["media"]):
+                px = decode_image(bytes(blob)).astype(np.int64)
+                h, w = px.shape[:2]
+                sums = px.reshape(-1, 3).sum(axis=0)
+                rows.append(
+                    (int(i), w, h, w * h, int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "r_sum", "g_sum", "b_sum",
+                ],
+            )
+
+    return (
+        media_df.filter(F.col("media_type") == "image/png")
+        .select("doc_id", "media")
+        .mapInPandas(run, PNG_FEATURES_SCHEMA)
+    )
+
+
+def image_png_features_sql() -> str:
+    """DuckDB oracle: regenerate the closed-form pixels and compute
+    the features the full compress→filter→inflate→unfilter pipeline
+    must land on (channel 0 = R here — PNG stores RGB)."""
+    return f"""
+WITH params AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         4 + doc_id % 11 AS w,
+         5 + doc_id % 6 AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM params
+),
+chans AS (
+  SELECT doc_id, w, h, p,
+         (doc_id * {IMG_MIX_A} + p * {IMG_MIX_B} + 0) % 256 AS r,
+         (doc_id * {IMG_MIX_A} + p * {IMG_MIX_B} + {IMG_MIX_C}) % 256 AS g,
+         (doc_id * {IMG_MIX_A} + p * {IMG_MIX_B} + {2 * IMG_MIX_C}) % 256 AS b
+  FROM px
+)
+SELECT doc_id,
+       any_value(w)::INTEGER AS width,
+       any_value(h)::INTEGER AS height,
+       (any_value(w) * any_value(h))::BIGINT AS n_pixels,
+       sum(r)::BIGINT AS r_sum,
+       sum(g)::BIGINT AS g_sum,
+       sum(b)::BIGINT AS b_sum
+FROM chans
+GROUP BY doc_id ORDER BY doc_id
 """

@@ -1061,3 +1061,136 @@ class TestDecontaminate:
         )
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+
+
+class TestPngReal:
+    """REAL compressed-image path: genuine PNG containers (zlib
+    deflate, CRC'd chunks, filter types 0-4) decoded with stdlib
+    inflate + NumPy unfiltering, bit-exact against the closed-form
+    pixel generator."""
+
+    def test_roundtrip_bit_exact_all_filters(self):
+        import numpy as np
+
+        from bm25spark.datapipe import multimodal as M
+
+        for i in list(range(12)) + [97, 1000, 65535]:
+            w, h = M.png_dims(i)
+            px = M.decode_image(M.synthesize_png(i))
+            assert px.shape == (h, w, 3)
+            # h >= 5 -> every filter type 0..4 exercised per image
+            assert np.array_equal(px, M._png_pixels(i, w, h)), i
+
+    def test_single_filter_images_roundtrip(self):
+        """One image per filter type: re-filter a fixed pixel array
+        with ONLY that filter and check the decoder inverts it."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from bm25spark.datapipe import multimodal as M
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+
+        def build(forced_filter):
+            w, h, bpp = 5, 6, 3
+            raw = bytearray()
+            prev = np.zeros((w, bpp), dtype=np.int64)
+            for r in range(h):
+                row = px[r].astype(np.int64)
+                left = np.vstack(
+                    [np.zeros((1, bpp), dtype=np.int64), row[:-1]]
+                )
+                f = forced_filter
+                if f == 0:
+                    filt = row
+                elif f == 1:
+                    filt = row - left
+                elif f == 2:
+                    filt = row - prev
+                elif f == 3:
+                    filt = row - (left + prev) // 2
+                else:
+                    ul = np.vstack(
+                        [np.zeros((1, bpp), dtype=np.int64), prev[:-1]]
+                    )
+                    p_ = left + prev - ul
+                    pa = np.abs(p_ - left)
+                    pb = np.abs(p_ - prev)
+                    pc = np.abs(p_ - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, prev, ul),
+                    )
+                    filt = row - pred
+                raw.append(f)
+                raw.extend((filt % 256).astype(np.uint8).tobytes())
+                prev = row.copy()
+
+            def chunk(ctype, payload):
+                return (
+                    struct.pack(">I", len(payload)) + ctype + payload
+                    + struct.pack(
+                        ">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF
+                    )
+                )
+
+            return (
+                M._PNG_SIG
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b"")
+            )
+
+        for f in range(5):
+            got = M.decode_image(build(f))
+            assert np.array_equal(got, px), f"filter {f}"
+
+    def test_corruption_variants_fail_loudly(self):
+        import struct
+        import zlib
+
+        import pytest as _pytest
+
+        from bm25spark.datapipe import multimodal as M
+
+        good = M.synthesize_png(3)
+        # CRC flip
+        b = bytearray(good)
+        b[20] ^= 0xFF
+        with _pytest.raises(ValueError, match="CRC"):
+            M.decode_image(bytes(b))
+        # unsupported color type (RGBA): rebuild IHDR with valid CRC
+        w, h = M.png_dims(3)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+        bad = (
+            M._PNG_SIG
+            + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        with _pytest.raises(ValueError, match="unsupported PNG"):
+            M.decode_image(bad + good[8 + 25:])
+        # missing IEND
+        with _pytest.raises(ValueError, match="IHDR/IEND"):
+            M.decode_image(good[:-12])
+        # short scanline payload (valid zlib of wrong length)
+        pre, idat_off = good[: 8 + 25], 8 + 25
+        (ln,) = struct.unpack_from(">I", good, idat_off)
+        tail = good[idat_off + 12 + ln:]
+        short = zlib.compress(b"\x00" * 7)
+        ch = struct.pack(">I", len(short)) + b"IDAT" + short + struct.pack(
+            ">I", zlib.crc32(b"IDAT" + short) & 0xFFFFFFFF
+        )
+        with _pytest.raises(ValueError, match="scanline"):
+            M.decode_image(pre + ch + tail)
+
+    def test_spark_features_match_oracle(self, spark, docs):
+        from bm25spark.datapipe import multimodal as M
+
+        assert_matches(
+            M.png_features(M.synthesize_png_media(docs)).orderBy("doc_id"),
+            M.image_png_features_sql(),
+        )
