@@ -390,10 +390,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _docs(spark, sf_dir), d, "text", ["doc_id"],
             cfg=Bm25Config(shard_size=1 << 14),
         )
-        return (
-            inspect_index(spark, d, limit=25)
-            .filter(F.col("token").isNotNull())
-            .select("token", "n_blocks", "df")
+        # raw_only drops hashed keys BEFORE the order/limit cut, so
+        # parity cannot depend on where a hashed (>=16-byte) token
+        # would rank — the oracle can only rank readable tokens
+        return inspect_index(spark, d, limit=25, raw_only=True).select(
+            "token", "n_blocks", "df"
         )
 
     out["bm25_inspect_storage"] = _inspect_storage

@@ -186,20 +186,27 @@ def inspect_index(
     index_dir: str,
     term: str | None = None,
     limit: int = 50,
+    raw_only: bool = False,
 ) -> DataFrame:
     """Per-term storage introspection — the analogue of the
     reference's ``bm25_page_inspect(index, blkno)`` debugging surface
     (sql/install/vchord_bm25--0.3.0.sql:117-124), re-expressed over
     the postings artifact instead of page numbers: for each term,
     block count, posting count (= document frequency), packed byte
-    footprint, and the term's WAND upper-bound inputs. One distributed
-    aggregation over the postings parquet; only ``limit`` rows return.
+    footprint, and the term-level WAND upper-bound inputs from the
+    terms dictionary (the canonical values the build's max_by total
+    order selected — NOT an arbitrary block's). One distributed
+    aggregation over the postings parquet joined with the small terms
+    dictionary; only ``limit`` rows return.
 
     ``token`` is readable for raw-interned terms (tokens shorter than
     the 16-byte key width are stored zero-padded, vector.rs:19-35) and
     NULL for hashed keys — hashed digests always end in a nonzero
     byte, so the trailing-NUL test is unambiguous for every token of
-    width < 16."""
+    width < 16. ``raw_only=True`` drops hashed keys BEFORE the
+    order/limit cut, making the result independent of where hashed
+    terms rank (the driver gate's SQL oracle can only rank readable
+    tokens)."""
     from pyspark.sql import functions as F
 
     idx = Bm25Index(spark, index_dir)
@@ -221,18 +228,24 @@ def inspect_index(
         (
             F.sum(F.length("ids_bytes")) + F.sum(F.length("tfs_bytes"))
         ).cast("bigint").alias("packed_bytes"),
-        F.first("wand_fn").cast("int").alias("wand_fn"),
-        F.first("wand_tf").cast("bigint").alias("wand_tf"),
     )
+    dct = idx.terms_df().select(
+        "term_key",
+        F.col("wand_fn").cast("int").alias("wand_fn"),
+        F.col("wand_tf").cast("bigint").alias("wand_tf"),
+    )
+    # plain equi-join: both sides are one row per term (dictionary-
+    # sized, not corpus-sized) — let AQE pick the strategy; at a
+    # billion-term vocabulary a forced broadcast would be wrong
+    agg = agg.join(dct, "term_key")
     s = F.col("term_key").cast("string")
     token = F.when(
         F.endswith(s, F.lit("\x00")), F.rtrim(s, F.lit("\x00"))
     ).otherwise(F.lit(None).cast("string"))
-    return (
-        agg.select(
-            "term_key", token.alias("token"), "n_blocks", "df",
-            "packed_bytes", "wand_fn", "wand_tf",
-        )
-        .orderBy(F.desc("df"), F.asc("term_key"))
-        .limit(int(limit))
+    out = agg.select(
+        "term_key", token.alias("token"), "n_blocks", "df",
+        "packed_bytes", "wand_fn", "wand_tf",
     )
+    if raw_only:
+        out = out.filter(F.col("token").isNotNull())
+    return out.orderBy(F.desc("df"), F.asc("term_key")).limit(int(limit))

@@ -1212,12 +1212,8 @@ def ann_pq_topk(
     pq_ = np.floor(pmat * float(quant)).astype(np.int64)
     # (P, m, ks) ADC lookup tables: dist from probe subvector to codeword
     luts = np.stack(
-        [
-            np.stack(
-                [_sq_dists(pq_[:, s * sd : (s + 1) * sd], books[s])[i] for s in range(m)]
-            )
-            for i in range(len(pids))
-        ]
+        [_sq_dists(pq_[:, s * sd : (s + 1) * sd], books[s]) for s in range(m)],
+        axis=1,
     )
     b = spark.sparkContext.broadcast((books, luts, pids))
 

@@ -840,9 +840,13 @@ class TestImageReal:
             multimodal.decode_image(bytes(blob))
         with _pytest.raises(ValueError, match="truncated"):
             multimodal.decode_image(multimodal.synthesize_bmp(5)[:-4])
-        # compressed formats remain stubbed, loudly
-        with _pytest.raises(NotImplementedError):
+        # PNG now decodes for real — garbage after a valid signature
+        # fails the chunk walk loudly instead of the old stub error
+        with _pytest.raises(ValueError, match="PNG"):
             multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + b"x" * 64)
+        # transform-coded formats remain stubbed, loudly
+        with _pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"x" * 64)
 
     def test_spark_features_match_closed_form(self, spark):
         import numpy as np
