@@ -252,3 +252,20 @@ def test_vocab_analyzer_cli_lifecycle(spark, corpus_path, tmp_path, capsys):
             "--index-dir", str(tmp_path / "x"), "--analyzer", "simple",
             "--wordpiece-vocab", wpv,
         ])
+
+
+def test_load_table_catalog_and_parquet(spark, corpus_path):
+    """load_table resolves catalog table names (the Iceberg-shaped
+    path — spark.read.table works against any catalog-registered
+    table) and parquet paths, with fmt=auto routing on '/'-presence;
+    a bad explicit iceberg name fails loudly."""
+    from bm25spark.cli import load_table
+
+    spark.read.parquet(corpus_path).createOrReplaceTempView("cli_corpus_v")
+    via_catalog = load_table(spark, "cli_corpus_v")          # auto: no '/'
+    via_iceberg = load_table(spark, "cli_corpus_v", "iceberg")
+    via_parquet = load_table(spark, corpus_path)             # auto: path
+    assert via_catalog.count() == via_parquet.count() == 120
+    assert via_iceberg.count() == 120
+    with pytest.raises(Exception):
+        load_table(spark, "no_such_table_xyz", "iceberg")
