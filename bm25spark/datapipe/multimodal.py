@@ -9,16 +9,18 @@ writer→parser roundtrip is exercised end to end (and gate-checked
 against a DuckDB oracle that recomputes the features from the PCM's
 closed form).
 
-IMAGE IS REAL for uncompressed 24-bpp BMP (:func:`decode_image`,
-struct+NumPy) and VIDEO IS REAL for uncompressed RIFF/AVI with raw
-DIB '00db' frames (:func:`decode_video`, struct+NumPy): genuine
-containers are written (:func:`synthesize_bmp_media`,
+IMAGE IS REAL for uncompressed 24-bpp BMP AND for compressed 8-bit
+gray/RGB/RGBA PNG (:func:`decode_image` — struct+NumPy for BMP,
+stdlib zlib inflate + five-filter scanline inversion for PNG), and
+VIDEO IS REAL for uncompressed RIFF/AVI with raw DIB '00db' frames
+(:func:`decode_video`, struct+NumPy): genuine containers are written
+(:func:`synthesize_bmp_media`, :func:`synthesize_png_media`,
 :func:`synthesize_avi_media`), parsed back, and gate-checked against
-closed-form pixel oracles. Only COMPRESSED codecs (PNG/JPEG/H.264/…)
-remain stubbed — they need codec libraries absent from this
-environment; the deterministic fake feature extractor (byte
-histogram + entropy) stands in for those, and swapping in PIL/PyAV
-is a one-function change.
+closed-form pixel oracles. Only TRANSFORM-CODED codecs
+(JPEG/WebP/H.264/…) remain stubbed — they need codec libraries
+absent from this environment; the deterministic fake feature
+extractor (byte histogram + entropy) stands in for those, and
+swapping in PIL/PyAV is a one-function change.
 """
 
 from __future__ import annotations
@@ -65,19 +67,19 @@ FEATURES_SCHEMA = StructType(
 def decode_image(data: bytes) -> "np.ndarray":
     """Image decode. REAL for uncompressed BMP (BITMAPFILEHEADER +
     BITMAPINFOHEADER, 24-bpp BI_RGB, bottom-up or top-down; struct +
-    NumPy) AND for compressed 8-bit RGB PNG (stdlib zlib inflate +
-    chunk walk + scanline unfiltering, all five filter types) — no
-    codec library needed for either. Returns an (H, W, 3) uint8
-    array in file channel order (BGR for BMP, RGB for PNG), top row
-    first. Transform-coded formats (JPEG/WebP/...) remain stubbed:
+    NumPy) AND for compressed 8-bit gray/RGB/RGBA PNG (stdlib zlib
+    inflate + chunk walk + scanline unfiltering, all five filter
+    types) — no codec library needed for either. Returns an
+    (H, W, C) uint8 array in file channel order (BGR C=3 for BMP;
+    gray C=1 / RGB C=3 / RGBA C=4 for PNG), top row first. Transform-coded formats (JPEG/WebP/...) remain stubbed:
     they need a codec library not present in this environment —
     replace the fallthrough with PIL/cv2 to go live."""
     if data[:2] == b"BM":
         return _decode_bmp(data)
     if data[:8] == _PNG_SIG:
-        return _decode_png(data)
+        return _decode_png(data)  # (H, W, C): C=1 gray / 3 RGB / 4 RGBA
     raise NotImplementedError(
-        "only 24-bpp BMP and 8-bit RGB PNG decode in this "
+        "only 24-bpp BMP and 8-bit gray/RGB/RGBA PNG decode in this "
         "environment; transform-coded formats (JPEG/WebP) need a "
         "codec library (PIL/cv2) — use extract_features for the "
         "wired-up deterministic feature path"
@@ -1039,12 +1041,15 @@ def synthesize_png(doc_id: int) -> bytes:
 
 
 def _decode_png(data: bytes) -> np.ndarray:
-    """Parse an 8-bit RGB PNG: chunk walk with CRC verification,
-    concatenated-IDAT zlib inflate, then per-row inversion of the five
-    scanline filters (None/Sub/Up/Average/Paeth — Sub by cumulative
-    sum mod 256, Average/Paeth with the spec's left-dependent
-    recurrences). Returns (H, W, 3) uint8, top row first, RGB order.
-    Unsupported shapes (palette/alpha/16-bit/interlace) fail loudly."""
+    """Parse an 8-bit PNG of color type 0 (grayscale), 2 (RGB), or 6
+    (RGBA): chunk walk with CRC verification, concatenated-IDAT zlib
+    inflate, then per-row inversion of the five scanline filters
+    (None/Sub/Up/Average/Paeth — Sub by cumulative sum mod 256,
+    Average/Paeth with the spec's left-dependent recurrences; the
+    "left" byte is ``bpp`` positions back, which per-pixel channel
+    vectors realize for every supported bpp). Returns (H, W, C) uint8
+    with C = 1/3/4, top row first, file channel order. Unsupported
+    shapes (palette/16-bit/interlace) fail loudly."""
     import struct
     import zlib
 
@@ -1073,24 +1078,26 @@ def _decode_png(data: bytes) -> np.ndarray:
     w, h, depth, ctype_, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if (depth, ctype_, comp, filt, interlace) != (8, 2, 0, 0, 0):
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype_)
+    if channels is None or (depth, comp, filt, interlace) != (8, 0, 0, 0):
         raise ValueError(
             f"unsupported PNG (depth={depth}, color={ctype_}, "
-            f"interlace={interlace}) — only 8-bit RGB non-interlaced "
-            "decodes here"
+            f"interlace={interlace}) — only 8-bit gray/RGB/RGBA "
+            "non-interlaced decodes here"
         )
     if w <= 0 or h <= 0:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
     raw = zlib.decompress(bytes(idat))
-    stride = 1 + 3 * w
+    c = channels
+    stride = 1 + c * w
     if len(raw) != stride * h:
         raise ValueError(f"bad PNG scanline data: {len(raw)} != {stride * h}")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
-    out = np.zeros((h, w, 3), dtype=np.int64)
-    prev = np.zeros((w, 3), dtype=np.int64)
+    out = np.zeros((h, w, c), dtype=np.int64)
+    prev = np.zeros((w, c), dtype=np.int64)
     for r in range(h):
         f = int(arr[r, 0])
-        filt_row = arr[r, 1:].astype(np.int64).reshape(w, 3)
+        filt_row = arr[r, 1:].astype(np.int64).reshape(w, c)
         if f == 0:
             row = filt_row
         elif f == 1:  # Sub: recon = filt + left -> per-channel cumsum
@@ -1098,15 +1105,15 @@ def _decode_png(data: bytes) -> np.ndarray:
         elif f == 2:  # Up
             row = (filt_row + prev) % 256
         elif f == 3:  # Average (left-dependent: sequential in x)
-            row = np.zeros((w, 3), dtype=np.int64)
-            left = np.zeros(3, dtype=np.int64)
+            row = np.zeros((w, c), dtype=np.int64)
+            left = np.zeros(c, dtype=np.int64)
             for x in range(w):
                 row[x] = (filt_row[x] + (left + prev[x]) // 2) % 256
                 left = row[x]
         elif f == 4:  # Paeth (left-dependent: sequential in x)
-            row = np.zeros((w, 3), dtype=np.int64)
-            left = np.zeros(3, dtype=np.int64)
-            ul = np.zeros(3, dtype=np.int64)
+            row = np.zeros((w, c), dtype=np.int64)
+            left = np.zeros(c, dtype=np.int64)
+            ul = np.zeros(c, dtype=np.int64)
             for x in range(w):
                 up = prev[x]
                 p_ = left + up - ul

@@ -1167,9 +1167,10 @@ class TestPngReal:
         b[20] ^= 0xFF
         with _pytest.raises(ValueError, match="CRC"):
             M.decode_image(bytes(b))
-        # unsupported color type (RGBA): rebuild IHDR with valid CRC
+        # unsupported color type (palette): rebuild IHDR with valid
+        # CRC (gray/RGB/RGBA all decode now; type 3 needs a PLTE)
         w, h = M.png_dims(3)
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
         bad = (
             M._PNG_SIG
             + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
@@ -1254,3 +1255,84 @@ class TestPQ:
         codes = S._pq_encode(vecs, b1, S.LSH_QUANT)
         assert codes.shape == (200, S.PQ_M)
         assert codes.min() >= 0 and codes.max() < S.PQ_KS
+
+
+class TestPngColorTypes:
+    """PNG decode covers color types 0 (gray) and 6 (RGBA) besides
+    RGB; palette (type 3) is refused loudly."""
+
+    @staticmethod
+    def _write(px, ctype):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from bm25spark.datapipe import multimodal as M
+
+        h, w, c = px.shape
+        raw = bytearray()
+        prev = np.zeros((w, c), dtype=np.int64)
+        for r in range(h):
+            row = px[r].astype(np.int64)
+            f = r % 5
+            left = np.vstack([np.zeros((1, c), dtype=np.int64), row[:-1]])
+            if f == 0:
+                filt = row
+            elif f == 1:
+                filt = row - left
+            elif f == 2:
+                filt = row - prev
+            elif f == 3:
+                filt = row - (left + prev) // 2
+            else:
+                ul = np.vstack([np.zeros((1, c), dtype=np.int64), prev[:-1]])
+                p_ = left + prev - ul
+                pa = np.abs(p_ - left)
+                pb = np.abs(p_ - prev)
+                pc = np.abs(p_ - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, prev, ul),
+                )
+                filt = row - pred
+            raw.append(f)
+            raw.extend((filt % 256).astype(np.uint8).tobytes())
+            prev = row
+
+        def chunk(t, p):
+            return (
+                struct.pack(">I", len(p)) + t + p
+                + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (
+            M._PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    def test_gray_and_rgba_roundtrip(self):
+        import numpy as np
+
+        from bm25spark.datapipe import multimodal as M
+
+        rng = np.random.default_rng(5)
+        for ctype, c in ((0, 1), (2, 3), (6, 4)):
+            px = rng.integers(0, 256, size=(7, 6, c), dtype=np.uint8)
+            got = M.decode_image(self._write(px, ctype))
+            assert got.shape == (7, 6, c)
+            assert np.array_equal(got, px), ctype
+
+    def test_palette_refused(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from bm25spark.datapipe import multimodal as M
+
+        rng = np.random.default_rng(5)
+        px = rng.integers(0, 256, size=(4, 4, 1), dtype=np.uint8)
+        with _pytest.raises(ValueError, match="unsupported PNG"):
+            M.decode_image(self._write(px, 3))
