@@ -44,6 +44,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_png_features": lambda s, d: multimodal.png_features(
             multimodal.synthesize_png_media(_docs(s, d))
         ).orderBy("doc_id"),
+        # second REAL compressed path: genuine GIF89a (real LZW
+        # dictionary coding) decoded with pure Python+NumPy
+        "image_gif_features": lambda s, d: multimodal.gif_features(
+            multimodal.synthesize_gif_media(_docs(s, d))
+        ).orderBy("doc_id"),
         # REAL video path: write genuine RIFF/AVI containers (raw DIB
         # frames), parse them back with struct+NumPy, emit
         # integer-exact per-video and per-sampled-frame channel sums
@@ -177,6 +182,7 @@ def oracle_registry() -> dict[str, str]:
     return {
         "audio_wav_features": multimodal.audio_wav_features_sql(),
         "image_png_features": multimodal.image_png_features_sql(),
+        "image_gif_features": multimodal.image_gif_features_sql(),
         "image_bmp_features": multimodal.image_bmp_features_sql(),
         "video_avi_features": multimodal.video_avi_features_sql(),
         "video_frame_sample": multimodal.video_frame_sample_sql(every_n=2),

@@ -78,11 +78,13 @@ def decode_image(data: bytes) -> "np.ndarray":
         return _decode_bmp(data)
     if data[:8] == _PNG_SIG:
         return _decode_png(data)  # (H, W, C): C=1 gray / 3 RGB / 4 RGBA
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(data)  # real LZW + palette map -> (H, W, 3)
     raise NotImplementedError(
-        "only 24-bpp BMP and 8-bit gray/RGB/RGBA PNG decode in this "
-        "environment; transform-coded formats (JPEG/WebP) need a "
-        "codec library (PIL/cv2) — use extract_features for the "
-        "wired-up deterministic feature path"
+        "only 24-bpp BMP, 8-bit gray/RGB/RGBA PNG, and GCT GIF decode "
+        "in this environment; transform-coded formats (JPEG/WebP) "
+        "need a codec library (PIL/cv2) — use extract_features for "
+        "the wired-up deterministic feature path"
     )
 
 
@@ -1223,6 +1225,300 @@ chans AS (
          (doc_id * {IMG_MIX_A} + p * {IMG_MIX_B} + {IMG_MIX_C}) % 256 AS g,
          (doc_id * {IMG_MIX_A} + p * {IMG_MIX_B} + {2 * IMG_MIX_C}) % 256 AS b
   FROM px
+)
+SELECT doc_id,
+       any_value(w)::INTEGER AS width,
+       any_value(h)::INTEGER AS height,
+       (any_value(w) * any_value(h))::BIGINT AS n_pixels,
+       sum(r)::BIGINT AS r_sum,
+       sum(g)::BIGINT AS g_sum,
+       sum(b)::BIGINT AS b_sum
+FROM chans
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------- GIF ----
+# Second REAL compressed-image path: GIF's LZW is a dictionary coder
+# (pure Python + NumPy bit-packing — no codec lib), so the full
+# write→compress→parse→decompress loop runs for real, like PNG's
+# deflate path. Both follow the universal "early change" code-width
+# convention (width grows when the table reaches 2^width) that GIF
+# encoders in the wild emit.
+
+
+def _gif_lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF-flavor LZW: CLEAR/EOI codes, LSB-first bit packing, code
+    width mcs+1..12, dictionary reset at 4096."""
+    CLEAR, EOI = 1 << mcs, (1 << mcs) + 1
+    out_bits: list[int] = []
+    width = mcs + 1
+
+    def emit(code: int, width_now=lambda: width) -> None:
+        for b in range(width_now()):
+            out_bits.append((code >> b) & 1)
+
+    table = {(i,): i for i in range(1 << mcs)}
+    next_code = EOI + 1
+    emit(CLEAR)
+    w: tuple = ()
+    for k in indices:
+        wk = w + (int(k),)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(CLEAR)
+            table = {(i,): i for i in range(1 << mcs)}
+            next_code = EOI + 1
+            width = mcs + 1
+        w = (int(k),)
+    if w:
+        emit(table[w])
+    emit(EOI)
+    nbytes = (len(out_bits) + 7) // 8
+    arr = np.zeros(nbytes * 8, dtype=np.uint8)
+    arr[: len(out_bits)] = out_bits
+    return np.packbits(arr.reshape(-1, 8)[:, ::-1], axis=1).tobytes()
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_expected: int) -> np.ndarray:
+    """Inverse of :func:`_gif_lzw_encode` (differentially fuzzed
+    against it); fails loudly on invalid codes or underrun."""
+    CLEAR, EOI = 1 << mcs, (1 << mcs) + 1
+    bits = np.unpackbits(
+        np.frombuffer(data, dtype=np.uint8)[:, None], axis=1
+    )[:, ::-1].reshape(-1)
+    pos, width = 0, mcs + 1
+    table: list[tuple | None] = [(i,) for i in range(1 << mcs)] + [None, None]
+    out: list[int] = []
+    prev: tuple | None = None
+    n_bits = len(bits)
+    while pos + width <= n_bits:
+        code = 0
+        for b in range(width):
+            code |= int(bits[pos + b]) << b
+        pos += width
+        if code == CLEAR:
+            table = [(i,) for i in range(1 << mcs)] + [None, None]
+            width, prev = mcs + 1, None
+            continue
+        if code == EOI:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)  # the KwKwK special case
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) >= n_expected:
+            break
+    if len(out) < n_expected:
+        raise ValueError(f"GIF LZW underrun: {len(out)} < {n_expected}")
+    return np.array(out[:n_expected], dtype=np.uint8)
+
+
+GIF_COLORS = 16  # global color table size (field value 3: 2^(3+1))
+
+
+def gif_dims(doc_id: int) -> tuple[int, int]:
+    return 6 + int(doc_id) % 9, 4 + int(doc_id) % 5
+
+
+def _gif_palette(doc_id: int) -> np.ndarray:
+    """(16, 3) uint8 RGB global color table, closed form."""
+    j = np.arange(GIF_COLORS, dtype=np.int64)[:, None]
+    c = np.arange(3, dtype=np.int64)[None, :]
+    v = (np.int64(doc_id) * IMG_MIX_A + j * IMG_MIX_B + c * IMG_MIX_C) % 256
+    return v.astype(np.uint8)
+
+
+def _gif_index_pixels(doc_id: int, w: int, h: int) -> np.ndarray:
+    """(h, w) uint8 palette indices in 0..15, closed form (a second
+    mix so index patterns repeat -> the LZW dictionary actually
+    grows)."""
+    p = np.arange(w * h, dtype=np.int64)
+    v = (np.int64(doc_id) * IMG_MIX_B + p * IMG_MIX_C) % GIF_COLORS
+    return v.astype(np.uint8).reshape(h, w)
+
+
+def synthesize_gif(doc_id: int) -> bytes:
+    """A genuine GIF89a: header, logical screen descriptor with a
+    16-color global color table, image descriptor, REAL LZW-compressed
+    index stream in <=255-byte sub-blocks, trailer."""
+    import struct
+
+    w, h = gif_dims(doc_id)
+    pal = _gif_palette(doc_id)
+    idx = _gif_index_pixels(doc_id, w, h)
+    mcs = 4  # 16 colors -> min code size 4
+    lzw = _gif_lzw_encode(idx.reshape(-1), mcs)
+    out = bytearray(b"GIF89a")
+    # GCT present, color resolution 7, sort 0, GCT size field 3 (16)
+    out += struct.pack("<HHBBB", w, h, 0b10110011, 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # no LCT/interlace
+    out.append(mcs)
+    for i in range(0, len(lzw), 255):
+        blk = lzw[i : i + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
+    """Parse a GIF87a/89a with a global color table and ONE
+    non-interlaced image (extensions skipped): real LZW decompression
+    of the index stream, then palette mapping -> (H, W, 3) uint8 RGB.
+    Interlace, local color tables, and missing-GCT files fail
+    loudly."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF container")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    if not flags & 0x80:
+        raise ValueError("GIF without a global color table unsupported")
+    gct_n = 2 << (flags & 0x07)
+    pos = 13
+    pal = np.frombuffer(data, dtype=np.uint8, count=gct_n * 3, offset=pos)
+    pal = pal.reshape(gct_n, 3)
+    pos += gct_n * 3
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            break
+        elif b0 == 0x3B:
+            raise ValueError("GIF trailer before any image")
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    else:
+        raise ValueError("truncated GIF: no image descriptor")
+    _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+    pos += 10
+    if iflags & 0x80:
+        raise ValueError("GIF local color tables unsupported")
+    if iflags & 0x40:
+        raise ValueError("interlaced GIF unsupported")
+    if w <= 0 or h <= 0 or w > sw or h > sh:
+        raise ValueError(f"bad GIF image dims {w}x{h} (screen {sw}x{sh})")
+    mcs = data[pos]
+    pos += 1
+    if not 2 <= mcs <= 8:
+        raise ValueError(f"bad GIF min code size {mcs}")
+    lzw = bytearray()
+    while pos < len(data) and data[pos]:
+        ln = data[pos]
+        blk = data[pos + 1 : pos + 1 + ln]
+        if len(blk) != ln:
+            raise ValueError("truncated GIF data sub-block")
+        lzw += blk
+        pos += 1 + ln
+    idx = _gif_lzw_decode(bytes(lzw), mcs, w * h)
+    if int(idx.max(initial=0)) >= gct_n:
+        raise ValueError("GIF index outside the color table")
+    return pal[idx].reshape(h, w, 3)
+
+
+def synthesize_gif_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, media_type, media) with REAL LZW-compressed GIFs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "image/gif",
+                    "media": [synthesize_gif(int(i)) for i in ids],
+                }
+            )
+
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("media_type", StringType(), False),
+                StructField("media", BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def gif_features(media_df: DataFrame) -> DataFrame:
+    """Decode every ``image/gif`` blob (REAL LZW) and emit
+    integer-exact dims + RGB channel sums (post-palette-mapping)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["doc_id"].astype("int64"), pdf["media"]):
+                px = decode_image(bytes(blob)).astype(np.int64)
+                h, w = px.shape[:2]
+                sums = px.reshape(-1, 3).sum(axis=0)
+                rows.append(
+                    (int(i), w, h, w * h, int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "r_sum", "g_sum", "b_sum",
+                ],
+            )
+
+    return (
+        media_df.filter(F.col("media_type") == "image/gif")
+        .select("doc_id", "media")
+        .mapInPandas(run, PNG_FEATURES_SCHEMA)
+    )
+
+
+def image_gif_features_sql() -> str:
+    """DuckDB oracle: closed-form index pixels -> closed-form palette
+    channels; the full LZW compress→parse→decompress→palette-map
+    pipeline must land on these sums."""
+    return f"""
+WITH params AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         6 + doc_id % 9 AS w,
+         4 + doc_id % 5 AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM params
+),
+ix AS (
+  SELECT doc_id, w, h,
+         (doc_id * {IMG_MIX_B} + p * {IMG_MIX_C}) % {GIF_COLORS} AS j
+  FROM px
+),
+chans AS (
+  SELECT doc_id, w, h,
+         (doc_id * {IMG_MIX_A} + j * {IMG_MIX_B} + 0) % 256 AS r,
+         (doc_id * {IMG_MIX_A} + j * {IMG_MIX_B} + {IMG_MIX_C}) % 256 AS g,
+         (doc_id * {IMG_MIX_A} + j * {IMG_MIX_B} + {2 * IMG_MIX_C}) % 256 AS b
+  FROM ix
 )
 SELECT doc_id,
        any_value(w)::INTEGER AS width,

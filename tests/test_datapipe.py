@@ -1336,3 +1336,79 @@ class TestPngColorTypes:
         px = rng.integers(0, 256, size=(4, 4, 1), dtype=np.uint8)
         with _pytest.raises(ValueError, match="unsupported PNG"):
             M.decode_image(self._write(px, 3))
+
+
+class TestGifReal:
+    """REAL LZW compressed-image path: genuine GIF89a containers,
+    decoded with pure Python+NumPy, bit-exact vs the closed forms."""
+
+    def test_roundtrip_bit_exact(self):
+        import numpy as np
+
+        from bm25spark.datapipe import multimodal as M
+
+        for i in list(range(15)) + [97, 4095, 65535]:
+            w, h = M.gif_dims(i)
+            got = M.decode_image(M.synthesize_gif(i))
+            want = M._gif_palette(i)[
+                M._gif_index_pixels(i, w, h)
+            ].reshape(h, w, 3)
+            assert got.shape == (h, w, 3)
+            assert np.array_equal(got, want), i
+
+    def test_lzw_differential_fuzz(self):
+        """Encoder and decoder agree on random index streams across
+        code widths, dictionary growth, and the 4096 reset."""
+        import numpy as np
+
+        from bm25spark.datapipe import multimodal as M
+
+        rng = np.random.default_rng(0)
+        for trial in range(120):
+            n = int(rng.integers(1, 3000))
+            mcs = int(rng.integers(2, 9))
+            idx = rng.integers(0, 1 << mcs, size=n)
+            if trial % 3 == 0:  # repetitive -> dictionary actually grows
+                idx = np.tile(idx[: max(1, n // 10)], 10)[:n]
+            dec = M._gif_lzw_decode(
+                M._gif_lzw_encode(idx, mcs), mcs, len(idx)
+            )
+            assert np.array_equal(dec, idx), (trial, mcs, n)
+
+    def test_extension_blocks_skipped(self):
+        """A Graphic Control Extension before the image descriptor
+        (what real encoders emit) is skipped, not fatal."""
+        import numpy as np
+
+        from bm25spark.datapipe import multimodal as M
+
+        blob = M.synthesize_gif(5)
+        gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        pos = blob.index(b"\x2c")
+        patched = blob[:pos] + gce + blob[pos:]
+        assert np.array_equal(M.decode_image(patched), M.decode_image(blob))
+
+    def test_corruption_fails_loudly(self):
+        import pytest as _pytest
+
+        from bm25spark.datapipe import multimodal as M
+
+        good = M.synthesize_gif(5)
+        with _pytest.raises(ValueError, match="global color table"):
+            b = bytearray(good)
+            b[10] &= 0x7F  # clear GCT flag
+            M.decode_image(bytes(b))
+        with _pytest.raises(ValueError, match="interlaced"):
+            b = bytearray(good)
+            b[good.index(b"\x2c") + 9] |= 0x40
+            M.decode_image(bytes(b))
+        with _pytest.raises(ValueError, match="truncated|underrun"):
+            M.decode_image(good[:-10])
+
+    def test_spark_features_match_oracle(self, spark, docs):
+        from bm25spark.datapipe import multimodal as M
+
+        assert_matches(
+            M.gif_features(M.synthesize_gif_media(docs)).orderBy("doc_id"),
+            M.image_gif_features_sql(),
+        )
