@@ -67,6 +67,31 @@ def _wand_q(tokens: list[str], k: int):
     return run
 
 
+def _both_paths_q(tokens: list[str], k: int):
+    """Q3 (exact Catalyst scorer) and J2/Q1 (indexed WAND kernel) in
+    ONE gate entry: both paths answer the same query and must agree
+    with the single shared oracle row-for-row. Collapsing the former
+    bm25_exact_*/bm25_wand_* pairs keeps the whole registry inside the
+    driver's 50-entry CORRECTNESS recording window (round-5 overflowed
+    it) without losing either code path's hash pin."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        def lab(df: DataFrame, p: str) -> DataFrame:
+            return df.select(
+                F.lit(p).alias("path"),
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                "score",
+            )
+
+        e = lab(_exact_q(tokens, k)(spark, sf_dir), "exact")
+        w = lab(_wand_q(tokens, k)(spark, sf_dir), "wand")
+        return e.unionByName(w).orderBy("path", F.desc("score"), "doc_id")
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from bm25spark import stats
 
@@ -80,74 +105,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         have_wand = False
 
     for name, (tokens, k) in _QUERY_SETS.items():
-        out[f"bm25_exact_{name}"] = _exact_q(tokens, k)
         if have_wand:
-            out[f"bm25_wand_{name}"] = _wand_q(tokens, k)
+            out[f"bm25_{name}"] = _both_paths_q(tokens, k)
+        else:
+            out[f"bm25_exact_{name}"] = _exact_q(tokens, k)
 
     if have_wand:
 
-        def _dist_q(tokens: list[str], k: int):
-            def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-                from pyspark.sql import functions as F
-
-                from bm25spark.api import index_for_parquet
-                from bm25spark.distributed import search_distributed
-
-                idx = index_for_parquet(
-                    spark, f"{sf_dir}/documents.parquet", "text", ["doc_id"]
-                )
-                return search_distributed(
-                    spark, idx.index_dir, " ".join(tokens), k
-                ).select(F.col("doc_id").cast("bigint").alias("doc_id"), "score")
-
-            return run
-
-        toks, kk = _QUERY_SETS["q_multi"]
-        out["bm25_dist_q_multi"] = _dist_q(toks, kk)
-
-        def _dist_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-            """Batched serving: every _QUERY_SETS query answered by ONE
-            Spark job (per-shard tasks decode each term once and run
-            the kernel once per query); per-query results identical to
-            the single-query path."""
+        def _dist_q_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+            """Single-query shard-parallel serving matrix in one entry
+            (formerly bm25_dist_q_multi / _prefilter / _pruned):
+            - plain: per-shard WAND tasks, global top-k
+            - prefilter: P3 allowlist (fetcher.rs:180-216) — full-corpus
+              statistics, candidates restricted before they count to k
+            - pruned: prefilter + the θ-seeded exact decode pre-cut
+              forced through the tasks (prune_min_bytes=0); pruning is
+              a decode/IO saver, never a semantics change, so 'pruned'
+              rows must equal 'prefilter' rows exactly."""
             from pyspark.sql import functions as F
 
             from bm25spark.api import index_for_parquet
-            from bm25spark.distributed import search_distributed_batch
+            from bm25spark.distributed import search_distributed
 
             idx = index_for_parquet(
                 spark, f"{sf_dir}/documents.parquet", "text", ["doc_id"]
             )
-            qs = {
-                name: " ".join(tokens)
-                for name, (tokens, _) in _QUERY_SETS.items()
-            }
-            return search_distributed_batch(spark, idx.index_dir, qs, 10).select(
-                "query_id",
-                F.col("doc_id").cast("bigint").alias("doc_id"),
-                "score",
+            allowed = (
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .filter(F.col("doc_id") % 2 == 0)
+                .select("doc_id")
+            )
+            q = "merge spark window"
+
+            def lab(df: DataFrame, m: str) -> DataFrame:
+                return df.select(
+                    F.lit(m).alias("mode"),
+                    F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "score",
+                )
+
+            plain = search_distributed(spark, idx.index_dir, q, 10)
+            pre = search_distributed(
+                spark, idx.index_dir, q, 10, prefilter=allowed
+            )
+            pruned = search_distributed(
+                spark, idx.index_dir, q, 10,
+                prefilter=allowed, prune_min_bytes=0,
+            )
+            return (
+                lab(plain, "plain")
+                .unionByName(lab(pre, "prefilter"))
+                .unionByName(lab(pruned, "pruned"))
+                .orderBy("mode", F.desc("score"), "doc_id")
             )
 
-        out["bm25_dist_batch"] = _dist_batch
+        out["bm25_dist_q_modes"] = _dist_q_modes
 
-        def _dist_batch_del(spark: SparkSession, sf_dir: str) -> DataFrame:
-            """Batched serving against an index with deletions (P4 in
-            the batch path): every %5==0 payload key is tombstoned via
-            maintain.delete, and the tombstones route through the same
-            per-shard cogroup mask as the single-query path — the
-            reference applies its deleted filter on every scan
-            (bulkdelete.rs:20-112, search.rs:112-118). Statistics stay
-            sealed (full-corpus) until vacuum."""
+        def _dist_batch_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+            """Batched serving matrix in one entry (formerly
+            bm25_dist_batch / _batch_del / _batch_pruned):
+            - plain: every _QUERY_SETS query answered by ONE Spark job
+              (per-shard tasks decode each term once, run the kernel
+              once per query)
+            - tombstone: P4 in the batch path — every %5==0 payload
+              key tombstoned via maintain.delete, routed through the
+              same per-shard cogroup mask as the single-query path
+              (the reference applies its deleted filter on every scan,
+              bulkdelete.rs:20-112, search.rs:112-118); statistics
+              stay sealed (full-corpus) until vacuum
+            - tombstone_pruned: same index, batched union-of-keeps
+              decode pre-cut forced (prune_blocks_batch with
+              tombstones live) — must equal 'tombstone' exactly."""
             import tempfile
 
             from pyspark.sql import functions as F
 
+            from bm25spark.api import index_for_parquet
             from bm25spark.build import build_index
             from bm25spark.config import Bm25Config
             from bm25spark.distributed import search_distributed_batch
             from bm25spark.maintain import _tombstones_df, delete
 
             docs = _docs(spark, sf_dir)
+            qs = {
+                name: " ".join(tokens)
+                for name, (tokens, _) in _QUERY_SETS.items()
+            }
+            idx = index_for_parquet(
+                spark, f"{sf_dir}/documents.parquet", "text", ["doc_id"]
+            )
             d = tempfile.mkdtemp(prefix="bm25spark-batchdel-gate-")
             build_index(
                 spark, docs, d, "text", ["doc_id"],
@@ -156,113 +202,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             delete(
                 spark, d, docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
             )
-            qs = {
-                name: " ".join(tokens)
-                for name, (tokens, _) in _QUERY_SETS.items()
-            }
-            return search_distributed_batch(
-                spark, d, qs, 10, blocked=_tombstones_df(spark, d)
-            ).select(
-                "query_id",
-                F.col("doc_id").cast("bigint").alias("doc_id"),
-                "score",
+            blocked = _tombstones_df(spark, d)
+
+            def lab(df: DataFrame, m: str) -> DataFrame:
+                return df.select(
+                    F.lit(m).alias("mode"),
+                    "query_id",
+                    F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "score",
+                )
+
+            plain = search_distributed_batch(spark, idx.index_dir, qs, 10)
+            tomb = search_distributed_batch(spark, d, qs, 10, blocked=blocked)
+            pruned = search_distributed_batch(
+                spark, d, qs, 10, blocked=blocked, prune_min_bytes=0
+            )
+            return (
+                lab(plain, "plain")
+                .unionByName(lab(tomb, "tombstone"))
+                .unionByName(lab(pruned, "tombstone_pruned"))
+                .orderBy("mode", "query_id", F.desc("score"), "doc_id")
             )
 
-        out["bm25_dist_batch_del"] = _dist_batch_del
-
-        def _dist_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
-            """P3 in the scale path: per-shard cogrouped allowlist mask.
-            Prefilter semantics = full-corpus statistics, candidates
-            restricted before they count toward k (fetcher.rs:180-216)."""
-            from pyspark.sql import functions as F
-
-            from bm25spark.api import index_for_parquet
-            from bm25spark.distributed import search_distributed
-
-            idx = index_for_parquet(
-                spark, f"{sf_dir}/documents.parquet", "text", ["doc_id"]
-            )
-            allowed = (
-                spark.read.parquet(f"{sf_dir}/documents.parquet")
-                .filter(F.col("doc_id") % 2 == 0)
-                .select("doc_id")
-            )
-            return search_distributed(
-                spark, idx.index_dir, "merge spark window", 10, prefilter=allowed
-            ).select(F.col("doc_id").cast("bigint").alias("doc_id"), "score")
-
-        out["bm25_dist_q_prefilter"] = _dist_prefilter
-
-        def _dist_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-            """The θ-seeded exact decode pre-cut forced through the
-            real Spark tasks (prune_min_bytes=0 — the size gate
-            normally skips pruning on shards this small), composed
-            with a prefilter so the masked-θ path is exercised too.
-            Results must equal bm25_dist_q_prefilter exactly (same
-            oracle): pruning is a decode/IO saver, never a semantics
-            change."""
-            from pyspark.sql import functions as F
-
-            from bm25spark.api import index_for_parquet
-            from bm25spark.distributed import search_distributed
-
-            idx = index_for_parquet(
-                spark, f"{sf_dir}/documents.parquet", "text", ["doc_id"]
-            )
-            allowed = (
-                spark.read.parquet(f"{sf_dir}/documents.parquet")
-                .filter(F.col("doc_id") % 2 == 0)
-                .select("doc_id")
-            )
-            return search_distributed(
-                spark,
-                idx.index_dir,
-                "merge spark window",
-                10,
-                prefilter=allowed,
-                prune_min_bytes=0,
-            ).select(F.col("doc_id").cast("bigint").alias("doc_id"), "score")
-
-        out["bm25_dist_q_pruned"] = _dist_pruned
-
-        def _dist_batch_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-            """Batched union-of-queries decode pre-cut forced through
-            the Spark tasks (prune_blocks_batch with tombstones live):
-            per-query results must equal bm25_dist_batch_del exactly
-            (same oracle)."""
-            import tempfile
-
-            from pyspark.sql import functions as F
-
-            from bm25spark.build import build_index
-            from bm25spark.config import Bm25Config
-            from bm25spark.distributed import search_distributed_batch
-            from bm25spark.maintain import _tombstones_df, delete
-
-            docs = _docs(spark, sf_dir)
-            d = tempfile.mkdtemp(prefix="bm25spark-batchprune-gate-")
-            build_index(
-                spark, docs, d, "text", ["doc_id"],
-                cfg=Bm25Config(shard_size=1 << 14),
-            )
-            delete(
-                spark, d, docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
-            )
-            qs = {
-                name: " ".join(tokens)
-                for name, (tokens, _) in _QUERY_SETS.items()
-            }
-            return search_distributed_batch(
-                spark, d, qs, 10,
-                blocked=_tombstones_df(spark, d),
-                prune_min_bytes=0,
-            ).select(
-                "query_id",
-                F.col("doc_id").cast("bigint").alias("doc_id"),
-                "score",
-            )
-
-        out["bm25_dist_batch_pruned"] = _dist_batch_pruned
+        out["bm25_dist_batch_modes"] = _dist_batch_modes
 
     out["corpus_stats"] = lambda spark, sf: stats.corpus_stats(spark, _docs(spark, sf))
     out["term_df_top50"] = lambda spark, sf: stats.term_df(spark, _docs(spark, sf), 50)
@@ -415,11 +377,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bm25_tokenize_mappings"] = _tokenize_mappings
 
-    def _delta_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """O6/Q4 gate: sealed index over doc_id%3!=0, delta = the %3==0
-        docs, delete every %7==0 key (tombstones sealed docs AND masks
-        the earlier delta inserts), then re-insert the %21==0 docs —
-        the re-inserted keys must be live again (sequenced tombstones).
+    def _delta_mutated_index(spark: SparkSession, sf_dir: str) -> str:
+        """Shared mutation sequence for the growing∪sealed entries:
+        sealed index over doc_id%3!=0, insert the %3==0 docs as delta,
+        delete every %7==0 key (tombstones sealed docs AND masks the
+        earlier delta inserts), then re-insert the %21==0 docs — the
+        re-inserted keys must be live again (sequenced tombstones).
         Statistics stay sealed-only (stale) until vacuum."""
         import tempfile
 
@@ -427,7 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from bm25spark.build import build_index
         from bm25spark.config import Bm25Config
-        from bm25spark.maintain import delete, insert, search_with_delta_df
+        from bm25spark.maintain import delete, insert
 
         docs = _docs(spark, sf_dir)
         d = tempfile.mkdtemp(prefix="bm25spark-delta-gate-")
@@ -441,149 +404,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         insert(spark, d, docs.filter(F.col("doc_id") % 3 == 0), "text")
         delete(
-            spark,
-            d,
-            docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
-        )
-        insert(spark, d, docs.filter(F.col("doc_id") % 21 == 0), "text")
-        out = search_with_delta_df(spark, d, "merge spark window", 100, "text")
-        return out.select(
-            F.col("doc_id").cast("bigint").alias("doc_id"), "score"
-        )
-
-    out["bm25_delta_search"] = _delta_search
-
-    def _delta_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Batched growing∪sealed serving: the same mutation sequence
-        as bm25_delta_search (sealed %3!=0, insert %3==0, delete %7,
-        re-insert %21), then ALL five query sets answered in one
-        sealed batch job + one delta Catalyst plan — per-query results
-        identical to search_with_delta_df."""
-        import tempfile
-
-        from pyspark.sql import functions as F
-
-        from bm25spark.build import build_index
-        from bm25spark.config import Bm25Config
-        from bm25spark.maintain import (
-            delete,
-            insert,
-            search_with_delta_batch_df,
-        )
-
-        docs = _docs(spark, sf_dir)
-        d = tempfile.mkdtemp(prefix="bm25spark-deltabatch-gate-")
-        build_index(
-            spark,
-            docs.filter(F.col("doc_id") % 3 != 0),
-            d,
-            "text",
-            ["doc_id"],
-            cfg=Bm25Config(shard_size=1 << 14),
-        )
-        insert(spark, d, docs.filter(F.col("doc_id") % 3 == 0), "text")
-        delete(
             spark, d, docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
         )
         insert(spark, d, docs.filter(F.col("doc_id") % 21 == 0), "text")
-        qs = {
-            name: " ".join(tokens)
-            for name, (tokens, _) in _QUERY_SETS.items()
-        }
-        return search_with_delta_batch_df(spark, d, qs, 20, "text").select(
-            "query_id",
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            "score",
-        )
+        return d
 
-    out["bm25_delta_batch"] = _delta_batch
-
-    def _delta_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """P3 composed with O6: the same mutation sequence as
-        bm25_delta_search, searched with a payload-key prefilter
-        (doc_id %2 == 0) applied to BOTH segments — sealed stats stay
-        whole-corpus, candidates restricted before they count toward
-        k, exactly like the single-segment prefilter."""
-        import tempfile
-
+    def _delta_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """O6/Q4 gate (formerly bm25_delta_search + bm25_delta_prefilter,
+        one shared mutated index):
+        - plain: growing∪sealed single-query search
+        - prefilter: P3 composed with O6 — payload-key prefilter
+          (doc_id %2 == 0) applied to BOTH segments; sealed stats stay
+          whole-corpus, candidates restricted before they count to k."""
         from pyspark.sql import functions as F
 
-        from bm25spark.build import build_index
-        from bm25spark.config import Bm25Config
-        from bm25spark.maintain import delete, insert, search_with_delta_df
+        from bm25spark.maintain import search_with_delta_df
 
-        docs = _docs(spark, sf_dir)
-        d = tempfile.mkdtemp(prefix="bm25spark-deltapre-gate-")
-        build_index(
-            spark,
-            docs.filter(F.col("doc_id") % 3 != 0),
-            d,
-            "text",
-            ["doc_id"],
-            cfg=Bm25Config(shard_size=1 << 14),
+        d = _delta_mutated_index(spark, sf_dir)
+        allowed = (
+            _docs(spark, sf_dir)
+            .filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id")
         )
-        insert(spark, d, docs.filter(F.col("doc_id") % 3 == 0), "text")
-        delete(
-            spark, d, docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
-        )
-        insert(spark, d, docs.filter(F.col("doc_id") % 21 == 0), "text")
-        allowed = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
-        out_df = search_with_delta_df(
+
+        def lab(df: DataFrame, m: str) -> DataFrame:
+            return df.select(
+                F.lit(m).alias("mode"),
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                "score",
+            )
+
+        plain = search_with_delta_df(spark, d, "merge spark window", 100, "text")
+        pre = search_with_delta_df(
             spark, d, "merge spark window", 100, "text", prefilter=allowed
         )
-        return out_df.select(
-            F.col("doc_id").cast("bigint").alias("doc_id"), "score"
+        return (
+            lab(plain, "plain")
+            .unionByName(lab(pre, "prefilter"))
+            .orderBy("mode", F.desc("score"), "doc_id")
         )
 
-    out["bm25_delta_prefilter"] = _delta_prefilter
+    out["bm25_delta_modes"] = _delta_modes
 
-    def _delta_batch_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """The last cell of the serving matrix (batch × growing∪sealed
-        × tombstones+prefilter): the same mutation sequence as
-        bm25_delta_batch, answered for all five query sets with a
-        payload-key prefilter (doc_id %2 == 0) applied to both legs of
-        every query — one sealed batch job + one delta Catalyst plan."""
-        import tempfile
-
+    def _delta_batch_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batched growing∪sealed serving matrix (formerly
+        bm25_delta_batch + bm25_delta_batch_prefilter, one shared
+        mutated index): ALL five query sets answered in one sealed
+        batch job + one delta Catalyst plan per mode, the prefilter
+        mode applying the payload-key allowlist (doc_id %2 == 0) to
+        both legs of every query — the full serving matrix's last
+        cells (batch × growing∪sealed × tombstone ± prefilter)."""
         from pyspark.sql import functions as F
 
-        from bm25spark.build import build_index
-        from bm25spark.config import Bm25Config
-        from bm25spark.maintain import (
-            delete,
-            insert,
-            search_with_delta_batch_df,
-        )
+        from bm25spark.maintain import search_with_delta_batch_df
 
-        docs = _docs(spark, sf_dir)
-        d = tempfile.mkdtemp(prefix="bm25spark-deltabatchpre-gate-")
-        build_index(
-            spark,
-            docs.filter(F.col("doc_id") % 3 != 0),
-            d,
-            "text",
-            ["doc_id"],
-            cfg=Bm25Config(shard_size=1 << 14),
+        d = _delta_mutated_index(spark, sf_dir)
+        allowed = (
+            _docs(spark, sf_dir)
+            .filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id")
         )
-        insert(spark, d, docs.filter(F.col("doc_id") % 3 == 0), "text")
-        delete(
-            spark, d, docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
-        )
-        insert(spark, d, docs.filter(F.col("doc_id") % 21 == 0), "text")
-        allowed = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
         qs = {
             name: " ".join(tokens)
             for name, (tokens, _) in _QUERY_SETS.items()
         }
-        return search_with_delta_batch_df(
+
+        def lab(df: DataFrame, m: str) -> DataFrame:
+            return df.select(
+                F.lit(m).alias("mode"),
+                "query_id",
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                "score",
+            )
+
+        plain = search_with_delta_batch_df(spark, d, qs, 20, "text")
+        pre = search_with_delta_batch_df(
             spark, d, qs, 20, "text", prefilter=allowed
-        ).select(
-            "query_id",
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            "score",
+        )
+        return (
+            lab(plain, "plain")
+            .unionByName(lab(pre, "prefilter"))
+            .orderBy("mode", "query_id", F.desc("score"), "doc_id")
         )
 
-    out["bm25_delta_batch_prefilter"] = _delta_batch_prefilter
+    out["bm25_delta_batch_modes"] = _delta_batch_modes
 
     def _partial_index_slt(spark: SparkSession, sf_dir: str) -> DataFrame:
         """The reference's second sqllogictest (bm25query.slt:20-46):
@@ -643,7 +547,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(dp_registry())
     except ImportError:
         pass
-    return out
+    # the driver records the first 50 registry entries: keep the
+    # registry at <=50 (round-6 collapsed the redundant pairs) AND
+    # front-load the entries that have not yet received a driver
+    # CORRECTNESS row, so a future overflow can never hide them again
+    _priority = [
+        "ann_pq_topk",
+        "text_decontaminate",
+        "image_jpeg_features",
+        "image_container_features",
+        "bm25_dist_q_modes",
+        "bm25_dist_batch_modes",
+        "bm25_delta_modes",
+        "bm25_delta_batch_modes",
+    ]
+    front = {k: out[k] for k in _priority if k in out}
+    front.update((k, v) for k, v in out.items() if k not in front)
+    return front
 
 
 def oracle_sql() -> dict[str, str]:
@@ -659,41 +579,60 @@ def oracle_sql() -> dict[str, str]:
 
     for name, (tokens, k) in _QUERY_SETS.items():
         sql = oracle.bm25_topk_sql(tokens, k)
-        out[f"bm25_exact_{name}"] = sql
         if have_wand:
-            out[f"bm25_wand_{name}"] = sql
+            # both code paths (exact Catalyst scorer / indexed WAND
+            # kernel) against the SAME oracle rows, labeled
+            out[f"bm25_{name}"] = (
+                f"SELECT 'exact' AS path, doc_id, score FROM ({sql})\n"
+                f"UNION ALL\nSELECT 'wand' AS path, doc_id, score FROM ({sql})\n"
+                "ORDER BY path, score DESC, doc_id"
+            )
+        else:
+            out[f"bm25_exact_{name}"] = sql
 
     if have_wand:
         toks, kk = _QUERY_SETS["q_multi"]
-        out["bm25_dist_q_multi"] = oracle.bm25_topk_sql(toks, kk)
-        # batched serving oracle: per-query single oracles, unioned
-        out["bm25_dist_batch"] = "\nUNION ALL\n".join(
-            f"SELECT '{name}' AS query_id, * FROM ("
-            + oracle.bm25_topk_sql(tokens, 10)
-            + ")"
-            for name, (tokens, _) in _QUERY_SETS.items()
-        ) + "\nORDER BY query_id, score DESC, doc_id"
-        # prefilter = full-corpus stats, restricted candidates — the
-        # sealed_pred/live_pred generator expresses exactly that
-        out["bm25_dist_q_prefilter"] = oracle.bm25_delta_topk_sql(
+        # single-query serving matrix: plain = whole-corpus top-k;
+        # prefilter = full-corpus stats, restricted candidates (the
+        # sealed_pred/live_pred generator expresses exactly that);
+        # pruned = forced decode pruning, a pure decode/IO saver with
+        # identical semantics to prefilter
+        _plain_sql = oracle.bm25_topk_sql(toks, 10)
+        _pre_sql = oracle.bm25_delta_topk_sql(
             toks, 10, sealed_pred="TRUE", live_pred="((doc_id % 2) = 0)"
         )
-        # forced decode pruning is a pure decode/IO saver: identical
-        # semantics, identical oracles
-        out["bm25_dist_q_pruned"] = out["bm25_dist_q_prefilter"]
-        # batched serving with tombstones: sealed (full-corpus) stats,
-        # deleted docs excluded from candidates — per-query oracles
-        # unioned, mirroring queries()["bm25_dist_batch_del"]
-        out["bm25_dist_batch_del"] = "\nUNION ALL\n".join(
-            f"SELECT '{name}' AS query_id, * FROM ("
-            + oracle.bm25_delta_topk_sql(
+        out["bm25_dist_q_modes"] = (
+            f"SELECT 'plain' AS mode, doc_id, score FROM ({_plain_sql})\n"
+            f"UNION ALL\nSELECT 'prefilter' AS mode, doc_id, score FROM ({_pre_sql})\n"
+            f"UNION ALL\nSELECT 'pruned' AS mode, doc_id, score FROM ({_pre_sql})\n"
+            "ORDER BY mode, score DESC, doc_id"
+        )
+
+        # batched serving matrix: per-query single oracles unioned per
+        # mode; tombstone modes = sealed (full-corpus) stats, deleted
+        # docs excluded from candidates; forced batch pruning changes
+        # nothing semantically (same oracle rows as tombstone)
+        def _batch_union(mode: str, sql_for) -> str:
+            return "\nUNION ALL\n".join(
+                f"SELECT '{mode}' AS mode, '{name}' AS query_id,"
+                f" doc_id, score FROM (" + sql_for(tokens) + ")"
+                for name, (tokens, _) in _QUERY_SETS.items()
+            )
+
+        def _del_sql(tokens: list[str]) -> str:
+            return oracle.bm25_delta_topk_sql(
                 tokens, 10, sealed_pred="TRUE",
                 live_pred="((doc_id % 5) <> 0)",
             )
-            + ")"
-            for name, (tokens, _) in _QUERY_SETS.items()
-        ) + "\nORDER BY query_id, score DESC, doc_id"
-        out["bm25_dist_batch_pruned"] = out["bm25_dist_batch_del"]
+
+        out["bm25_dist_batch_modes"] = (
+            _batch_union("plain", lambda t: oracle.bm25_topk_sql(t, 10))
+            + "\nUNION ALL\n"
+            + _batch_union("tombstone", _del_sql)
+            + "\nUNION ALL\n"
+            + _batch_union("tombstone_pruned", _del_sql)
+            + "\nORDER BY mode, query_id, score DESC, doc_id"
+        )
 
     out["bm25_tokenize_mappings"] = oracle.tokenize_mappings_sql()
     out["corpus_stats"] = oracle.corpus_stats_sql()
@@ -750,44 +689,39 @@ def oracle_sql() -> dict[str, str]:
         "(((doc_id % 3) <> 0 AND (doc_id % 7) <> 0)"
         " OR ((doc_id % 3) = 0 AND ((doc_id % 7) <> 0 OR (doc_id % 21) = 0)))"
     )
-    out["bm25_delta_search"] = oracle.bm25_delta_topk_sql(
-        ["merge", "spark", "window"],
-        100,
-        sealed_pred="(doc_id % 3) <> 0",
-        live_pred=_DELTA_LIVE_PRED,
+    _DELTA_PRE_PRED = f"({_DELTA_LIVE_PRED} AND (doc_id % 2) = 0)"
+    # plain = growing∪sealed with stale sealed stats; prefilter = P3 ∘
+    # O6, candidates further restricted to the prefilter's keys with
+    # statistics unchanged
+    _dm_plain = oracle.bm25_delta_topk_sql(
+        ["merge", "spark", "window"], 100,
+        sealed_pred="(doc_id % 3) <> 0", live_pred=_DELTA_LIVE_PRED,
     )
-    # P3 ∘ O6: same mutation predicates, candidates further restricted
-    # to the prefilter's keys; statistics unchanged
-    out["bm25_delta_prefilter"] = oracle.bm25_delta_topk_sql(
-        ["merge", "spark", "window"],
-        100,
-        sealed_pred="(doc_id % 3) <> 0",
-        live_pred=f"({_DELTA_LIVE_PRED} AND (doc_id % 2) = 0)",
+    _dm_pre = oracle.bm25_delta_topk_sql(
+        ["merge", "spark", "window"], 100,
+        sealed_pred="(doc_id % 3) <> 0", live_pred=_DELTA_PRE_PRED,
     )
-    # batched growing∪sealed: per-query oracles with the same mutation
-    # predicates, unioned — mirrors queries()["bm25_delta_batch"]
-    out["bm25_delta_batch"] = "\nUNION ALL\n".join(
-        f"SELECT '{name}' AS query_id, * FROM ("
+    out["bm25_delta_modes"] = (
+        f"SELECT 'plain' AS mode, doc_id, score FROM ({_dm_plain})\n"
+        f"UNION ALL\nSELECT 'prefilter' AS mode, doc_id, score FROM ({_dm_pre})\n"
+        "ORDER BY mode, score DESC, doc_id"
+    )
+    # batched growing∪sealed matrix: per-query oracles with the same
+    # mutation predicates, unioned per mode — mirrors
+    # queries()["bm25_delta_batch_modes"]
+    out["bm25_delta_batch_modes"] = "\nUNION ALL\n".join(
+        f"SELECT '{mode}' AS mode, '{name}' AS query_id, doc_id, score FROM ("
         + oracle.bm25_delta_topk_sql(
             tokens, 20,
             sealed_pred="(doc_id % 3) <> 0",
-            live_pred=_DELTA_LIVE_PRED,
+            live_pred=pred,
         )
         + ")"
-        for name, (tokens, _) in _QUERY_SETS.items()
-    ) + "\nORDER BY query_id, score DESC, doc_id"
-    # batch × delta × tombstones+prefilter (the full matrix): per-query
-    # oracles with the mutation predicates AND the prefilter key set
-    out["bm25_delta_batch_prefilter"] = "\nUNION ALL\n".join(
-        f"SELECT '{name}' AS query_id, * FROM ("
-        + oracle.bm25_delta_topk_sql(
-            tokens, 20,
-            sealed_pred="(doc_id % 3) <> 0",
-            live_pred=f"({_DELTA_LIVE_PRED} AND (doc_id % 2) = 0)",
+        for mode, pred in (
+            ("plain", _DELTA_LIVE_PRED), ("prefilter", _DELTA_PRE_PRED)
         )
-        + ")"
         for name, (tokens, _) in _QUERY_SETS.items()
-    ) + "\nORDER BY query_id, score DESC, doc_id"
+    ) + "\nORDER BY mode, query_id, score DESC, doc_id"
 
     from bm25spark.streaming import sessionize_events_sql
 

@@ -1530,3 +1530,20 @@ SELECT doc_id,
 FROM chans
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def image_container_features_sql() -> str:
+    """Combined oracle for the three container-image decode paths
+    (BMP struct parse, PNG inflate+unfilter, GIF LZW) — one labeled
+    union, mirroring the single image_container_features gate entry.
+    Column order is normalized per format (BMP's SQL emits b,g,r)."""
+    parts = [
+        f"SELECT '{fmt}' AS fmt, doc_id, width, height, n_pixels,"
+        f" r_sum, g_sum, b_sum FROM ({sql})"
+        for fmt, sql in (
+            ("bmp", image_bmp_features_sql()),
+            ("gif", image_gif_features_sql()),
+            ("png", image_png_features_sql()),
+        )
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY fmt, doc_id"
