@@ -1165,6 +1165,62 @@ def _pq_encode(vecs: np.ndarray, books: np.ndarray, quant: int) -> np.ndarray:
     ).astype(np.int64)
 
 
+def pq_adc_candidates(
+    emb: DataFrame,
+    books: np.ndarray,
+    luts: np.ndarray,
+    pids: np.ndarray,
+    pool: int = PQ_POOL,
+    quant: int = LSH_QUANT,
+) -> DataFrame:
+    """ONE Arrow-batched corpus pass: encode each vector against the
+    broadcast codebooks and accumulate its asymmetric distance to
+    every probe through the probe's (m, ks) LUT. Each batch emits only
+    its batch-local top-``pool`` per probe by (adc, vec_id) — the
+    global window's exact total order, so the cut is provably lossless
+    for the downstream per-probe top-``pool`` — bounding the shuffle
+    at O(batches·P·pool) rows regardless of corpus size."""
+    import pandas as pd
+
+    spark = emb.sparkSession
+    b = spark.sparkContext.broadcast((books, luts, pids))
+
+    def adc_scan(batches):
+        books_, luts_, pids_ = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["embedding"].to_list(), dtype=np.float64)
+            codes = _pq_encode(vecs, books_, quant)  # (n, m)
+            n = len(codes)
+            # adc[p, v] = sum_s luts[p, s, codes[v, s]]
+            sub = np.arange(books_.shape[0])[None, :]
+            per = luts_[:, sub, codes[:, None, :]]  # (P, n, 1, m) fancy
+            adc = per.reshape(len(pids_), n, -1).sum(axis=2)
+            vid = pdf["vec_id"].to_numpy(np.int64)
+            pp = min(pool, n)
+            out = []
+            for qi in range(len(pids_)):
+                row = adc[qi]
+                # batch-local top-pool, ties by vec_id asc — the
+                # global window's exact order, so the cut is lossless
+                order = np.lexsort((vid, row))[:pp]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "probe_id": pids_[qi],
+                            "vec_id": vid[order],
+                            "adc": row[order],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    ).mapInPandas(adc_scan, "probe_id bigint, vec_id bigint, adc bigint")
+
+
 def ann_pq_topk(
     emb: DataFrame,
     probes=None,
@@ -1187,8 +1243,13 @@ def ann_pq_topk(
     100-TB shape: the scan emits (probe, vec, adc) map-side from an
     8-byte code per vector — at scale the codes would be a persisted
     artifact like :func:`build_ivf_index`'s and the LUT add replaces
-    any float read of the corpus; the only shuffle is the per-probe
-    top-``pool`` window over n·P smallint-weight rows."""
+    any float read of the corpus; each Arrow batch keeps only its
+    batch-local top-``pool`` per probe (total order (adc, vec_id),
+    identical to the global window's, so no global survivor can be
+    cut early — the same lossless argument as
+    :func:`ann_cosine_topk_kernel`'s partition-local cut), and the
+    only shuffle is the per-probe top-``pool`` window over
+    O(batches·P·pool) rows instead of n·P."""
     import pandas as pd
 
     probes = probes if probes is not None else PROBES
@@ -1215,32 +1276,7 @@ def ann_pq_topk(
         [_sq_dists(pq_[:, s * sd : (s + 1) * sd], books[s]) for s in range(m)],
         axis=1,
     )
-    b = spark.sparkContext.broadcast((books, luts, pids))
-
-    def adc_scan(batches):
-        books_, luts_, pids_ = b.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            vecs = np.array(pdf["embedding"].to_list(), dtype=np.float64)
-            codes = _pq_encode(vecs, books_, quant)  # (n, m)
-            n = len(codes)
-            # adc[p, v] = sum_s luts[p, s, codes[v, s]]
-            sub = np.arange(books_.shape[0])[None, :]
-            per = luts_[:, sub, codes[:, None, :]]  # (P, n, 1, m) fancy
-            adc = per.reshape(len(pids_), n, -1).sum(axis=2)
-            vid = pdf["vec_id"].to_numpy(np.int64)
-            yield pd.DataFrame(
-                {
-                    "probe_id": np.repeat(pids_, n),
-                    "vec_id": np.tile(vid, len(pids_)),
-                    "adc": adc.reshape(-1),
-                }
-            )
-
-    adcs = emb.select(
-        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
-    ).mapInPandas(adc_scan, "probe_id bigint, vec_id bigint, adc bigint")
+    adcs = pq_adc_candidates(emb, books, luts, pids, pool=pool, quant=quant)
     wpool = Window.partitionBy("probe_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     cands = (
         adcs.withColumn("rn", F.row_number().over(wpool))

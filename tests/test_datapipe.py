@@ -1238,6 +1238,49 @@ class TestPQ:
         # nothing about the ADC path)
         assert any(ex[p] != got.get(p, set()) for p in ex)
 
+    def test_adc_scan_rowcount_bound(self, spark, emb):
+        """Plan guard for the batch-local top-pool cut: the pre-window
+        candidate frame carries at most batches*P*pool rows (NOT n*P),
+        and the cut is lossless — ann_pq_topk's output is unchanged
+        (pinned separately by the oracle differential above)."""
+        from bm25spark.datapipe import similarity as S
+
+        rows = sorted(
+            (tuple(r) for r in emb.select("vec_id", "embedding").collect()),
+        )
+        tmat = np.array([r[1] for r in rows], dtype=np.float64)
+        books = S.pq_train(tmat)
+        sd = books.shape[2]
+        pr = sorted(
+            emb.filter(F.col("vec_id").isin(S.PROBES)).collect(),
+            key=lambda r: r.vec_id,
+        )
+        pids = np.array([int(r.vec_id) for r in pr], dtype=np.int64)
+        pmat = np.array([r.embedding for r in pr], dtype=np.float64)
+        pq_ = np.floor(pmat * float(S.LSH_QUANT)).astype(np.int64)
+        luts = np.stack(
+            [
+                S._sq_dists(pq_[:, s * sd : (s + 1) * sd], books[s])
+                for s in range(S.PQ_M)
+            ],
+            axis=1,
+        )
+        n = len(rows)
+        assert n > S.PQ_POOL, "corpus must exceed pool for the bound to bite"
+        two = emb.repartition(2)
+        per_part = (
+            two.select("vec_id")
+            .rdd.mapPartitions(lambda it: [sum(1 for _ in it)])
+            .collect()
+        )
+        max_batch = int(
+            spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        )
+        batches = sum(-(-c // max_batch) for c in per_part if c)
+        cnt = S.pq_adc_candidates(two, books, luts, pids).count()
+        assert cnt <= batches * len(pids) * S.PQ_POOL
+        assert cnt < n * len(pids)  # strictly below the uncut size
+
     def test_trainer_invariants(self):
         import numpy as np
         import pytest as _pytest
