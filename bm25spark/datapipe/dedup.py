@@ -488,75 +488,110 @@ def connected_components(
     appearing in at least one pair, labeled with its component id =
     the minimum vertex id reachable through pair edges.
 
-    Iterative min-label propagation: each round is one join + one
-    min-aggregate + a changed-count; rounds needed = graph diameter,
-    and duplicate clusters are near-cliques (docs sharing
-    bands/buckets), so it converges in 2-3 rounds in practice. Labels
-    are eagerly local-checkpointed each round so the plan doesn't grow
-    with the iteration count (the standard hygiene for iterative Spark
-    algorithms); for adversarial long-chain graphs swap in the
-    large-star/small-star formulation — same join shape, O(log n)
-    rounds.
+    Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round rewires
+    every vertex's larger neighbors to its neighborhood minimum
+    (large-star) then its smaller neighbors + itself to that minimum
+    (small-star). Both steps preserve connectivity, shrink the graph
+    toward min-centered stars, and converge in O(log n) rounds — so a
+    diameter-n chain needs ~log2(n) rounds, not n (the min-label
+    propagation this replaces was O(diameter) and raised on long
+    chains). The edge frame is eagerly local-checkpointed each round
+    so the plan doesn't grow with the iteration count.
 
     Returns (out_id, component_id) sorted by out_id.
     """
     p = pairs.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
-    edges = p.unionByName(
-        p.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
-    ).persist()
-    labels = (
-        edges.select(F.col("_a").alias("_v"))
+    vertices = (
+        p.select(F.col("_a").alias("_v"))
+        .unionByName(p.select(F.col("_b").alias("_v")))
         .distinct()
-        .withColumn("label", F.col("_v"))
+        .persist()
+    )
+    e = (
+        p.filter(F.col("_a") != F.col("_b"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    changed = -1
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.unionByName(
+            df.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+        )
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        # m(u) = min(Γ(u) ∪ {u})
+        return (
+            sym.groupBy("_a")
+            .agg(F.min("_b").alias("_nm"))
+            .select("_a", F.least(F.col("_a"), F.col("_nm")).alias("_m"))
+        )
+
+    def _large_star(df: DataFrame) -> DataFrame:
+        # for every u: connect each strictly-larger neighbor to m(u)
+        sym = _sym(df)
+        return (
+            sym.filter(F.col("_b") > F.col("_a"))
+            .join(_mins(sym), "_a")
+            .select(F.col("_b").alias("_a"), F.col("_m").alias("_b"))
+            .filter(F.col("_a") != F.col("_b"))
+            .distinct()
+        )
+
+    def _small_star(df: DataFrame) -> DataFrame:
+        # for every u: connect each not-larger neighbor AND u itself
+        # to m(u)
+        sym = _sym(df)
+        m = _mins(sym)
+        lesser = (
+            sym.filter(F.col("_b") < F.col("_a"))
+            .join(m, "_a")
+            .select(F.col("_b").alias("_a"), F.col("_m").alias("_b"))
+        )
+        own = m.select("_a", F.col("_m").alias("_b"))
+        return (
+            lesser.unionByName(own)
+            .filter(F.col("_a") != F.col("_b"))
+            .distinct()
+        )
+
+    converged = e.isEmpty()
     for _ in range(max_iters):
-        neigh = (
-            edges.join(
-                labels.select(
-                    F.col("_v").alias("_b"), F.col("label").alias("nl")
-                ),
-                "_b",
-            )
-            .groupBy("_a")
-            .agg(F.min("nl").alias("nmin"))
-            .withColumnRenamed("_a", "_v")
-        )
-        merged = (
-            labels.join(neigh, "_v", "left")
-            .select(
-                "_v",
-                "label",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("new_label"),
-            )
-            .persist()
-        )
-        changed = merged.filter(F.col("new_label") != F.col("label")).count()
-        labels = merged.select(
-            "_v", F.col("new_label").alias("label")
-        ).localCheckpoint(eager=True)
-        merged.unpersist()
-        if changed == 0:
+        if converged:
             break
-    edges.unpersist()
-    if changed != 0:
-        # never return partially-propagated labels as if they were
-        # components — a >max_iters-diameter chain must fail loudly
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds "
-            "(graph diameter exceeds max_iters); raise max_iters or use a "
-            "large-star/small-star formulation for long-chain graphs"
+        new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # fixed point: identical edge SETS (both directions checked —
+        # a round may drop and add edges keeping the count equal)
+        converged = (
+            new.subtract(e).isEmpty() and e.subtract(new).isEmpty()
         )
-    return (
+        e = new
+    if not converged:
+        # never return partially-contracted stars as if they were
+        # components — fail loudly (max_iters=20 covers n ~ 2^20+
+        # under the O(log n) bound; hitting this means a bug)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "large-star/small-star rounds; raise max_iters"
+        )
+    # converged edges are min-centered stars: _b < _a always, every
+    # non-center vertex appears exactly once as _a. Centers and
+    # singleton vertices label themselves.
+    labels = vertices.join(
+        e.select(F.col("_a").alias("_v"), F.col("_b").alias("label")),
+        "_v",
+        "left",
+    ).select("_v", F.coalesce(F.col("label"), F.col("_v")).alias("label"))
+    out = (
         labels.select(
             F.col("_v").cast("bigint").alias(out_id),
             F.col("label").cast("bigint").alias("component_id"),
         )
         .orderBy(out_id)
+        .localCheckpoint(eager=True)
     )
+    vertices.unpersist()
+    return out
 
 
 def dedup_components(docs: DataFrame, max_iters: int = 20) -> DataFrame:

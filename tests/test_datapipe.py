@@ -91,6 +91,27 @@ class TestDedup:
     def test_components_match_oracle(self, docs):
         assert_matches(dedup.dedup_components(docs), dedup.dedup_components_sql())
 
+    def test_long_chain_converges_logarithmically(self, spark):
+        """A diameter-255 path graph converges within the default 20
+        rounds — large-star/small-star is O(log n) rounds; the
+        min-label propagation it replaced needed diameter rounds and
+        raised here. Also a shuffled-id chain, so convergence doesn't
+        depend on ids increasing along the path."""
+        n = 256
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc_a INT, doc_b INT"
+        )
+        got = dedup.connected_components(pairs, "doc_a", "doc_b").collect()
+        assert len(got) == n
+        assert all(r.component_id == 0 for r in got)
+        perm = [(i * 167) % 1009 for i in range(1009)]
+        pairs2 = spark.createDataFrame(
+            list(zip(perm, perm[1:])), "doc_a INT, doc_b INT"
+        )
+        got2 = dedup.connected_components(pairs2, "doc_a", "doc_b").collect()
+        assert len(got2) == 1009
+        assert all(r.component_id == 0 for r in got2)
+
     def test_components_equal_union_find(self, spark, docs):
         """The Spark label propagation must produce exactly the
         transitive closure of the candidate-pair graph: compare
