@@ -181,3 +181,93 @@ def has_parquet_files(path: str) -> bool:
         i.type == pafs.FileType.File and i.path.endswith(".parquet")
         for i in infos
     )
+
+
+# ------------------------------------------------ conditional-write leases --
+# Object stores expose no POSIX O_EXCL, but modern ones DO expose an
+# atomic conditional write: S3 PutObject with `If-None-Match: *` (plus
+# ETag-conditioned `If-Match` for replace/delete), GCS
+# `x-goog-if-generation-match: 0`, Azure `If-None-Match: *`. pyarrow's
+# FileSystem API surfaces none of these, so the mutation lease accepts
+# a pluggable per-scheme store implementing four CAS primitives. A
+# production deployment registers a thin boto3/gcs-client adapter;
+# :class:`InMemoryConditionalStore` is the reference implementation
+# the protocol tests run against. Schemes with no registered store
+# keep the loud single-writer guard (see maintain._MutationLock).
+
+
+_LEASE_STORES: dict = {}
+
+
+def register_lease_store(scheme: str, factory) -> None:
+    """Register a conditional-write store for a URI scheme. ``factory``
+    is called lazily (once per lease) and must return an object with
+    the four-method interface of :class:`InMemoryConditionalStore`:
+    put_if_absent / get / put_if_match / delete_if_match."""
+    _LEASE_STORES[scheme] = factory
+
+
+def unregister_lease_store(scheme: str) -> None:
+    _LEASE_STORES.pop(scheme, None)
+
+
+def lease_store_for(path: str):
+    """The registered conditional-write store for ``path``'s scheme,
+    or None (local paths and unregistered schemes)."""
+    if not is_uri(path):
+        return None
+    factory = _LEASE_STORES.get(path.split("://", 1)[0])
+    return factory() if factory is not None else None
+
+
+class InMemoryConditionalStore:
+    """Reference conditional-write store: the exact CAS contract an
+    object-store lease adapter must provide, with versions standing in
+    for ETags/generation numbers. Thread-safe; every mutation is
+    atomic under one lock, mirroring the store-side atomicity of
+    `If-None-Match`/`If-Match` conditional requests.
+
+    - put_if_absent(key, data) -> bool: create iff absent
+      (S3 `If-None-Match: *`)
+    - get(key) -> (data, version) | None
+    - put_if_match(key, data, version) -> bool: replace iff the
+      current version matches (S3 `If-Match: <etag>`)
+    - delete_if_match(key, version) -> bool: delete iff the current
+      version matches
+    """
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._objs: dict[str, tuple[bytes, int]] = {}
+        self._ver = 0
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        with self._lock:
+            if key in self._objs:
+                return False
+            self._ver += 1
+            self._objs[key] = (bytes(data), self._ver)
+            return True
+
+    def get(self, key: str):
+        with self._lock:
+            return self._objs.get(key)
+
+    def put_if_match(self, key: str, data: bytes, version: int) -> bool:
+        with self._lock:
+            cur = self._objs.get(key)
+            if cur is None or cur[1] != version:
+                return False
+            self._ver += 1
+            self._objs[key] = (bytes(data), self._ver)
+            return True
+
+    def delete_if_match(self, key: str, version: int) -> bool:
+        with self._lock:
+            cur = self._objs.get(key)
+            if cur is None or cur[1] != version:
+                return False
+            del self._objs[key]
+            return True

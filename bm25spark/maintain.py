@@ -38,6 +38,7 @@ maintain.rs:27-311):
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -132,12 +133,25 @@ class _MutationLock:
     racing a vacuum fails loudly (TimeoutError) instead of writing
     into a growing segment the vacuum is absorbing.
 
-    Object stores expose no atomic create-exclusive through
-    pyarrow.fs, so there the lock CANNOT be enforced. Rather than
-    silently degrade, acquiring a mutation lock on a non-local
-    ``index_dir`` raises unless ``BM25SPARK_SINGLE_WRITER=1``
-    explicitly acknowledges the single-driver mutation model (readers
-    need no lock either way — publishes are atomic meta repoints).
+    On an object store the same guarantee comes from a conditional-
+    write lease instead of O_EXCL: if a store adapter is registered
+    for the index's URI scheme (``fs.register_lease_store`` — S3
+    ``If-None-Match``/``If-Match``, GCS generation-match, or the
+    reference ``fs.InMemoryConditionalStore``), acquire is an atomic
+    put-if-absent of a ``{token, ts}`` lease object, heartbeat is a
+    version-CAS refresh of its timestamp, and steal is a version-CAS
+    replace of a lease whose embedded ``ts`` is older than ``stale``
+    (exactly one of N waiters' CAS wins; a heartbeat racing the steal
+    bumps the version and the steal re-loops). Staleness uses the
+    lease body's own timestamp, so it needs only coarse clock
+    agreement between drivers (stale=1h vs seconds of skew).
+
+    pyarrow.fs itself exposes no conditional write, so for URI schemes
+    with NO registered lease store the lock cannot be enforced; rather
+    than silently degrade, acquiring there raises unless
+    ``BM25SPARK_SINGLE_WRITER=1`` explicitly acknowledges the
+    single-driver mutation model (readers need no lock either way —
+    publishes are atomic meta repoints).
 
     Liveness vs long holders: the holder heartbeats the lockfile
     (mtime touch) from a daemon thread every ``stale/4`` seconds, so a
@@ -155,21 +169,33 @@ class _MutationLock:
     def __init__(self, index_dir: str, timeout: float | None = None):
         import uuid
 
-        self.enabled = fsio.is_local(index_dir)
-        if not self.enabled and os.environ.get("BM25SPARK_SINGLE_WRITER") != "1":
-            raise RuntimeError(
-                f"mutation on non-local index {index_dir!r}: object stores "
-                "expose no atomic create-exclusive, so the mutation lock "
-                "cannot be enforced there. If exactly ONE driver ever "
-                "mutates this index, set BM25SPARK_SINGLE_WRITER=1 to "
-                "acknowledge the single-writer model; two concurrent "
-                "mutators WILL corrupt sequences/generations."
+        self.store = fsio.lease_store_for(index_dir)
+        if self.store is not None:
+            self.enabled = True
+            self.path = index_dir.rstrip("/") + "/.mutlock"
+        else:
+            self.enabled = fsio.is_local(index_dir)
+            if (
+                not self.enabled
+                and os.environ.get("BM25SPARK_SINGLE_WRITER") != "1"
+            ):
+                raise RuntimeError(
+                    f"mutation on non-local index {index_dir!r}: no "
+                    "conditional-write lease store is registered for its "
+                    "scheme (fs.register_lease_store) and pyarrow.fs "
+                    "exposes no atomic create-exclusive, so the mutation "
+                    "lock cannot be enforced there. Register a store "
+                    "adapter (S3 If-None-Match / GCS generation-match), "
+                    "or — if exactly ONE driver ever mutates this index — "
+                    "set BM25SPARK_SINGLE_WRITER=1 to acknowledge the "
+                    "single-writer model; two concurrent mutators WILL "
+                    "corrupt sequences/generations."
+                )
+            self.path = (
+                os.path.join(fsio.local_path(index_dir), ".mutlock")
+                if self.enabled
+                else ""
             )
-        self.path = (
-            os.path.join(fsio.local_path(index_dir), ".mutlock")
-            if self.enabled
-            else ""
-        )
         self.token = f"{os.getpid()} {uuid.uuid4().hex}"
         self.timeout = (
             float(os.environ.get("BM25SPARK_LOCK_TIMEOUT_SEC", "60"))
@@ -187,6 +213,22 @@ class _MutationLock:
         except (FileNotFoundError, OSError):
             return None
 
+    def _lease_body(self) -> bytes:
+        return json.dumps({"token": self.token, "ts": time.time()}).encode()
+
+    def _lease_current(self):
+        """-> (token, ts, version) of the store lease, or None."""
+        cur = self.store.get(self.path)
+        if cur is None:
+            return None
+        try:
+            d = json.loads(cur[0].decode())
+            return str(d["token"]), float(d["ts"]), cur[1]
+        except (ValueError, KeyError, UnicodeDecodeError):
+            # an unparseable lease object is a foreign/corrupt write:
+            # treat as held-by-unknown with ts=now (never auto-steal it)
+            return "<unparseable>", time.time(), cur[1]
+
     def assert_held(self) -> None:
         """Fail loudly if this process no longer holds the lock (a
         waiter stole it after a >stale stall). Called by mutators
@@ -194,7 +236,12 @@ class _MutationLock:
         aborts instead of silently clobbering the stealer's state."""
         if not self.enabled:
             return
-        if self._read_token(self.path) != self.token:
+        if self.store is not None:
+            cur = self._lease_current()
+            held = cur is not None and cur[0] == self.token
+        else:
+            held = self._read_token(self.path) == self.token
+        if not held:
             raise RuntimeError(
                 f"mutation lock {self.path} lost (stolen after a "
                 f">{self.stale}s stall or deleted); aborting before "
@@ -206,30 +253,72 @@ class _MutationLock:
         interval = max(1.0, self.stale / 4.0)
         while not stop.wait(interval):
             # refresh only OUR lock (don't resurrect a stealer's)
-            if self._read_token(self.path) == self.token:
+            if self.store is not None:
+                cur = self._lease_current()
+                if cur is not None and cur[0] == self.token:
+                    # CAS refresh: if a stealer's write races this, the
+                    # version no longer matches and the refresh no-ops
+                    self.store.put_if_match(
+                        self.path, self._lease_body(), cur[2]
+                    )
+            elif self._read_token(self.path) == self.token:
                 try:
                     os.utime(self.path)
                 except OSError:
                     pass
 
-    def __enter__(self):
+    def _start_heartbeat(self) -> None:
         import threading
 
+        self._hb_stop = threading.Event()
+        threading.Thread(
+            target=self._heartbeat,
+            args=(self._hb_stop,),
+            daemon=True,
+            name="bm25spark-mutlock-heartbeat",
+        ).start()
+
+    def _enter_lease(self):
+        """Conditional-write lease acquire: put-if-absent, else steal a
+        stale lease by version-CAS (exactly one waiter's CAS wins; any
+        heartbeat between our read and our CAS bumps the version and
+        the steal re-loops, so a live holder can never be displaced)."""
+        deadline = time.monotonic() + self.timeout
+        while True:
+            if self.store.put_if_absent(self.path, self._lease_body()):
+                self._start_heartbeat()
+                return self
+            cur = self._lease_current()
+            if cur is None:
+                continue  # released between our put and read: retry
+            _, ts, version = cur
+            if time.time() - ts > self.stale:
+                if self.store.put_if_match(
+                    self.path, self._lease_body(), version
+                ):
+                    self._start_heartbeat()
+                    return self
+                continue  # lost the steal race or holder refreshed
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"could not acquire mutation lease {self.path} within "
+                    f"{self.timeout}s — another mutator (insert/delete/"
+                    "vacuum) holds the index; retry when it finishes"
+                )
+            time.sleep(0.05)
+
+    def __enter__(self):
         if not self.enabled:
             return self
+        if self.store is not None:
+            return self._enter_lease()
         deadline = time.monotonic() + self.timeout
         while True:
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.write(fd, self.token.encode())
                 os.close(fd)
-                self._hb_stop = threading.Event()
-                threading.Thread(
-                    target=self._heartbeat,
-                    args=(self._hb_stop,),
-                    daemon=True,
-                    name="bm25spark-mutlock-heartbeat",
-                ).start()
+                self._start_heartbeat()
                 return self
             except FileExistsError:
                 try:
@@ -274,6 +363,15 @@ class _MutationLock:
         if self._hb_stop is not None:
             self._hb_stop.set()
             self._hb_stop = None
+        if self.store is not None:
+            # compare-and-delete: remove the lease only while it is
+            # still OURS at the version we read — a stealer's lease
+            # (different token) or its racing refresh (different
+            # version) is left untouched
+            cur = self._lease_current()
+            if cur is not None and cur[0] == self.token:
+                self.store.delete_if_match(self.path, cur[2])
+            return False
         # compare-and-unlink without a read-then-unlink window: rename
         # the lock to a private name first (atomic claim), verify it is
         # OURS, then delete; if it was a stealer's, restore it

@@ -8,6 +8,7 @@ docs are scored with sealed stats and sealed dictionary."""
 from __future__ import annotations
 
 import random
+import time
 from collections import Counter
 
 import pytest
@@ -817,6 +818,114 @@ class TestLockHardening:
         assert lk.enabled is False
         with lk:
             lk.assert_held()  # no-op when disabled
+
+    def test_lease_acquire_contend_release(self, monkeypatch):
+        """Conditional-write lease on a mock object store: acquire is
+        put-if-absent, a second mutator times out while the lease is
+        held, release is compare-and-delete, and the lock becomes
+        acquirable again."""
+        import json as _json
+
+        from bm25spark import fs as fsio
+        from bm25spark.maintain import _MutationLock
+
+        store = fsio.InMemoryConditionalStore()
+        fsio.register_lease_store("mock", lambda: store)
+        try:
+            a = _MutationLock("mock://bucket/idx")
+            assert a.enabled and a.store is store
+            with a:
+                a.assert_held()
+                body = _json.loads(store.get(a.path)[0])
+                assert body["token"] == a.token
+                b = _MutationLock("mock://bucket/idx", timeout=0.3)
+                with pytest.raises(TimeoutError, match="lease"):
+                    b.__enter__()
+            assert store.get(a.path) is None  # released
+            with _MutationLock("mock://bucket/idx", timeout=1) as c:
+                c.assert_held()
+        finally:
+            fsio.unregister_lease_store("mock")
+
+    def test_lease_stale_steal_and_publish_gate(self, monkeypatch):
+        """A lease whose embedded ts is older than stale is stolen by
+        version-CAS; the stolen-from holder fails assert_held (publish
+        gate) and its release leaves the stealer's lease intact — the
+        object-store mirror of the local rename-aside protocol."""
+        import json as _json
+
+        from bm25spark import fs as fsio
+        from bm25spark.maintain import _MutationLock
+
+        store = fsio.InMemoryConditionalStore()
+        fsio.register_lease_store("mock", lambda: store)
+        try:
+            a = _MutationLock("mock://bucket/idx")  # stale default 1h
+            a.__enter__()
+            try:
+                # age A's lease body past B's stale window (the mock
+                # analogue of utime-ing the local lockfile backwards)
+                data, ver = store.get(a.path)
+                d = _json.loads(data)
+                d["ts"] -= 10.0
+                assert store.put_if_match(
+                    a.path, _json.dumps(d).encode(), ver
+                )
+                monkeypatch.setenv("BM25SPARK_LOCK_STALE_SEC", "5")
+                b = _MutationLock("mock://bucket/idx", timeout=5)
+                b.__enter__()
+                try:
+                    b.assert_held()
+                    with pytest.raises(RuntimeError, match="lock .* lost"):
+                        a.assert_held()  # stolen-from holder must abort
+                    # A's release must NOT remove B's lease
+                    a.__exit__(None, None, None)
+                    b.assert_held()
+                finally:
+                    b.__exit__(None, None, None)
+                assert store.get(b.path) is None
+            finally:
+                a.__exit__(None, None, None)
+        finally:
+            fsio.unregister_lease_store("mock")
+
+    def test_lease_mutual_exclusion_under_contention(self, monkeypatch):
+        """N threads hammering acquire/release on one lease: the
+        critical section is never concurrently occupied and every
+        thread eventually gets through (CAS liveness)."""
+        import threading
+
+        from bm25spark import fs as fsio
+        from bm25spark.maintain import _MutationLock
+
+        store = fsio.InMemoryConditionalStore()
+        fsio.register_lease_store("mock", lambda: store)
+        try:
+            inside = []
+            overlap = []
+            done = []
+
+            def worker(i):
+                for _ in range(5):
+                    with _MutationLock("mock://bucket/idx", timeout=30):
+                        inside.append(i)
+                        if len(inside) > 1:
+                            overlap.append(tuple(inside))
+                        time.sleep(0.002)
+                        inside.pop()
+                done.append(i)
+
+            ts = [
+                threading.Thread(target=worker, args=(i,)) for i in range(4)
+            ]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join(60)
+            assert overlap == []
+            assert sorted(done) == [0, 1, 2, 3]
+        finally:
+            fsio.unregister_lease_store("mock")
 
     def test_stale_steal_no_litter_and_publish_gate(
         self, tmp_path, monkeypatch
