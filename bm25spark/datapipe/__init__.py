@@ -39,6 +39,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scanline filters, stdlib inflate + NumPy unfiltering), and
         # GIF89a (from-scratch LZW dictionary coding)
         "image_container_features": lambda s, d: _image_container_entry(s, d),
+        # REAL transform-coded path: baseline JFIF (sequential DCT,
+        # canonical Huffman entropy coding) written and decoded from
+        # scratch; constant-block + all-ones-quant streams make the
+        # full entropy+IDCT loop integer-exact (closed-form oracle)
+        "image_jpeg_features": lambda s, d: multimodal.jpeg_features(
+            multimodal.synthesize_jpeg_media(_docs(s, d))
+        ).orderBy("doc_id"),
         # REAL video path: write genuine RIFF/AVI containers (raw DIB
         # frames), parse them back with struct+NumPy, emit
         # integer-exact per-video and per-sampled-frame channel sums
@@ -200,6 +207,7 @@ def oracle_registry() -> dict[str, str]:
     return {
         "audio_wav_features": multimodal.audio_wav_features_sql(),
         "image_container_features": multimodal.image_container_features_sql(),
+        "image_jpeg_features": multimodal.image_jpeg_features_sql(),
         "video_avi_features": multimodal.video_avi_features_sql(),
         "video_frame_sample": multimodal.video_frame_sample_sql(every_n=2),
         "dedup_exact_groups": dedup.exact_dup_groups_sql(),

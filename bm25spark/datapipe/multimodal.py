@@ -71,19 +71,23 @@ def decode_image(data: bytes) -> "np.ndarray":
     inflate + chunk walk + scanline unfiltering, all five filter
     types) — no codec library needed for either. Returns an
     (H, W, C) uint8 array in file channel order (BGR C=3 for BMP;
-    gray C=1 / RGB C=3 / RGBA C=4 for PNG), top row first. Transform-coded formats (JPEG/WebP/...) remain stubbed:
-    they need a codec library not present in this environment —
-    replace the fallthrough with PIL/cv2 to go live."""
+    gray C=1 / RGB C=3 / RGBA C=4 for PNG), top row first. Baseline
+    JFIF (sequential DCT, 4:4:4 or grayscale) decodes for real too —
+    segment walk + canonical Huffman + dequant + IDCT, see
+    :func:`_decode_jpeg`. Only WebP (and non-baseline JPEG modes)
+    remain stubbed: replace the fallthrough with PIL/cv2 to go live."""
     if data[:2] == b"BM":
         return _decode_bmp(data)
     if data[:8] == _PNG_SIG:
         return _decode_png(data)  # (H, W, C): C=1 gray / 3 RGB / 4 RGBA
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(data)  # real LZW + palette map -> (H, W, 3)
+    if data[:2] == b"\xff\xd8":
+        return _decode_jpeg(data)  # baseline Huffman+IDCT -> gray/RGB
     raise NotImplementedError(
-        "only 24-bpp BMP, 8-bit gray/RGB/RGBA PNG, and GCT GIF decode "
-        "in this environment; transform-coded formats (JPEG/WebP) "
-        "need a codec library (PIL/cv2) — use extract_features for "
+        "only 24-bpp BMP, 8-bit gray/RGB/RGBA PNG, GCT GIF, and "
+        "baseline 4:4:4/gray JFIF decode in this environment; WebP "
+        "needs a codec library (PIL/cv2) — use extract_features for "
         "the wired-up deterministic feature path"
     )
 
@@ -1547,3 +1551,476 @@ def image_container_features_sql() -> str:
         )
     ]
     return "\nUNION ALL\n".join(parts) + "\nORDER BY fmt, doc_id"
+
+
+# ------------------------------------------------------------- JPEG ----
+# Third REAL compressed-image path, and the first *transform-coded*
+# one: baseline JFIF (ITU T.81 sequential DCT, Huffman entropy
+# coding), written and decoded from scratch — segment walk, canonical
+# Huffman (tables self-derived, not transcribed: every symbol at one
+# code length is a valid DHT), zigzag generated algorithmically,
+# dequant + separable float IDCT in NumPy. The synthesizer builds
+# images of CONSTANT 8x8 blocks with an all-ones quantization table:
+# a constant block's FDCT is DC-only with DC = 8*(v-128) exactly, and
+# the DC-only IDCT returns v exactly, so the full
+# encode->entropy->decode->IDCT loop is integer-exact and a SQL
+# oracle can state the decoded pixel sums in closed form (the same
+# move PNG/GIF use). Arbitrary-coefficient streams are covered by a
+# differential fuzz against an independent loop-form IDCT in tests.
+
+
+def _zigzag_order() -> "np.ndarray":
+    """The T.81 zigzag scan, generated (not transcribed): walk the
+    anti-diagonals s = row+col, ascending row on odd s, descending on
+    even s. Returns the 64 (row*8+col) positions in scan order."""
+    out = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (rows if s % 2 == 1 else reversed(list(rows))):
+            out.append(r * 8 + (s - r))
+    return np.array(out, dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_order()
+
+#: self-derived Huffman tables: all 12 DC categories at code length 4
+#: (12 < 2^4), all 162 AC symbols (EOB, ZRL, run 0-15 x size 1-10) at
+#: code length 8 (162 < 2^8). Any canonical prefix code is a valid
+#: DHT; fixed-length tables sidestep transcribing Annex K.
+_JPEG_DC_SYMBOLS = list(range(12))
+_JPEG_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12  # BITS[L-1] = #codes of length L
+_JPEG_AC_BITS = [0] * 7 + [162] + [0] * 8
+
+
+def _canonical_codes(bits: list, symbols: list) -> dict:
+    """symbol -> (code, length) per T.81 C.2 canonical assignment."""
+    out, code, i = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[symbols[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _idct_basis() -> "np.ndarray":
+    """M[u, x] = C(u)/2 * cos((2x+1) u pi / 16); IDCT = M.T @ S @ M,
+    FDCT = M @ s @ M.T (T.81 A.3.3)."""
+    u = np.arange(8, dtype=np.float64)[:, None]
+    x = np.arange(8, dtype=np.float64)[None, :]
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_IDCT_M = _idct_basis()
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = self.n = 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    stops (raises) on any unexpected marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt != 0x00:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} inside scan"
+                    )
+                self.pos += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(br: "_BitReader", table: dict) -> int:
+    code, ln = 0, 0
+    while True:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+        if ln > 16:
+            raise ValueError("invalid Huffman code (>16 bits)")
+
+
+def _extend(v: int, size: int) -> int:
+    return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def jpeg_encode_blocks(
+    comp_blocks: list,
+    w: int,
+    h: int,
+    qtab: "np.ndarray",
+) -> bytes:
+    """Assemble a genuine baseline JFIF from QUANTIZED coefficient
+    blocks (coefficient-domain encoder — the entropy/container half of
+    T.81; no FDCT needed, which keeps the synthesized streams exact).
+
+    ``comp_blocks``: per component, a list of (8, 8) int arrays in
+    natural (row, col) order, MCU raster order; 1 component = gray,
+    3 = YCbCr 4:4:4 interleaved. ``qtab``: (8, 8) int 1-255."""
+    import struct
+
+    ncomp = len(comp_blocks)
+    if ncomp not in (1, 3):
+        raise ValueError("1 (gray) or 3 (YCbCr) components")
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMBOLS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMBOLS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)  # density 1x1, no thumb
+    zz = qtab.reshape(64)[_ZIGZAG].astype(np.uint8)
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00) + zz.tobytes()
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0)  # 1x1 sampling, qtab 0
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for cls, bits, syms in (
+        (0x00, _JPEG_DC_BITS, _JPEG_DC_SYMBOLS),
+        (0x10, _JPEG_AC_BITS, _JPEG_AC_SYMBOLS),
+    ):
+        body = bytes([cls]) + bytes(bits) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])  # Ss, Se, AhAl
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    n_mcu = len(comp_blocks[0])
+    for m in range(n_mcu):
+        for c in range(ncomp):
+            blk = np.asarray(comp_blocks[c][m], dtype=np.int64).reshape(64)
+            zzb = blk[_ZIGZAG]
+            diff = int(zzb[0]) - pred[c]
+            pred[c] = int(zzb[0])
+            size = _category(diff)
+            code, ln = dc_codes[size]
+            bw.put(code, ln)
+            if size:
+                bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zzb)[0])) if np.any(zzb[1:]) else 0
+            for i in range(1, 64):
+                v = int(zzb[i])
+                if i > last_nz:
+                    code, ln = ac_codes[0x00]  # EOB
+                    bw.put(code, ln)
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw.put(code, ln)
+                    run -= 16
+                size = _category(v)
+                if size > 10:
+                    raise ValueError(f"AC coefficient {v} out of range")
+                code, ln = ac_codes[(run << 4) | size]
+                bw.put(code, ln)
+                bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+                run = 0
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _decode_jpeg(data: bytes) -> "np.ndarray":
+    """Baseline JFIF decoder: segment walk, arbitrary canonical DHT
+    tables, 8-bit DQT, SOF0 with 1x1 sampling (1 or 3 components),
+    interleaved scan, dequant + inverse zigzag + separable float IDCT
+    + level shift. Returns (H, W, 1) gray or (H, W, 3) RGB (BT.601
+    YCbCr as JFIF specifies). Progressive/subsampled/restart streams
+    are refused loudly."""
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple, dict] = {}
+    comps: list[tuple] = []
+    w = h = 0
+    scan_comps: list[tuple] = []
+    while True:
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        if marker in (0x01, *range(0xD0, 0xD8)):
+            continue  # standalone markers
+        seglen = struct.unpack_from(">H", data, pos)[0]
+        body = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                if pq != 0:
+                    raise ValueError("only 8-bit quantization tables")
+                t = np.zeros(64, dtype=np.int64)
+                t[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, o + 1)
+                qtabs[tq] = t.reshape(8, 8)
+                o += 65
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0xF
+                bits = list(body[o + 1 : o + 17])
+                nv = sum(bits)
+                vals = list(body[o + 17 : o + 17 + nv])
+                dec, code, i = {}, 0, 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        dec[(ln, code)] = vals[i]
+                        code += 1
+                        i += 1
+                    code <<= 1
+                huff[(tc, th)] = dec
+                o += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nf = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision")
+            for c in range(nf):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG (Hi/Vi != 1) not supported — "
+                        "4:4:4 / grayscale only"
+                    )
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals (DRI) unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for c in range(ns):
+                cid, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                scan_comps.append((cid, tdta >> 4, tdta & 0xF))
+            pos += seglen
+            break
+        pos += seglen
+    if not comps or len(scan_comps) != len(comps):
+        raise ValueError("missing SOF0 or component mismatch")
+
+    ncomp = len(comps)
+    nbx, nby = -(-w // 8), -(-h // 8)
+    planes = np.zeros((ncomp, nby * 8, nbx * 8), dtype=np.float64)
+    br = _BitReader(data, pos)
+    pred = [0] * ncomp
+    for by in range(nby):
+        for bx in range(nbx):
+            for c in range(ncomp):
+                _, tq = comps[c]
+                _, td, ta = scan_comps[c]
+                dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+                zzb = np.zeros(64, dtype=np.int64)
+                size = _huff_decode(br, dc_tab)
+                diff = _extend(br.bits(size), size) if size else 0
+                pred[c] += diff
+                zzb[0] = pred[c]
+                i = 1
+                while i < 64:
+                    sym = _huff_decode(br, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    i += run
+                    if i > 63:
+                        raise ValueError("AC run past block end")
+                    zzb[i] = _extend(br.bits(size), size)
+                    i += 1
+                coeffs = np.zeros(64, dtype=np.float64)
+                coeffs[_ZIGZAG] = zzb * qtabs[comps[c][1]].reshape(64)[_ZIGZAG]
+                blk = _IDCT_M.T @ coeffs.reshape(8, 8) @ _IDCT_M
+                planes[c, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+    planes = np.clip(np.round(planes + 128.0), 0, 255)
+    if ncomp == 1:
+        return planes[0, :h, :w, None].astype(np.uint8)
+    y, cb, cr = (planes[i, :h, :w] for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def jpeg_dims(doc_id: int) -> tuple[int, int]:
+    """(width, height); neither a multiple of 8 for most ids, so the
+    partial-edge-block crop path is always exercised."""
+    return 9 + int(doc_id) % 14, 8 + int(doc_id) % 7
+
+
+def synthesize_jpeg(doc_id: int) -> bytes:
+    """A genuine baseline JFIF: grayscale, all-ones quantization,
+    every 8x8 block constant with value
+    v(bi) = (doc_id*IMG_MIX_A + bi*IMG_MIX_B) % 256 for block index
+    bi = by*nbx + bx — DC-only spectra the full entropy+IDCT loop
+    reproduces bit-exactly (see section comment)."""
+    w, h = jpeg_dims(doc_id)
+    nbx, nby = -(-w // 8), -(-h // 8)
+    blocks = []
+    for bi in range(nbx * nby):
+        v = (np.int64(doc_id) * IMG_MIX_A + bi * IMG_MIX_B) % 256
+        blk = np.zeros((8, 8), dtype=np.int64)
+        blk[0, 0] = 8 * (int(v) - 128)  # FDCT of a constant block
+        blocks.append(blk)
+    return jpeg_encode_blocks([blocks], w, h, np.ones((8, 8), dtype=np.int64))
+
+
+def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, media_type, media) with REAL baseline JFIF containers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "image/jpeg",
+                    "media": [synthesize_jpeg(int(i)) for i in ids],
+                }
+            )
+
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("media_type", StringType(), False),
+                StructField("media", BinaryType(), False),
+            ]
+        ),
+    )
+
+
+JPEG_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_pixels", LongType(), False),
+        StructField("gray_sum", LongType(), False),
+    ]
+)
+
+
+def jpeg_features(media_df: DataFrame) -> DataFrame:
+    """Decode every ``image/jpeg`` blob (REAL baseline Huffman+IDCT)
+    and emit integer-exact dims + gray-channel sum."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["doc_id"].astype("int64"), pdf["media"]):
+                px = decode_image(bytes(blob)).astype(np.int64)
+                h, w = px.shape[:2]
+                rows.append((int(i), w, h, w * h, int(px.sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_pixels", "gray_sum"],
+            )
+
+    return (
+        media_df.filter(F.col("media_type") == "image/jpeg")
+        .select("doc_id", "media")
+        .mapInPandas(run, JPEG_FEATURES_SCHEMA)
+    )
+
+
+def image_jpeg_features_sql() -> str:
+    """DuckDB oracle: regenerate the closed-form per-block values and
+    state the decoded gray sums — the entropy-decode + dequant + IDCT
+    + crop pipeline must land on exactly these integers."""
+    return f"""
+WITH params AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         9 + doc_id % 14 AS w,
+         8 + doc_id % 7 AS h,
+         (9 + doc_id % 14 + 7) // 8 AS nbx
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, nbx, unnest(range(w * h)) AS p FROM params
+),
+vals AS (
+  SELECT doc_id, w, h,
+         (doc_id * {IMG_MIX_A}
+          + ((p // w) // 8 * nbx + (p % w) // 8) * {IMG_MIX_B}) % 256 AS v
+  FROM px
+)
+SELECT doc_id,
+       any_value(w)::INTEGER AS width,
+       any_value(h)::INTEGER AS height,
+       (any_value(w) * any_value(h))::BIGINT AS n_pixels,
+       sum(v)::BIGINT AS gray_sum
+FROM vals
+GROUP BY doc_id ORDER BY doc_id
+"""

@@ -428,7 +428,9 @@ def _cfg_from_meta(meta: dict) -> Bm25Config:
     )
 
 
-def insert(spark: SparkSession, index_dir: str, rows: DataFrame, text_col: str) -> None:
+def insert(
+    spark: SparkSession, index_dir: str, rows: DataFrame, text_col: str
+) -> tuple[int, int]:
     """Append documents to the growing (delta) segment — M2.
 
     Every row is stamped with ``(_seq, _rid)`` — the batch's mutation
@@ -436,7 +438,11 @@ def insert(spark: SparkSession, index_dir: str, rows: DataFrame, text_col: str) 
     scoring groups on it, so two live inserts that happen to share a
     payload key score as two independent pseudo-docs (the reference's
     heap semantics: each inserted tuple is its own document), matching
-    what vacuum produces when it gives each row its own doc_id."""
+    what vacuum produces when it gives each row its own doc_id.
+
+    Returns ``(generation, sequence)`` — the lock-serialized commit
+    position of this mutation (the concurrency fuzz merges the two
+    writers' logs on it to replay the winning order)."""
     with _MutationLock(index_dir) as lock:
         # meta is read UNDER the lock: a mutator that queued behind a
         # vacuum must see the post-vacuum generation, or its rows land
@@ -456,12 +462,16 @@ def insert(spark: SparkSession, index_dir: str, rows: DataFrame, text_col: str) 
         # concurrent vacuum may have retired — fail loudly instead of
         # returning success for rows the next gc will delete
         lock.assert_held()
+        return gen, seq
 
 
-def delete(spark: SparkSession, index_dir: str, keys: DataFrame) -> None:
+def delete(
+    spark: SparkSession, index_dir: str, keys: DataFrame
+) -> tuple[int, int]:
     """Tombstone documents by payload key — M3. ``keys`` has the
     index's payload columns. Only delta rows inserted *before* this
-    call are masked (sequence-stamped tombstones)."""
+    call are masked (sequence-stamped tombstones). Returns
+    ``(generation, sequence)`` like :func:`insert`."""
     with _MutationLock(index_dir) as lock:
         # meta (generation AND the docs artifact the ids are resolved
         # against) is read under the lock — see insert()
@@ -481,6 +491,7 @@ def delete(spark: SparkSession, index_dir: str, keys: DataFrame) -> None:
             "append"
         ).parquet(_delta_tomb_path(index_dir, gen))
         lock.assert_held()  # see insert()
+        return gen, seq
 
 
 def _tombstones_df(
@@ -893,7 +904,7 @@ def gc_index(
             lock.__exit__(None, None, None)
 
 
-def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
+def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> int:
     """M4: merge delta + drop tombstones + relabel + rebuild, then
     publish the new artifacts as a *versioned generation*.
 
@@ -905,7 +916,8 @@ def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
     A ``Bm25Index`` opened before the vacuum holds the old meta and
     keeps reading the old generation's files, which stay on disk until
     :func:`gc_index` reclaims them after a grace period (the next
-    vacuum GCs its grandparent automatically)."""
+    vacuum GCs its grandparent automatically). Returns the published
+    generation number."""
     # serialize against insert/delete (and a second vacuum): absorbing
     # the growing segment while a mutator appends to it would lose the
     # concurrent rows. The lock is held through the meta publish, and
@@ -919,9 +931,10 @@ def vacuum(spark: SparkSession, index_dir: str, text_col: str) -> str:
         pc = idx.payload_cols
         old_gen = _gen_of(idx.meta)
         gen = old_gen + 1
-        return _vacuum_locked(
+        _vacuum_locked(
             spark, idx, index_dir, text_col, cfg, pc, old_gen, gen, lock
         )
+        return gen
     finally:
         lock.__exit__(None, None, None)
 

@@ -1222,6 +1222,113 @@ class TestPngReal:
         )
 
 
+class TestJpeg:
+    """Baseline JFIF: constant-block integer exactness, differential
+    fuzz of Huffman+zigzag+dequant+IDCT against an independent
+    loop-form T.81 IDCT, YCbCr conversion, honest refusals, and the
+    Spark feature path vs the closed-form oracle."""
+
+    @staticmethod
+    def _ref_idct(S):
+        import math
+
+        out = np.zeros((8, 8))
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * S[u, v]
+                            * math.cos((2 * y + 1) * u * math.pi / 16)
+                            * math.cos((2 * x + 1) * v * math.pi / 16)
+                        )
+                out[y, x] = s / 4
+        return out
+
+    def test_constant_block_roundtrip_exact(self):
+        from bm25spark.datapipe import multimodal as M
+
+        for d in (0, 1, 7, 42, 997, 12345):
+            w, h = M.jpeg_dims(d)
+            px = M.decode_image(M.synthesize_jpeg(d))
+            assert px.shape == (h, w, 1)
+            nbx = -(-w // 8)
+            p = np.arange(h * w, dtype=np.int64)
+            bi = (p // w) // 8 * nbx + (p % w) // 8
+            want = ((d * M.IMG_MIX_A + bi * M.IMG_MIX_B) % 256).reshape(h, w)
+            assert np.array_equal(px[:, :, 0].astype(np.int64), want)
+
+    def test_random_coefficients_match_loop_idct(self):
+        from bm25spark.datapipe import multimodal as M
+
+        rng = np.random.default_rng(11)
+        for _ in range(6):
+            nbx, nby = int(rng.integers(1, 4)), int(rng.integers(1, 3))
+            w, h = nbx * 8, nby * 8
+            q = rng.integers(1, 20, size=(8, 8)).astype(np.int64)
+            blocks = []
+            for _b in range(nbx * nby):
+                b = np.zeros((8, 8), dtype=np.int64)
+                mask = rng.random((8, 8)) < 0.3
+                b[mask] = rng.integers(-40, 40, size=int(mask.sum()))
+                blocks.append(b)
+            data = M.jpeg_encode_blocks([blocks], w, h, q)
+            got = M.decode_image(data)[:, :, 0].astype(np.float64)
+            want = np.zeros((h, w))
+            for i, b in enumerate(blocks):
+                by, bx = divmod(i, nbx)
+                want[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(self._ref_idct(b * q) + 128.0), 0, 255
+                )
+            assert np.array_equal(got, want)
+
+    def test_three_component_ycbcr(self):
+        from bm25spark.datapipe import multimodal as M
+
+        yb = []
+        for bi in range(2):
+            b = np.zeros((8, 8), dtype=np.int64)
+            b[0, 0] = 8 * ((50 + bi * 60) - 128)
+            yb.append(b)
+        zb = [np.zeros((8, 8), dtype=np.int64) for _ in range(2)]
+        data = M.jpeg_encode_blocks(
+            [yb, zb, zb], 16, 8, np.ones((8, 8), dtype=np.int64)
+        )
+        px = M.decode_image(data)
+        # Cb=Cr=128 makes the BT.601 conversion exact: R=G=B=Y
+        assert px.shape == (8, 16, 3)
+        assert np.array_equal(px[:, :8, 0], np.full((8, 8), 50, np.uint8))
+        assert np.array_equal(px[:, 8:, 0], np.full((8, 8), 110, np.uint8))
+        assert np.array_equal(px[:, :, 0], px[:, :, 1])
+        assert np.array_equal(px[:, :, 0], px[:, :, 2])
+
+    def test_honest_refusals(self):
+        from bm25spark.datapipe import multimodal as M
+
+        data = bytearray(M.synthesize_jpeg(3))
+        sof = bytes(data).find(b"\xff\xc0")
+        data[sof + 1] = 0xC2  # progressive SOF
+        with pytest.raises(NotImplementedError, match="non-baseline"):
+            M.decode_image(bytes(data))
+        data = bytearray(M.synthesize_jpeg(3))
+        data[sof + 11] = 0x22  # Hi/Vi = 2x2 subsampling
+        with pytest.raises(NotImplementedError, match="subsampled"):
+            M.decode_image(bytes(data))
+        with pytest.raises(NotImplementedError, match="WebP"):
+            M.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+
+    def test_spark_features_match_oracle(self, spark, docs):
+        from bm25spark.datapipe import multimodal as M
+
+        assert_matches(
+            M.jpeg_features(M.synthesize_jpeg_media(docs)).orderBy("doc_id"),
+            M.image_jpeg_features_sql(),
+        )
+
+
 class TestPQ:
     """Product-quantization ANN: oracle differential, recall gate vs
     brute force, and trainer invariants."""
