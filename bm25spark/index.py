@@ -189,6 +189,31 @@ class Bm25Index:
             )
         return self._fieldnorms
 
+    def warm(self, queries=None) -> dict:
+        """Resident-server pre-warm: load the fieldnorm array, open
+        the terms/postings Arrow datasets (first-touch metadata
+        parse), and — for each query string in ``queries`` — pull its
+        terms' dictionary rows, packed posting bytes, AND decoded
+        arrays into the resident caches, so the first real query pays
+        no cold read (round-5 measured sf34 first-touch p90 at
+        58.6 ms vs 7.8 ms warm). Cache budget still applies: warming
+        more than ``postings_cache_limit`` bytes resets the pool, so
+        warm the hot set, not the dictionary. Returns
+        {"terms_warmed", "cache_bytes"}."""
+        import pyarrow.dataset as ds
+
+        self.fieldnorms()
+        if self._terms_ds is None:
+            self._terms_ds = ds.dataset(self._path("terms"), format="parquet")
+        if self._postings_ds is None:
+            self._postings_ds = ds.dataset(
+                self._path("postings"), format="parquet", partitioning="hive"
+            )
+        n = 0
+        for q in queries or ():
+            n += len(self.term_postings(q))
+        return {"terms_warmed": n, "cache_bytes": self._cache_bytes}
+
     # ---- search ------------------------------------------------------------
 
     def term_postings(self, query_text: str) -> list[TermPostings]:

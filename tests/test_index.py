@@ -750,3 +750,27 @@ def test_inspect_index_hashed_and_raw_keys(spark, tmp_path):
     want = sum(len(a) + len(b) for a, b in zip(tp.ids_bytes, tp.tfs_bytes))
     got = inspect_index(spark, d, term="merge").collect()[0]
     assert got["packed_bytes"] == want and got["n_blocks"] == tp.n_blocks
+
+
+class TestWarmApi:
+    """warm(): a fresh index instance pre-warmed on the hot query set
+    serves its first query from the resident caches — same results,
+    no cold Arrow read."""
+
+    def test_warm_prefills_and_preserves_results(self, spark, fuzz_index):
+        cold_hits = fuzz_index.search("t3 t55 t999", 10, mode="taat")
+        b2 = Bm25Index(spark, fuzz_index.index_dir)
+        stats = b2.warm(["t3 t55 t999"])
+        assert stats["terms_warmed"] > 0
+        assert stats["cache_bytes"] > 0
+        assert b2._fieldnorms is not None
+        assert b2._terms_ds is not None and b2._postings_ds is not None
+        assert b2._decoded_cache  # decoded arrays resident pre-query
+        warm_hits = b2.search("t3 t55 t999", 10, mode="taat")
+        assert canon(warm_hits) == canon(cold_hits)
+
+    def test_warm_empty_is_fieldnorms_only(self, spark, fuzz_index):
+        b2 = Bm25Index(spark, fuzz_index.index_dir)
+        stats = b2.warm()
+        assert stats == {"terms_warmed": 0, "cache_bytes": 0}
+        assert b2._fieldnorms is not None
