@@ -377,13 +377,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bm25_tokenize_mappings"] = _tokenize_mappings
 
+    _delta_index_memo: dict[str, str] = {}
+
     def _delta_mutated_index(spark: SparkSession, sf_dir: str) -> str:
         """Shared mutation sequence for the growing∪sealed entries:
         sealed index over doc_id%3!=0, insert the %3==0 docs as delta,
         delete every %7==0 key (tombstones sealed docs AND masks the
         earlier delta inserts), then re-insert the %21==0 docs — the
         re-inserted keys must be live again (sequenced tombstones).
-        Statistics stay sealed-only (stale) until vacuum."""
+        Statistics stay sealed-only (stale) until vacuum. Memoized per
+        sf_dir: both delta entries read the identical mutated state, so
+        one build serves the whole gate run."""
         import tempfile
 
         from pyspark.sql import functions as F
@@ -392,6 +396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from bm25spark.config import Bm25Config
         from bm25spark.maintain import delete, insert
 
+        if sf_dir in _delta_index_memo:
+            return _delta_index_memo[sf_dir]
         docs = _docs(spark, sf_dir)
         d = tempfile.mkdtemp(prefix="bm25spark-delta-gate-")
         build_index(
@@ -407,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, d, docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
         )
         insert(spark, d, docs.filter(F.col("doc_id") % 21 == 0), "text")
+        _delta_index_memo[sf_dir] = d
         return d
 
     def _delta_modes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1180,8 +1180,10 @@ PNG_FEATURES_SCHEMA = StructType(
 
 def png_features(media_df: DataFrame) -> DataFrame:
     """Decode every ``image/png`` blob (REAL inflate + unfilter) and
-    emit integer-exact features — dims + per-channel sums in the
-    file's RGB order. Same no-shuffle mapInPandas shape as the other
+    emit integer-exact features — dims + per-channel sums in RGB
+    order. Handles every shape _decode_png produces: gray (C=1,
+    replicated into all three sums), RGB, and RGBA (alpha excluded
+    from the sums). Same no-shuffle mapInPandas shape as the other
     media decoders."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1190,7 +1192,11 @@ def png_features(media_df: DataFrame) -> DataFrame:
             for i, blob in zip(pdf["doc_id"].astype("int64"), pdf["media"]):
                 px = decode_image(bytes(blob)).astype(np.int64)
                 h, w = px.shape[:2]
-                sums = px.reshape(-1, 3).sum(axis=0)
+                if px.shape[2] == 1:
+                    s = int(px.sum())
+                    sums = (s, s, s)
+                else:  # RGB or RGBA: sum the three color channels
+                    sums = px[:, :, :3].reshape(-1, 3).sum(axis=0)
                 rows.append(
                     (int(i), w, h, w * h, int(sums[0]), int(sums[1]), int(sums[2]))
                 )
@@ -1425,6 +1431,14 @@ def _decode_gif(data: bytes) -> np.ndarray:
         raise ValueError("interlaced GIF unsupported")
     if w <= 0 or h <= 0 or w > sw or h > sh:
         raise ValueError(f"bad GIF image dims {w}x{h} (screen {sw}x{sh})")
+    if _x or _y or w != sw or h != sh:
+        # optimized GIFs place sub-region frames on the logical screen;
+        # silently returning the region as "the image" would corrupt
+        # per-image features — refuse loudly like interlace/LCT
+        raise NotImplementedError(
+            f"GIF sub-region frame ({w}x{h} at {_x},{_y} on {sw}x{sh} "
+            "screen) unsupported — full-frame images only"
+        )
     mcs = data[pos]
     pos += 1
     if not 2 <= mcs <= 8:
@@ -1866,6 +1880,17 @@ def _decode_jpeg(data: bytes) -> "np.ndarray":
         pos += seglen
     if not comps or len(scan_comps) != len(comps):
         raise ValueError("missing SOF0 or component mismatch")
+    # scan order is data order, but tables/planes belong to the FRAME
+    # component the scan entry names — pair by component id, not list
+    # position (T.81 allows the SOS order to differ from SOF0's)
+    frame_idx = {cid: i for i, (cid, _) in enumerate(comps)}
+    try:
+        scan_plan = [
+            (frame_idx[cid], comps[frame_idx[cid]][1], td, ta)
+            for cid, td, ta in scan_comps
+        ]
+    except KeyError as e:
+        raise ValueError(f"SOS names unknown component id {e}") from None
 
     ncomp = len(comps)
     nbx, nby = -(-w // 8), -(-h // 8)
@@ -1874,9 +1899,7 @@ def _decode_jpeg(data: bytes) -> "np.ndarray":
     pred = [0] * ncomp
     for by in range(nby):
         for bx in range(nbx):
-            for c in range(ncomp):
-                _, tq = comps[c]
-                _, td, ta = scan_comps[c]
+            for c, tq, td, ta in scan_plan:
                 dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
                 zzb = np.zeros(64, dtype=np.int64)
                 size = _huff_decode(br, dc_tab)
@@ -1898,7 +1921,7 @@ def _decode_jpeg(data: bytes) -> "np.ndarray":
                     zzb[i] = _extend(br.bits(size), size)
                     i += 1
                 coeffs = np.zeros(64, dtype=np.float64)
-                coeffs[_ZIGZAG] = zzb * qtabs[comps[c][1]].reshape(64)[_ZIGZAG]
+                coeffs[_ZIGZAG] = zzb * qtabs[tq].reshape(64)[_ZIGZAG]
                 blk = _IDCT_M.T @ coeffs.reshape(8, 8) @ _IDCT_M
                 planes[c, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
     planes = np.clip(np.round(planes + 128.0), 0, 255)
@@ -1981,6 +2004,13 @@ def jpeg_features(media_df: DataFrame) -> DataFrame:
             rows = []
             for i, blob in zip(pdf["doc_id"].astype("int64"), pdf["media"]):
                 px = decode_image(bytes(blob)).astype(np.int64)
+                if px.shape[2] != 1:
+                    raise ValueError(
+                        "jpeg_features computes gray_sum over single-"
+                        "component JPEGs; got a color (3-component) "
+                        "stream — decode_image it and reduce channels "
+                        "explicitly instead"
+                    )
                 h, w = px.shape[:2]
                 rows.append((int(i), w, h, w * h, int(px.sum())))
             yield pd.DataFrame(

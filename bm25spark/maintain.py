@@ -244,9 +244,11 @@ class _MutationLock:
         if not held:
             raise RuntimeError(
                 f"mutation lock {self.path} lost (stolen after a "
-                f">{self.stale}s stall or deleted); aborting before "
-                "publish — the index was NOT modified by this mutator's "
-                "final step"
+                f">{self.stale}s stall or deleted); aborting. For "
+                "vacuum this is before the meta publish, so the index "
+                "is unmodified; for insert/delete the growing segment "
+                "MAY already contain this mutation's rows — do not "
+                "blindly retry, inspect delta_size/vacuum first"
             )
 
     def _heartbeat(self, stop) -> None:
@@ -365,13 +367,18 @@ class _MutationLock:
             self._hb_stop = None
         if self.store is not None:
             # compare-and-delete: remove the lease only while it is
-            # still OURS at the version we read — a stealer's lease
-            # (different token) or its racing refresh (different
-            # version) is left untouched
-            cur = self._lease_current()
-            if cur is not None and cur[0] == self.token:
-                self.store.delete_if_match(self.path, cur[2])
-            return False
+            # still OURS — retried, because one in-flight heartbeat
+            # refresh may land between our read and our delete (the
+            # version bumps, delete_if_match returns False) and an
+            # abandoned fresh-ts lease would block every later mutator
+            # until it staled out. A stealer's lease (different token)
+            # is left untouched.
+            while True:
+                cur = self._lease_current()
+                if cur is None or cur[0] != self.token:
+                    return False
+                if self.store.delete_if_match(self.path, cur[2]):
+                    return False
         # compare-and-unlink without a read-then-unlink window: rename
         # the lock to a private name first (atomic claim), verify it is
         # OURS, then delete; if it was a stealer's, restore it
@@ -451,6 +458,10 @@ def insert(
         gen = _gen_of(idx.meta)
         keep = list(dict.fromkeys([*idx.payload_cols, text_col]))
         seq = _next_seq(index_dir, gen)
+        # gate BEFORE the append too: the parquet write below IS the
+        # mutation (delta files are read directly, no meta repoint), so
+        # shrink the stolen-lock window to the write itself
+        lock.assert_held()
         (
             rows.select(*keep)
             .withColumn("_seq", F.lit(seq).cast("long"))
@@ -484,6 +495,7 @@ def delete(
             "left_semi",
         )
         seq = _next_seq(index_dir, gen)
+        lock.assert_held()  # see insert(): the writes ARE the mutation
         sealed.select("doc_id").write.mode("append").parquet(
             _tomb_path(index_dir, gen)
         )

@@ -1546,6 +1546,25 @@ class TestGifReal:
             )
             assert np.array_equal(dec, idx), (trial, mcs, n)
 
+    def test_lzw_dictionary_reset_at_4096(self):
+        """Streams long/diverse enough to force the CLEAR-code reset
+        (>4078 dictionary insertions) roundtrip across the reset — the
+        short fuzz above never reaches it (caps at ~3018 entries)."""
+        import numpy as np
+
+        from bm25spark.datapipe import multimodal as M
+
+        rng = np.random.default_rng(7)
+        for mcs, n in ((8, 6000), (8, 20000), (4, 30000), (2, 40000)):
+            idx = rng.integers(0, 1 << mcs, size=n)
+            dec = M._gif_lzw_decode(M._gif_lzw_encode(idx, mcs), mcs, n)
+            assert np.array_equal(dec, idx), (mcs, n)
+            # structured repetition too: long repeats grow the
+            # dictionary fastest and stress codes spanning the reset
+            rep = np.tile(idx[:97], n // 97 + 1)[:n]
+            dec = M._gif_lzw_decode(M._gif_lzw_encode(rep, mcs), mcs, n)
+            assert np.array_equal(dec, rep), (mcs, n, "rep")
+
     def test_extension_blocks_skipped(self):
         """A Graphic Control Extension before the image descriptor
         (what real encoders emit) is skipped, not fatal."""
