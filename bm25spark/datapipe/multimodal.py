@@ -72,10 +72,11 @@ def decode_image(data: bytes) -> "np.ndarray":
     types) — no codec library needed for either. Returns an
     (H, W, C) uint8 array in file channel order (BGR C=3 for BMP;
     gray C=1 / RGB C=3 / RGBA C=4 for PNG), top row first. Baseline
-    JFIF (sequential DCT, 4:4:4 or grayscale) decodes for real too —
-    segment walk + canonical Huffman + dequant + IDCT, see
-    :func:`_decode_jpeg`. Only WebP (and non-baseline JPEG modes)
-    remain stubbed: replace the fallthrough with PIL/cv2 to go live."""
+    JFIF (sequential DCT; gray/4:4:4/4:2:2/4:2:0 sampling; DRI
+    restart markers) decodes for real too — segment walk + canonical
+    Huffman + dequant + IDCT + chroma upsampling, see
+    :func:`_decode_jpeg`. Only WebP (and progressive JPEG) remain
+    stubbed: replace the fallthrough with PIL/cv2 to go live."""
     if data[:2] == b"BM":
         return _decode_bmp(data)
     if data[:8] == _PNG_SIG:
@@ -86,9 +87,9 @@ def decode_image(data: bytes) -> "np.ndarray":
         return _decode_jpeg(data)  # baseline Huffman+IDCT -> gray/RGB
     raise NotImplementedError(
         "only 24-bpp BMP, 8-bit gray/RGB/RGBA PNG, GCT GIF, and "
-        "baseline 4:4:4/gray JFIF decode in this environment; WebP "
-        "needs a codec library (PIL/cv2) — use extract_features for "
-        "the wired-up deterministic feature path"
+        "baseline JFIF (gray/4:4:4/4:2:2/4:2:0, DRI) decode in this "
+        "environment; WebP needs a codec library (PIL/cv2) — use "
+        "extract_features for the wired-up deterministic feature path"
     )
 
 
@@ -1651,13 +1652,22 @@ class _BitWriter:
                 self.acc = 0
                 self.n = 0
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 F.1.2.3) — the
+        state a restart marker must be emitted in."""
         if self.n:
             self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
             self.out.append(self.acc)
             if self.acc == 0xFF:
                 self.out.append(0x00)
             self.acc = self.n = 0
+
+    def marker(self, byte2: int) -> None:
+        """Emit a standalone marker (RSTm) — caller must align() first."""
+        self.out += bytes((0xFF, byte2))
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -1693,6 +1703,17 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def sync_restart(self, m: int) -> None:
+        """Discard pad bits, then consume the expected RSTm marker
+        (restart markers sit at byte boundaries, T.81 F.2.1.3.1)."""
+        self.n = 0
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or b1 != 0xD0 + m:
+            raise ValueError(
+                f"expected RST{m} at {self.pos}, found {b0:02X}{b1:02X}"
+            )
+        self.pos += 2
+
 
 def _huff_decode(br: "_BitReader", table: dict) -> int:
     code, ln = 0, 0
@@ -1719,19 +1740,29 @@ def jpeg_encode_blocks(
     w: int,
     h: int,
     qtab: "np.ndarray",
+    sampling: list | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Assemble a genuine baseline JFIF from QUANTIZED coefficient
     blocks (coefficient-domain encoder — the entropy/container half of
     T.81; no FDCT needed, which keeps the synthesized streams exact).
 
     ``comp_blocks``: per component, a list of (8, 8) int arrays in
-    natural (row, col) order, MCU raster order; 1 component = gray,
-    3 = YCbCr 4:4:4 interleaved. ``qtab``: (8, 8) int 1-255."""
+    natural (row, col) order; 1 component = gray, 3 = YCbCr.
+    ``sampling``: per-component (Hi, Vi) — default all (1, 1)
+    (4:4:4); [(2, 2), (1, 1), (1, 1)] is 4:2:0, [(2, 1), (1, 1),
+    (1, 1)] 4:2:2. Blocks are MCU-major: component c contributes
+    Hi*Vi blocks per MCU in within-MCU raster order. ``qtab``:
+    (8, 8) int 1-255. ``restart_interval``: emit DRI + RSTm markers
+    (byte-aligned, DC predictors reset) every that many MCUs."""
     import struct
 
     ncomp = len(comp_blocks)
     if ncomp not in (1, 3):
         raise ValueError("1 (gray) or 3 (YCbCr) components")
+    samp = sampling or [(1, 1)] * ncomp
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
     dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMBOLS)
     ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMBOLS)
 
@@ -1742,7 +1773,8 @@ def jpeg_encode_blocks(
     out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00) + zz.tobytes()
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for c in range(ncomp):
-        sof += struct.pack(">BBB", c + 1, 0x11, 0)  # 1x1 sampling, qtab 0
+        hv = (samp[c][0] << 4) | samp[c][1]
+        sof += struct.pack(">BBB", c + 1, hv, 0)  # qtab 0
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     for cls, bits, syms in (
         (0x00, _JPEG_DC_BITS, _JPEG_DC_SYMBOLS),
@@ -1750,6 +1782,8 @@ def jpeg_encode_blocks(
     ):
         body = bytes([cls]) + bytes(bits) + bytes(syms)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([ncomp])
     for c in range(ncomp):
         sos += bytes([c + 1, 0x00])  # DC table 0, AC table 0
@@ -1758,40 +1792,56 @@ def jpeg_encode_blocks(
 
     bw = _BitWriter()
     pred = [0] * ncomp
-    n_mcu = len(comp_blocks[0])
+    n_mcu = (-(-w // (8 * hmax))) * (-(-h // (8 * vmax)))
+    for c in range(ncomp):
+        need = n_mcu * samp[c][0] * samp[c][1]
+        if len(comp_blocks[c]) != need:
+            raise ValueError(
+                f"component {c}: {len(comp_blocks[c])} blocks, need {need}"
+            )
+    rst = 0
     for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.align()
+            bw.marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+            pred = [0] * ncomp
         for c in range(ncomp):
-            blk = np.asarray(comp_blocks[c][m], dtype=np.int64).reshape(64)
-            zzb = blk[_ZIGZAG]
-            diff = int(zzb[0]) - pred[c]
-            pred[c] = int(zzb[0])
-            size = _category(diff)
-            code, ln = dc_codes[size]
-            bw.put(code, ln)
-            if size:
-                bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zzb)[0])) if np.any(zzb[1:]) else 0
-            for i in range(1, 64):
-                v = int(zzb[i])
-                if i > last_nz:
-                    code, ln = ac_codes[0x00]  # EOB
-                    bw.put(code, ln)
-                    break
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    bw.put(code, ln)
-                    run -= 16
-                size = _category(v)
-                if size > 10:
-                    raise ValueError(f"AC coefficient {v} out of range")
-                code, ln = ac_codes[(run << 4) | size]
+            per = samp[c][0] * samp[c][1]
+            for bi in range(per):
+                blk = np.asarray(
+                    comp_blocks[c][m * per + bi], dtype=np.int64
+                ).reshape(64)
+                zzb = blk[_ZIGZAG]
+                diff = int(zzb[0]) - pred[c]
+                pred[c] = int(zzb[0])
+                size = _category(diff)
+                code, ln = dc_codes[size]
                 bw.put(code, ln)
-                bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+                if size:
+                    bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
                 run = 0
+                last_nz = int(np.max(np.nonzero(zzb)[0])) if np.any(zzb[1:]) else 0
+                for i in range(1, 64):
+                    v = int(zzb[i])
+                    if i > last_nz:
+                        code, ln = ac_codes[0x00]  # EOB
+                        bw.put(code, ln)
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]  # ZRL
+                        bw.put(code, ln)
+                        run -= 16
+                    size = _category(v)
+                    if size > 10:
+                        raise ValueError(f"AC coefficient {v} out of range")
+                    code, ln = ac_codes[(run << 4) | size]
+                    bw.put(code, ln)
+                    bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+                    run = 0
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -1799,11 +1849,13 @@ def jpeg_encode_blocks(
 
 def _decode_jpeg(data: bytes) -> "np.ndarray":
     """Baseline JFIF decoder: segment walk, arbitrary canonical DHT
-    tables, 8-bit DQT, SOF0 with 1x1 sampling (1 or 3 components),
-    interleaved scan, dequant + inverse zigzag + separable float IDCT
-    + level shift. Returns (H, W, 1) gray or (H, W, 3) RGB (BT.601
-    YCbCr as JFIF specifies). Progressive/subsampled/restart streams
-    are refused loudly."""
+    tables, 8-bit DQT, SOF0 with sampling factors 1-2 per axis (4:4:4,
+    4:2:2, 4:2:0, grayscale), interleaved scan with DRI restart
+    markers (byte realign + predictor reset), dequant + inverse zigzag
+    + separable float IDCT + nearest-neighbor chroma upsampling +
+    level shift. Returns (H, W, 1) gray or (H, W, 3) RGB (BT.601
+    YCbCr as JFIF specifies). Progressive / >2 sampling factors are
+    refused loudly."""
     import struct
 
     if data[:2] != b"\xff\xd8":
@@ -1813,6 +1865,7 @@ def _decode_jpeg(data: bytes) -> "np.ndarray":
     huff: dict[tuple, dict] = {}
     comps: list[tuple] = []
     w = h = 0
+    dri = 0
     scan_comps: list[tuple] = []
     while True:
         if data[pos] != 0xFF:
@@ -1857,19 +1910,20 @@ def _decode_jpeg(data: bytes) -> "np.ndarray":
                 raise ValueError("only 8-bit precision")
             for c in range(nf):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                if hv != 0x11:
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled JPEG (Hi/Vi != 1) not supported — "
-                        "4:4:4 / grayscale only"
+                        f"sampling factors {hi}x{vi} unsupported — "
+                        "1-2 per axis (4:4:4/4:2:2/4:2:0/gray) only"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hi, vi))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X})"
             )
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals (DRI) unsupported")
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
             for c in range(ns):
@@ -1883,7 +1937,7 @@ def _decode_jpeg(data: bytes) -> "np.ndarray":
     # scan order is data order, but tables/planes belong to the FRAME
     # component the scan entry names — pair by component id, not list
     # position (T.81 allows the SOS order to differ from SOF0's)
-    frame_idx = {cid: i for i, (cid, _) in enumerate(comps)}
+    frame_idx = {cid: i for i, (cid, *_rest) in enumerate(comps)}
     try:
         scan_plan = [
             (frame_idx[cid], comps[frame_idx[cid]][1], td, ta)
@@ -1893,41 +1947,64 @@ def _decode_jpeg(data: bytes) -> "np.ndarray":
         raise ValueError(f"SOS names unknown component id {e}") from None
 
     ncomp = len(comps)
-    nbx, nby = -(-w // 8), -(-h // 8)
-    planes = np.zeros((ncomp, nby * 8, nbx * 8), dtype=np.float64)
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    nmx, nmy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    # per-component subsampled planes (padded to whole MCUs)
+    planes = [
+        np.zeros((nmy * 8 * c[3], nmx * 8 * c[2]), dtype=np.float64)
+        for c in comps
+    ]
     br = _BitReader(data, pos)
     pred = [0] * ncomp
-    for by in range(nby):
-        for bx in range(nbx):
-            for c, tq, td, ta in scan_plan:
-                dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
-                zzb = np.zeros(64, dtype=np.int64)
-                size = _huff_decode(br, dc_tab)
-                diff = _extend(br.bits(size), size) if size else 0
-                pred[c] += diff
-                zzb[0] = pred[c]
-                i = 1
-                while i < 64:
-                    sym = _huff_decode(br, ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    i += run
-                    if i > 63:
-                        raise ValueError("AC run past block end")
-                    zzb[i] = _extend(br.bits(size), size)
-                    i += 1
-                coeffs = np.zeros(64, dtype=np.float64)
-                coeffs[_ZIGZAG] = zzb * qtabs[tq].reshape(64)[_ZIGZAG]
-                blk = _IDCT_M.T @ coeffs.reshape(8, 8) @ _IDCT_M
-                planes[c, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
-    planes = np.clip(np.round(planes + 128.0), 0, 255)
+    rst = 0
+    for m in range(nmx * nmy):
+        if dri and m and m % dri == 0:
+            br.sync_restart(rst)  # byte realign + expected RSTm
+            rst = (rst + 1) % 8
+            pred = [0] * ncomp
+        my, mx = divmod(m, nmx)
+        for c, tq, td, ta in scan_plan:
+            hi, vi = comps[c][2], comps[c][3]
+            dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+            for v_ in range(vi):
+                for h_ in range(hi):
+                    zzb = np.zeros(64, dtype=np.int64)
+                    size = _huff_decode(br, dc_tab)
+                    diff = _extend(br.bits(size), size) if size else 0
+                    pred[c] += diff
+                    zzb[0] = pred[c]
+                    i = 1
+                    while i < 64:
+                        sym = _huff_decode(br, ac_tab)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            i += 16
+                            continue
+                        run, size = sym >> 4, sym & 0xF
+                        i += run
+                        if i > 63:
+                            raise ValueError("AC run past block end")
+                        zzb[i] = _extend(br.bits(size), size)
+                        i += 1
+                    coeffs = np.zeros(64, dtype=np.float64)
+                    coeffs[_ZIGZAG] = zzb * qtabs[tq].reshape(64)[_ZIGZAG]
+                    blk = _IDCT_M.T @ coeffs.reshape(8, 8) @ _IDCT_M
+                    ry, rx = (my * vi + v_) * 8, (mx * hi + h_) * 8
+                    planes[c][ry : ry + 8, rx : rx + 8] = blk
+    # nearest-neighbor chroma upsampling to full resolution, then crop
+    full = []
+    for c in range(ncomp):
+        p = planes[c]
+        fy, fx = vmax // comps[c][3], hmax // comps[c][2]
+        if fy > 1 or fx > 1:
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        full.append(p[:h, :w])
+    full = np.clip(np.round(np.stack(full) + 128.0), 0, 255)
     if ncomp == 1:
-        return planes[0, :h, :w, None].astype(np.uint8)
-    y, cb, cr = (planes[i, :h, :w] for i in range(3))
+        return full[0][:, :, None].astype(np.uint8)
+    y, cb, cr = full[0], full[1], full[2]
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)

@@ -1305,6 +1305,83 @@ class TestJpeg:
         assert np.array_equal(px[:, :, 0], px[:, :, 1])
         assert np.array_equal(px[:, :, 0], px[:, :, 2])
 
+    def test_restart_markers_roundtrip(self):
+        """DRI/RSTm: byte-aligned restart markers every 2 MCUs with DC
+        predictor resets — constant-block exactness must survive the
+        resync on both sides."""
+        from bm25spark.datapipe import multimodal as M
+
+        w, h, nbx = 24, 16, 3
+        vals = [10, 60, 110, 160, 210, 250]
+        blocks = []
+        for v in vals:
+            b = np.zeros((8, 8), np.int64)
+            b[0, 0] = 8 * (v - 128)
+            blocks.append(b)
+        data = M.jpeg_encode_blocks(
+            [blocks], w, h, np.ones((8, 8), np.int64), restart_interval=2
+        )
+        assert b"\xff\xdd" in data  # DRI segment
+        assert b"\xff\xd0" in data and b"\xff\xd1" in data  # RST0, RST1
+        px = M.decode_image(data)[:, :, 0].astype(np.int64)
+        for i, v in enumerate(vals):
+            by, bx = divmod(i, nbx)
+            assert np.all(px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == v)
+
+    def test_420_subsampling(self):
+        """4:2:0 (Y 2x2, chroma 1x1): within-MCU Y block placement and
+        nearest-neighbor chroma upsampling, checked with values that
+        make the BT.601 conversion integer-exact (Cr=138 -> R=Y+14,
+        G=Y-7, B=Y)."""
+        from bm25spark.datapipe import multimodal as M
+
+        yvals = [40, 80, 120, 160]
+        yb = []
+        for v in yvals:
+            b = np.zeros((8, 8), np.int64)
+            b[0, 0] = 8 * (v - 128)
+            yb.append(b)
+        cb = np.zeros((8, 8), np.int64)
+        cr = np.zeros((8, 8), np.int64)
+        cr[0, 0] = 8 * (138 - 128)
+        data = M.jpeg_encode_blocks(
+            [yb, [cb], [cr]], 16, 16, np.ones((8, 8), np.int64),
+            sampling=[(2, 2), (1, 1), (1, 1)],
+        )
+        px = M.decode_image(data).astype(np.int64)
+        assert px.shape == (16, 16, 3)
+        for i, v in enumerate(yvals):
+            qy, qx = divmod(i, 2)
+            quad = px[qy * 8 : qy * 8 + 8, qx * 8 : qx * 8 + 8]
+            assert np.all(quad[:, :, 0] == v + 14)
+            assert np.all(quad[:, :, 1] == v - 7)
+            assert np.all(quad[:, :, 2] == v)
+
+    def test_422_subsampling_with_restarts(self):
+        """4:2:2 (Y 2x1) composed with DRI: two MCUs, a restart
+        between them, Cb=Cr=128 so RGB == Y exactly."""
+        from bm25spark.datapipe import multimodal as M
+
+        yvals = [30, 70, 130, 190]  # 2 MCUs x 2 Y blocks
+        yb = []
+        for v in yvals:
+            b = np.zeros((8, 8), np.int64)
+            b[0, 0] = 8 * (v - 128)
+            yb.append(b)
+        z = [np.zeros((8, 8), np.int64) for _ in range(2)]
+        data = M.jpeg_encode_blocks(
+            [yb, z, [a.copy() for a in z]], 32, 8,
+            np.ones((8, 8), np.int64),
+            sampling=[(2, 1), (1, 1), (1, 1)], restart_interval=1,
+        )
+        assert b"\xff\xd0" in data
+        px = M.decode_image(data).astype(np.int64)
+        assert px.shape == (8, 32, 3)
+        for i, v in enumerate(yvals):
+            strip = px[:, i * 8 : i * 8 + 8]
+            assert np.all(strip[:, :, 0] == v)
+            assert np.all(strip == v)
+
     def test_honest_refusals(self):
         from bm25spark.datapipe import multimodal as M
 
@@ -1314,8 +1391,8 @@ class TestJpeg:
         with pytest.raises(NotImplementedError, match="non-baseline"):
             M.decode_image(bytes(data))
         data = bytearray(M.synthesize_jpeg(3))
-        data[sof + 11] = 0x22  # Hi/Vi = 2x2 subsampling
-        with pytest.raises(NotImplementedError, match="subsampled"):
+        data[sof + 11] = 0x33  # Hi/Vi = 3x3 — beyond baseline's common set
+        with pytest.raises(NotImplementedError, match="sampling factors"):
             M.decode_image(bytes(data))
         with pytest.raises(NotImplementedError, match="WebP"):
             M.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
