@@ -889,6 +889,35 @@ class TestLockHardening:
         finally:
             fsio.unregister_lease_store("mock")
 
+    def test_lease_heartbeat_prevents_steal(self, monkeypatch):
+        """A live holder's heartbeat (version-CAS ts refresh every
+        stale/4) keeps the lease fresh: a waiter sees a never-stale
+        lease and times out instead of stealing."""
+        import json as _json
+
+        from bm25spark import fs as fsio
+        from bm25spark.maintain import _MutationLock
+
+        store = fsio.InMemoryConditionalStore()
+        fsio.register_lease_store("mock", lambda: store)
+        monkeypatch.setenv("BM25SPARK_LOCK_STALE_SEC", "4")
+        try:
+            a = _MutationLock("mock://bucket/idx")
+            a.__enter__()
+            try:
+                ts0 = _json.loads(store.get(a.path)[0])["ts"]
+                time.sleep(2.2)  # > 2 heartbeat intervals (stale/4 = 1s)
+                ts1 = _json.loads(store.get(a.path)[0])["ts"]
+                assert ts1 > ts0  # refreshed by the heartbeat thread
+                b = _MutationLock("mock://bucket/idx", timeout=1.5)
+                with pytest.raises(TimeoutError):
+                    b.__enter__()
+                a.assert_held()  # never displaced
+            finally:
+                a.__exit__(None, None, None)
+        finally:
+            fsio.unregister_lease_store("mock")
+
     def test_lease_mutual_exclusion_under_contention(self, monkeypatch):
         """N threads hammering acquire/release on one lease: the
         critical section is never concurrently occupied and every
