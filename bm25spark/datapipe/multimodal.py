@@ -1707,6 +1707,10 @@ class _BitReader:
         """Discard pad bits, then consume the expected RSTm marker
         (restart markers sit at byte boundaries, T.81 F.2.1.3.1)."""
         self.n = 0
+        if self.pos + 1 >= len(self.data):
+            raise ValueError(
+                f"stream truncated at restart boundary (RST{m} expected)"
+            )
         b0, b1 = self.data[self.pos], self.data[self.pos + 1]
         if b0 != 0xFF or b1 != 0xD0 + m:
             raise ValueError(
@@ -1761,6 +1765,14 @@ def jpeg_encode_blocks(
     if ncomp not in (1, 3):
         raise ValueError("1 (gray) or 3 (YCbCr) components")
     samp = sampling or [(1, 1)] * ncomp
+    if ncomp == 1 and tuple(samp[0]) != (1, 1):
+        # T.81 A.2: a single-component scan is non-interleaved (MCU =
+        # 1 data unit, full-res raster); emitting Hi/Vi > 1 with the
+        # interleaved layout below would be a non-conforming stream.
+        raise ValueError(
+            "grayscale streams must use sampling (1, 1): a one-"
+            "component scan is non-interleaved per T.81 A.2"
+        )
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMBOLS)
@@ -1917,6 +1929,14 @@ def _decode_jpeg(data: bytes) -> "np.ndarray":
                         "1-2 per axis (4:4:4/4:2:2/4:2:0/gray) only"
                     )
                 comps.append((cid, tq, hi, vi))
+            if nf == 1:
+                # T.81 A.2: a one-component scan is NON-interleaved —
+                # MCU = 1 data unit, full-resolution raster over
+                # ceil(w/8) x ceil(h/8) blocks, whatever Hi/Vi says.
+                # Coercing to 1x1 makes the interleaved walk below
+                # produce exactly that layout (and keeps DRI counting
+                # MCUs = blocks, as the spec requires).
+                comps[0] = (comps[0][0], comps[0][1], 1, 1)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(

@@ -1382,6 +1382,63 @@ class TestJpeg:
             assert np.all(strip[:, :, 0] == v)
             assert np.all(strip == v)
 
+    def test_gray_oversampled_sof_decodes_nonintervleaved(self):
+        """T.81 A.2: a one-component scan is non-interleaved whatever
+        SOF's Hi/Vi say — patching a conforming gray stream's sampling
+        byte to 2x2 must NOT change the decode (raster block order,
+        ceil(w/8) x ceil(h/8) blocks), including non-multiple-of-16
+        dimensions where interleaved geometry would mis-count blocks."""
+        from bm25spark.datapipe import multimodal as M
+
+        for w, h in ((32, 32), (24, 24)):
+            nbx, nby = w // 8, h // 8
+            blocks = []
+            for i in range(nbx * nby):
+                b = np.zeros((8, 8), np.int64)
+                b[0, 0] = 8 * ((10 + 10 * i) - 128)
+                blocks.append(b)
+            data = M.jpeg_encode_blocks(
+                [blocks], w, h, np.ones((8, 8), np.int64)
+            )
+            want = M.decode_image(data)
+            patched = bytearray(data)
+            sof = data.find(b"\xff\xc0")
+            assert patched[sof + 11] == 0x11
+            patched[sof + 11] = 0x22  # oversampled gray SOF
+            got = M.decode_image(bytes(patched))
+            assert np.array_equal(got, want)
+
+    def test_encoder_rejects_gray_subsampling(self):
+        """Emitting Hi/Vi > 1 for a one-component stream with the
+        interleaved layout would be non-conforming — refuse loudly."""
+        from bm25spark.datapipe import multimodal as M
+
+        b = np.zeros((8, 8), np.int64)
+        with pytest.raises(ValueError, match="non-interleaved"):
+            M.jpeg_encode_blocks(
+                [[b] * 4], 16, 16, np.ones((8, 8), np.int64),
+                sampling=[(2, 2)],
+            )
+
+    def test_truncated_at_restart_raises_valueerror(self):
+        """A stream cut at a restart boundary must raise the decoder's
+        documented ValueError, not leak a bare IndexError."""
+        from bm25spark.datapipe import multimodal as M
+
+        blocks = []
+        for v in (10, 60, 110, 160):
+            b = np.zeros((8, 8), np.int64)
+            b[0, 0] = 8 * (v - 128)
+            blocks.append(b)
+        data = M.jpeg_encode_blocks(
+            [blocks], 32, 8, np.ones((8, 8), np.int64), restart_interval=2
+        )
+        cut = data.find(b"\xff\xd0")
+        assert cut > 0
+        for end in (cut, cut + 1):
+            with pytest.raises(ValueError, match="truncated at restart"):
+                M.decode_image(data[:end])
+
     def test_honest_refusals(self):
         from bm25spark.datapipe import multimodal as M
 

@@ -906,8 +906,14 @@ class TestLockHardening:
             a.__enter__()
             try:
                 ts0 = _json.loads(store.get(a.path)[0])["ts"]
-                time.sleep(2.2)  # > 2 heartbeat intervals (stale/4 = 1s)
-                ts1 = _json.loads(store.get(a.path)[0])["ts"]
+                # poll for the refresh (interval = stale/4 = 1 s) with
+                # a generous deadline so a scheduler stall on a noisy
+                # VM can't flake the assertion
+                deadline = time.monotonic() + 20.0
+                ts1 = ts0
+                while ts1 <= ts0 and time.monotonic() < deadline:
+                    time.sleep(0.2)
+                    ts1 = _json.loads(store.get(a.path)[0])["ts"]
                 assert ts1 > ts0  # refreshed by the heartbeat thread
                 b = _MutationLock("mock://bucket/idx", timeout=1.5)
                 with pytest.raises(TimeoutError):
