@@ -46,6 +46,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_jpeg_features": lambda s, d: multimodal.jpeg_features(
             multimodal.synthesize_jpeg_media(_docs(s, d))
         ).orderBy("doc_id"),
+        # PROGRESSIVE (SOF2) JFIF: multi-scan spectral selection +
+        # successive approximation with DRI restarts, decoded by the
+        # full T.81 G.2 algorithm; same closed-form gray sums
+        "image_jpeg_progressive_features": lambda s, d: multimodal.jpeg_features(
+            multimodal.synthesize_jpeg_progressive_media(_docs(s, d))
+        ).orderBy("doc_id"),
         # REAL video path: write genuine RIFF/AVI containers (raw DIB
         # frames), parse them back with struct+NumPy, emit
         # integer-exact per-video and per-sampled-frame channel sums
@@ -208,6 +214,8 @@ def oracle_registry() -> dict[str, str]:
         "audio_wav_features": multimodal.audio_wav_features_sql(),
         "image_container_features": multimodal.image_container_features_sql(),
         "image_jpeg_features": multimodal.image_jpeg_features_sql(),
+        "image_jpeg_progressive_features":
+            multimodal.image_jpeg_progressive_features_sql(),
         "video_avi_features": multimodal.video_avi_features_sql(),
         "video_frame_sample": multimodal.video_frame_sample_sql(every_n=2),
         "dedup_exact_groups": dedup.exact_dup_groups_sql(),

@@ -16,11 +16,13 @@ VIDEO IS REAL for uncompressed RIFF/AVI with raw DIB '00db' frames
 (:func:`decode_video`, struct+NumPy): genuine containers are written
 (:func:`synthesize_bmp_media`, :func:`synthesize_png_media`,
 :func:`synthesize_avi_media`), parsed back, and gate-checked against
-closed-form pixel oracles. Only TRANSFORM-CODED codecs
-(JPEG/WebP/H.264/…) remain stubbed — they need codec libraries
-absent from this environment; the deterministic fake feature
-extractor (byte histogram + entropy) stands in for those, and
-swapping in PIL/PyAV is a one-function change.
+closed-form pixel oracles. JPEG IS REAL for baseline (SOF0) AND
+progressive (SOF2) JFIF — from-scratch canonical Huffman, DRI
+restarts, 4:2:0/4:2:2 subsampling, spectral selection + successive
+approximation. Only WebP/H.264 remain stubbed — they need codec
+libraries absent from this environment; the deterministic fake
+feature extractor (byte histogram + entropy) stands in for those,
+and swapping in PIL/PyAV is a one-function change.
 """
 
 from __future__ import annotations
@@ -71,12 +73,12 @@ def decode_image(data: bytes) -> "np.ndarray":
     inflate + chunk walk + scanline unfiltering, all five filter
     types) — no codec library needed for either. Returns an
     (H, W, C) uint8 array in file channel order (BGR C=3 for BMP;
-    gray C=1 / RGB C=3 / RGBA C=4 for PNG), top row first. Baseline
-    JFIF (sequential DCT; gray/4:4:4/4:2:2/4:2:0 sampling; DRI
-    restart markers) decodes for real too — segment walk + canonical
-    Huffman + dequant + IDCT + chroma upsampling, see
-    :func:`_decode_jpeg`. Only WebP (and progressive JPEG) remain
-    stubbed: replace the fallthrough with PIL/cv2 to go live."""
+    gray C=1 / RGB C=3 / RGBA C=4 for PNG), top row first. JFIF
+    decodes for real too — baseline (SOF0) and progressive (SOF2)
+    with gray/4:4:4/4:2:2/4:2:0 sampling and DRI restart markers:
+    segment walk + canonical Huffman + dequant + IDCT + chroma
+    upsampling, see :func:`_decode_jpeg`. Only WebP remains stubbed:
+    replace the fallthrough with PIL/cv2 to go live."""
     if data[:2] == b"BM":
         return _decode_bmp(data)
     if data[:8] == _PNG_SIG:
@@ -87,9 +89,10 @@ def decode_image(data: bytes) -> "np.ndarray":
         return _decode_jpeg(data)  # baseline Huffman+IDCT -> gray/RGB
     raise NotImplementedError(
         "only 24-bpp BMP, 8-bit gray/RGB/RGBA PNG, GCT GIF, and "
-        "baseline JFIF (gray/4:4:4/4:2:2/4:2:0, DRI) decode in this "
-        "environment; WebP needs a codec library (PIL/cv2) — use "
-        "extract_features for the wired-up deterministic feature path"
+        "baseline/progressive JFIF (gray/4:4:4/4:2:2/4:2:0, DRI) "
+        "decode in this environment; WebP needs a codec library "
+        "(PIL/cv2) — use extract_features for the wired-up "
+        "deterministic feature path"
     )
 
 
@@ -1608,6 +1611,11 @@ _JPEG_AC_SYMBOLS = [0x00, 0xF0] + [
 ]
 _JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12  # BITS[L-1] = #codes of length L
 _JPEG_AC_BITS = [0] * 7 + [162] + [0] * 8
+#: progressive AC scans additionally need the EOBn symbols (run<<4,
+#: size 0, run 1-14 = EOB-run length category, T.81 G.1.2.2); 176
+#: codes still fit at length 8.
+_JPEG_AC_SYMBOLS_PROG = _JPEG_AC_SYMBOLS + [r << 4 for r in range(1, 15)]
+_JPEG_AC_BITS_PROG = [0] * 7 + [176] + [0] * 8
 
 
 def _canonical_codes(bits: list, symbols: list) -> dict:
@@ -1683,9 +1691,13 @@ class _BitReader:
 
     def bit(self) -> int:
         if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy-coded data")
             b = self.data[self.pos]
             self.pos += 1
             if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated entropy-coded data")
                 nxt = self.data[self.pos]
                 if nxt != 0x00:
                     raise ValueError(
@@ -1859,15 +1871,322 @@ def jpeg_encode_blocks(
     return bytes(out)
 
 
+def jpeg_encode_blocks_progressive(
+    comp_blocks: list,
+    w: int,
+    h: int,
+    qtab: "np.ndarray",
+    sampling: list | None = None,
+    scans: list | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Assemble a genuine PROGRESSIVE (SOF2) JFIF from QUANTIZED
+    coefficient blocks — same inputs as :func:`jpeg_encode_blocks`
+    (per-component MCU-major (8, 8) int blocks), so the two encoders
+    can be differentially tested against each other.
+
+    ``scans``: the scan script, a list of (components, Ss, Se, Ah, Al)
+    where ``components`` is an int or tuple of component indices. DC
+    scans (Ss=Se=0) may interleave several components; AC scans are
+    single-component and non-interleaved over that component's own
+    block grid (T.81 A.2.2). Successive approximation follows G.1.2:
+    DC point transform is an arithmetic shift, AC is a magnitude
+    shift; refinement scans emit one correction bit per
+    already-significant coefficient, run/EOB-structured around the
+    newly-significant ones. The default script exercises every scan
+    kind (DC first Al=1, AC bands 1-5 / 6-63 first at Al=2, AC refine
+    2->1 and 1->0, DC refine) and reconstructs the coefficients
+    EXACTLY, so decoded pixels match the baseline encoding of the
+    same blocks bit-for-bit."""
+    import struct
+
+    ncomp = len(comp_blocks)
+    if ncomp not in (1, 3):
+        raise ValueError("1 (gray) or 3 (YCbCr) components")
+    samp = sampling or [(1, 1)] * ncomp
+    if ncomp == 1 and tuple(samp[0]) != (1, 1):
+        raise ValueError(
+            "grayscale streams must use sampling (1, 1): a one-"
+            "component scan is non-interleaved per T.81 A.2"
+        )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    nmx, nmy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    if scans is None:
+        allc = tuple(range(ncomp))
+        scans = [
+            (allc, 0, 0, 0, 1),
+            *[(c, 1, 5, 0, 2) for c in range(ncomp)],
+            *[(c, 6, 63, 0, 2) for c in range(ncomp)],
+            *[(c, 1, 63, 2, 1) for c in range(ncomp)],
+            (allc, 0, 0, 1, 0),
+            *[(c, 1, 63, 1, 0) for c in range(ncomp)],
+        ]
+
+    # MCU-major input blocks -> per-component (BY, BX, 64) zigzag grids
+    grids = []
+    for c in range(ncomp):
+        hi, vi = samp[c]
+        per = hi * vi
+        need = nmx * nmy * per
+        if len(comp_blocks[c]) != need:
+            raise ValueError(
+                f"component {c}: {len(comp_blocks[c])} blocks, need {need}"
+            )
+        g = np.zeros((nmy * vi, nmx * hi, 64), dtype=np.int64)
+        for m in range(nmx * nmy):
+            my, mx = divmod(m, nmx)
+            for v_ in range(vi):
+                for h_ in range(hi):
+                    blk = np.asarray(
+                        comp_blocks[c][m * per + v_ * hi + h_],
+                        dtype=np.int64,
+                    ).reshape(64)
+                    g[my * vi + v_, mx * hi + h_] = blk[_ZIGZAG]
+        grids.append(g)
+
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMBOLS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS_PROG, _JPEG_AC_SYMBOLS_PROG)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)
+    zzq = qtab.reshape(64)[_ZIGZAG].astype(np.uint8)
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00) + zzq.tobytes()
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        hv = (samp[c][0] << 4) | samp[c][1]
+        sof += struct.pack(">BBB", c + 1, hv, 0)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    for cls, bits, syms in (
+        (0x00, _JPEG_DC_BITS, _JPEG_DC_SYMBOLS),
+        (0x10, _JPEG_AC_BITS_PROG, _JPEG_AC_SYMBOLS_PROG),
+    ):
+        body = bytes([cls]) + bytes(bits) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    for scomps, ss, se, ah, al in scans:
+        if isinstance(scomps, int):
+            scomps = (scomps,)
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and len(scomps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        sos = bytes([len(scomps)])
+        for c in scomps:
+            sos += bytes([c + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += _jpeg_emit_progressive_scan(
+            grids, samp, scomps, ss, se, ah, al, dc_codes, ac_codes,
+            w, h, nmx, nmy, hmax, vmax, restart_interval,
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_emit_progressive_scan(
+    grids: list,
+    samp: list,
+    scomps: tuple,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    dc_codes: dict,
+    ac_codes: dict,
+    w: int,
+    h: int,
+    nmx: int,
+    nmy: int,
+    hmax: int,
+    vmax: int,
+    dri: int,
+) -> bytes:
+    """Entropy-code one progressive scan (T.81 G.1.2). Returns the
+    byte-aligned scan data including any RSTm markers."""
+    bw = _BitWriter()
+
+    # unit walk mirrors the decoder: MCU-interleaved for ns>1, the
+    # component's own block grid for ns==1
+    units: list[tuple] = []
+    if len(scomps) > 1:
+        for m in range(nmx * nmy):
+            my, mx = divmod(m, nmx)
+            mark = True
+            for sci, c in enumerate(scomps):
+                hi, vi = samp[c]
+                for v_ in range(vi):
+                    for h_ in range(hi):
+                        units.append(
+                            (sci, c, my * vi + v_, mx * hi + h_, mark)
+                        )
+                        mark = False
+    else:
+        c = scomps[0]
+        hi, vi = samp[c]
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        bxn, byn = -(-cw // 8), -(-ch // 8)
+        for b in range(bxn * byn):
+            by_, bx_ = divmod(b, bxn)
+            units.append((0, c, by_, bx_, True))
+
+    pred = [0] * len(scomps)
+    rst = 0
+    mcu = 0
+    p1 = 1 << al
+    eobrun = 0
+    pending_bits: list[int] = []  # correction bits buffered with eobrun
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            code, ln = ac_codes[nbits << 4]
+            bw.put(code, ln)
+            if nbits:
+                bw.put(eobrun - (1 << nbits), nbits)
+            for b in pending_bits:
+                bw.put(b, 1)
+            pending_bits.clear()
+            eobrun = 0
+
+    for sci, ci, by_, bx_, mark in units:
+        if mark:
+            if dri and mcu and mcu % dri == 0:
+                flush_eobrun()
+                bw.align()
+                bw.marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                pred = [0] * len(scomps)
+            mcu += 1
+        zz = grids[ci][by_, bx_]
+        if ss == 0 and ah == 0:  # DC first: diff of DC >> Al
+            v = int(zz[0]) >> al  # arithmetic shift (G.1.2.1)
+            diff = v - pred[sci]
+            pred[sci] = v
+            size = _category(diff)
+            code, ln = dc_codes[size]
+            bw.put(code, ln)
+            if size:
+                bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        elif ss == 0:  # DC refinement: bit Al of the DC value
+            bw.put((int(zz[0]) >> al) & 1, 1)
+        elif ah == 0:  # AC first: RLE over point-transformed band
+            band = [
+                (1 if int(zz[k]) > 0 else -1) * (abs(int(zz[k])) >> al)
+                for k in range(ss, se + 1)
+            ]
+            nz = [i for i, t in enumerate(band) if t]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            run = 0
+            for i in range(nz[-1] + 1):
+                t = band[i]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                size = _category(t)
+                if size > 10:
+                    raise ValueError(f"AC coefficient {t} out of range")
+                code, ln = ac_codes[(run << 4) | size]
+                bw.put(code, ln)
+                bw.put(t if t >= 0 else t + (1 << size) - 1, size)
+                run = 0
+            if nz[-1] < se - ss:
+                eobrun = 1  # this block's trailing zeros start a run
+        else:  # AC refinement (G.1.2.3)
+            mags = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eob_idx = max(
+                (i for i, t in enumerate(mags) if t == 1), default=-1
+            )
+            run = 0
+            br_bits: list[int] = []  # this block's buffered corrections
+            for i, t in enumerate(mags):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= eob_idx:
+                    flush_eobrun()
+                    code, ln = ac_codes[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                    for b in br_bits:
+                        bw.put(b, 1)
+                    br_bits = []
+                if t > 1:  # already significant: buffer bit Al
+                    br_bits.append(t & 1)
+                    continue
+                flush_eobrun()
+                code, ln = ac_codes[(run << 4) | 1]
+                bw.put(code, ln)
+                bw.put(1 if int(zz[ss + i]) > 0 else 0, 1)
+                for b in br_bits:
+                    bw.put(b, 1)
+                br_bits = []
+                run = 0
+            if run > 0 or br_bits:
+                eobrun += 1
+                pending_bits.extend(br_bits)
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+    flush_eobrun()
+    return bw.flush()
+
+
+def _parse_dqt(body: bytes, qtabs: dict) -> None:
+    """DQT segment: one or more 8-bit tables, zigzag-ordered bytes."""
+    o = 0
+    while o < len(body):
+        pq, tq = body[o] >> 4, body[o] & 0xF
+        if pq != 0:
+            raise ValueError("only 8-bit quantization tables")
+        t = np.zeros(64, dtype=np.int64)
+        t[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, o + 1)
+        qtabs[tq] = t.reshape(8, 8)
+        o += 65
+
+
+def _parse_dht(body: bytes, huff: dict) -> None:
+    """DHT segment: one or more canonical tables -> (len, code): sym."""
+    o = 0
+    while o < len(body):
+        tc, th = body[o] >> 4, body[o] & 0xF
+        bits = list(body[o + 1 : o + 17])
+        nv = sum(bits)
+        vals = list(body[o + 17 : o + 17 + nv])
+        dec, code, i = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                dec[(ln, code)] = vals[i]
+                code += 1
+                i += 1
+            code <<= 1
+        huff[(tc, th)] = dec
+        o += 17 + nv
+
+
 def _decode_jpeg(data: bytes) -> "np.ndarray":
-    """Baseline JFIF decoder: segment walk, arbitrary canonical DHT
-    tables, 8-bit DQT, SOF0 with sampling factors 1-2 per axis (4:4:4,
-    4:2:2, 4:2:0, grayscale), interleaved scan with DRI restart
+    """JFIF decoder: segment walk, arbitrary canonical DHT tables,
+    8-bit DQT, SOF0 (baseline) or SOF2 (progressive) with sampling
+    factors 1-2 per axis (4:4:4, 4:2:2, 4:2:0, grayscale), DRI restart
     markers (byte realign + predictor reset), dequant + inverse zigzag
     + separable float IDCT + nearest-neighbor chroma upsampling +
-    level shift. Returns (H, W, 1) gray or (H, W, 3) RGB (BT.601
-    YCbCr as JFIF specifies). Progressive / >2 sampling factors are
-    refused loudly."""
+    level shift. Progressive streams run the full multi-scan T.81 G.2
+    algorithm (spectral selection + successive approximation, EOB
+    runs, correction bits). Returns (H, W, 1) gray or (H, W, 3) RGB
+    (BT.601 YCbCr as JFIF specifies). Arithmetic coding, hierarchical
+    and >2 sampling factors are refused loudly."""
     import struct
 
     if data[:2] != b"\xff\xd8":
@@ -1878,8 +2197,11 @@ def _decode_jpeg(data: bytes) -> "np.ndarray":
     comps: list[tuple] = []
     w = h = 0
     dri = 0
+    progressive = False
     scan_comps: list[tuple] = []
     while True:
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG stream (no SOS)")
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = data[pos + 1]
@@ -1891,32 +2213,11 @@ def _decode_jpeg(data: bytes) -> "np.ndarray":
         seglen = struct.unpack_from(">H", data, pos)[0]
         body = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
-            o = 0
-            while o < len(body):
-                pq, tq = body[o] >> 4, body[o] & 0xF
-                if pq != 0:
-                    raise ValueError("only 8-bit quantization tables")
-                t = np.zeros(64, dtype=np.int64)
-                t[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, o + 1)
-                qtabs[tq] = t.reshape(8, 8)
-                o += 65
+            _parse_dqt(body, qtabs)
         elif marker == 0xC4:  # DHT
-            o = 0
-            while o < len(body):
-                tc, th = body[o] >> 4, body[o] & 0xF
-                bits = list(body[o + 1 : o + 17])
-                nv = sum(bits)
-                vals = list(body[o + 17 : o + 17 + nv])
-                dec, code, i = {}, 0, 0
-                for ln in range(1, 17):
-                    for _ in range(bits[ln - 1]):
-                        dec[(ln, code)] = vals[i]
-                        code += 1
-                        i += 1
-                    code <<= 1
-                huff[(tc, th)] = dec
-                o += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+            _parse_dht(body, huff)
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nf = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision")
@@ -1937,14 +2238,17 @@ def _decode_jpeg(data: bytes) -> "np.ndarray":
                 # produce exactly that layout (and keeps DRI counting
                 # MCUs = blocks, as the spec requires).
                 comps[0] = (comps[0][0], comps[0][1], 1, 1)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X})"
+                f"unsupported JPEG mode (SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             dri = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
+            if progressive:
+                pos -= 2  # the multi-scan walker owns every SOS
+                break
             ns = body[0]
             for c in range(ns):
                 cid, tdta = body[1 + 2 * c], body[2 + 2 * c]
@@ -1952,8 +2256,23 @@ def _decode_jpeg(data: bytes) -> "np.ndarray":
             pos += seglen
             break
         pos += seglen
-    if not comps or len(scan_comps) != len(comps):
-        raise ValueError("missing SOF0 or component mismatch")
+    if not comps:
+        raise ValueError("missing SOF before SOS")
+    ncomp = len(comps)
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    nmx, nmy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    if progressive:
+        coefs = _jpeg_progressive_scans(
+            data, pos, qtabs, huff, comps, dri, w, h, nmx, nmy
+        )
+        planes = [
+            _jpeg_blocks_to_plane(coefs[c], qtabs[comps[c][1]])
+            for c in range(ncomp)
+        ]
+        return _jpeg_planes_to_pixels(planes, comps, w, h, hmax, vmax)
+    if len(scan_comps) != len(comps):
+        raise ValueError("baseline scan must cover every component")
     # scan order is data order, but tables/planes belong to the FRAME
     # component the scan entry names — pair by component id, not list
     # position (T.81 allows the SOS order to differ from SOF0's)
@@ -1966,10 +2285,6 @@ def _decode_jpeg(data: bytes) -> "np.ndarray":
     except KeyError as e:
         raise ValueError(f"SOS names unknown component id {e}") from None
 
-    ncomp = len(comps)
-    hmax = max(c[2] for c in comps)
-    vmax = max(c[3] for c in comps)
-    nmx, nmy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     # per-component subsampled planes (padded to whole MCUs)
     planes = [
         np.zeros((nmy * 8 * c[3], nmx * 8 * c[2]), dtype=np.float64)
@@ -2013,7 +2328,15 @@ def _decode_jpeg(data: bytes) -> "np.ndarray":
                     blk = _IDCT_M.T @ coeffs.reshape(8, 8) @ _IDCT_M
                     ry, rx = (my * vi + v_) * 8, (mx * hi + h_) * 8
                     planes[c][ry : ry + 8, rx : rx + 8] = blk
-    # nearest-neighbor chroma upsampling to full resolution, then crop
+    return _jpeg_planes_to_pixels(planes, comps, w, h, hmax, vmax)
+
+
+def _jpeg_planes_to_pixels(
+    planes: list, comps: list, w: int, h: int, hmax: int, vmax: int
+) -> "np.ndarray":
+    """Shared decoder tail: nearest-neighbor chroma upsampling to full
+    resolution, crop, level shift, BT.601 YCbCr -> RGB."""
+    ncomp = len(comps)
     full = []
     for c in range(ncomp):
         p = planes[c]
@@ -2030,6 +2353,250 @@ def _decode_jpeg(data: bytes) -> "np.ndarray":
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _jpeg_blocks_to_plane(zz: "np.ndarray", qtab: "np.ndarray") -> "np.ndarray":
+    """(BY, BX, 64) zigzag-ordered coefficient grid -> (BY*8, BX*8)
+    sample plane: dequant + inverse zigzag + one vectorized IDCT over
+    every block (einsum form of M.T @ S @ M per block)."""
+    by, bx = zz.shape[:2]
+    nat = np.zeros((by, bx, 64), dtype=np.float64)
+    nat[:, :, _ZIGZAG] = zz * qtab.reshape(64)[_ZIGZAG]
+    s = nat.reshape(by, bx, 8, 8)
+    blk = np.einsum("ru,yxrc,cv->yxuv", _IDCT_M, s, _IDCT_M, optimize=True)
+    return blk.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+
+
+def _jpeg_progressive_scans(
+    data: bytes,
+    pos: int,
+    qtabs: dict,
+    huff: dict,
+    comps: list,
+    dri: int,
+    w: int,
+    h: int,
+    nmx: int,
+    nmy: int,
+) -> list:
+    """SOF2 multi-scan walk (T.81 G.2): accumulate per-component
+    MCU-padded zigzag coefficient grids across DC/AC first and
+    refinement scans. Handles interleaved DC scans, non-interleaved
+    single-component scans over the component's own block grid
+    (A.2.2), EOB-run decoding, successive-approximation correction
+    bits, DHT/DQT/DRI segments between scans, and DRI restarts (byte
+    realign, DC predictor + EOB-run reset). Returns the coefficient
+    grids; the caller dequantizes and IDCTs."""
+    import struct
+
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    coefs = [
+        np.zeros((nmy * c[3], nmx * c[2], 64), dtype=np.int64)
+        for c in comps
+    ]
+    frame_idx = {cid: i for i, (cid, *_rest) in enumerate(comps)}
+    saw_scan = False
+    while True:
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG stream (no EOI)")
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01, *range(0xD0, 0xD8)):
+            continue
+        seglen = struct.unpack_from(">H", data, pos)[0]
+        body = data[pos + 2 : pos + seglen]
+        if marker == 0xC4:
+            _parse_dht(body, huff)
+        elif marker == 0xDB:
+            _parse_dqt(body, qtabs)
+        elif marker == 0xDD:
+            dri = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:
+            pos = _jpeg_progressive_one_scan(
+                data, pos + seglen, body, coefs, comps, huff, frame_idx,
+                dri, w, h, nmx, nmy, hmax, vmax,
+            )
+            saw_scan = True
+            continue
+        else:
+            raise ValueError(
+                f"unexpected marker 0xFF{marker:02X} between scans"
+            )
+        pos += seglen
+    if not saw_scan:
+        raise ValueError("progressive stream has no scan")
+    return coefs
+
+
+def _jpeg_progressive_one_scan(
+    data: bytes,
+    pos: int,
+    sos: bytes,
+    coefs: list,
+    comps: list,
+    huff: dict,
+    frame_idx: dict,
+    dri: int,
+    w: int,
+    h: int,
+    nmx: int,
+    nmy: int,
+    hmax: int,
+    vmax: int,
+) -> int:
+    """Decode one progressive scan's entropy data into ``coefs``;
+    returns the byte offset of the next marker. Implements the four
+    scan kinds of T.81 G.2: DC first (diff coding of DC >> Al, stored
+    << Al), DC refinement (one raw bit ORed in at Al), AC first
+    (run-length + EOB runs, values point-transformed by Al), AC
+    refinement (newly-significant +-1<<Al with embedded correction
+    bits for already-significant coefficients)."""
+    ns = sos[0]
+    scan = []
+    for c in range(ns):
+        cid, tdta = sos[1 + 2 * c], sos[2 + 2 * c]
+        if cid not in frame_idx:
+            raise ValueError(f"SOS names unknown component id {cid}")
+        scan.append((frame_idx[cid], tdta >> 4, tdta & 0xF))
+    ss, se, ahal = sos[1 + 2 * ns], sos[2 + 2 * ns], sos[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0xF
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and ns != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if se > 63 or ss > se:
+        raise ValueError(f"bad spectral band {ss}..{se}")
+
+    # unit sequence: interleaved MCU order for multi-component scans,
+    # the component's own block-grid raster for single-component scans
+    # (T.81 A.2.2/A.2.3); restart intervals count these units.
+    units: list[tuple] = []
+    if ns > 1:
+        for m in range(nmx * nmy):
+            my, mx = divmod(m, nmx)
+            mark = True
+            for sci, (ci, _td, _ta) in enumerate(scan):
+                hi, vi = comps[ci][2], comps[ci][3]
+                for v_ in range(vi):
+                    for h_ in range(hi):
+                        units.append(
+                            (sci, ci, my * vi + v_, mx * hi + h_, mark)
+                        )
+                        mark = False
+    else:
+        ci = scan[0][0]
+        hi, vi = comps[ci][2], comps[ci][3]
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        bxn, byn = -(-cw // 8), -(-ch // 8)
+        for b in range(bxn * byn):
+            by_, bx_ = divmod(b, bxn)
+            units.append((0, ci, by_, bx_, True))
+
+    br = _BitReader(data, pos)
+    pred = [0] * len(scan)
+    eobrun = 0
+    rst = 0
+    mcu = 0
+    p1 = 1 << al
+    for sci, ci, by_, bx_, mark in units:
+        if mark:
+            if dri and mcu and mcu % dri == 0:
+                if eobrun:
+                    raise ValueError("EOB run crosses a restart interval")
+                br.sync_restart(rst)
+                rst = (rst + 1) % 8
+                pred = [0] * len(scan)
+            mcu += 1
+        zz = coefs[ci][by_, bx_]
+        if ss == 0 and ah == 0:  # DC first
+            dc_tab = huff[(0, scan[sci][1])]
+            size = _huff_decode(br, dc_tab)
+            diff = _extend(br.bits(size), size) if size else 0
+            pred[sci] += diff
+            zz[0] = pred[sci] << al
+        elif ss == 0:  # DC refinement: one raw bit at position Al
+            if br.bit():
+                zz[0] |= p1
+        elif ah == 0:  # AC first
+            if eobrun:
+                eobrun -= 1
+                continue
+            ac_tab = huff[(1, scan[sci][2])]
+            k = ss
+            while k <= se:
+                sym = _huff_decode(br, ac_tab)
+                r, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                zz[k] = _extend(br.bits(s), s) << al
+                k += 1
+        else:  # AC refinement
+            ac_tab = huff[(1, scan[sci][2])]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = _huff_decode(br, ac_tab)
+                    r, s = sym >> 4, sym & 0xF
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            # FULL count here: the tail below refines
+                            # this block's remainder, then counts it
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        # ZRL: pass 16 zero-history coefficients
+                    elif s == 1:
+                        newval = p1 if br.bit() else -p1
+                    else:
+                        raise ValueError("AC refinement size must be 1")
+                    while k <= se:
+                        v = int(zz[k])
+                        if v != 0:
+                            if br.bit() and not (abs(v) & p1):
+                                zz[k] = v + (p1 if v > 0 else -p1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise ValueError("refinement run past band end")
+                        zz[k] = newval
+                    k += 1
+            if eobrun:
+                while k <= se:
+                    v = int(zz[k])
+                    if v != 0 and br.bit() and not (abs(v) & p1):
+                        zz[k] = v + (p1 if v > 0 else -p1)
+                    k += 1
+                eobrun -= 1
+    if eobrun:
+        raise ValueError("EOB run extends past the scan")
+    pos = br.pos
+    while pos + 1 < len(data) and (
+        data[pos] != 0xFF or data[pos + 1] == 0x00
+    ):
+        pos += 1  # discard pad bits up to the next true marker
+    if pos + 1 >= len(data):
+        raise ValueError("truncated JPEG stream (scan has no terminator)")
+    return pos
 
 
 def jpeg_dims(doc_id: int) -> tuple[int, int]:
@@ -2079,6 +2646,92 @@ def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
             ]
         ),
     )
+
+
+def jpeg_progressive_dims(doc_id: int) -> tuple[int, int]:
+    """(width, height) for the progressive fixtures; offset from the
+    baseline rule so the two entries decode different geometries."""
+    return 10 + int(doc_id) % 13, 9 + int(doc_id) % 6
+
+
+def synthesize_jpeg_progressive(doc_id: int) -> bytes:
+    """A genuine PROGRESSIVE (SOF2) JFIF: grayscale, all-ones
+    quantization, constant 8x8 blocks with the same closed-form value
+    rule as :func:`synthesize_jpeg`, encoded through the default
+    multi-scan script (DC first+refine, AC band first scans that are
+    pure EOB runs, AC refinements) with restart_interval=2 so DRI
+    restarts inside progressive scans are exercised. DC-only spectra
+    reconstruct bit-exactly through successive approximation, so the
+    decoded gray sums stay closed-form."""
+    w, h = jpeg_progressive_dims(doc_id)
+    nbx, nby = -(-w // 8), -(-h // 8)
+    blocks = []
+    for bi in range(nbx * nby):
+        v = (np.int64(doc_id) * IMG_MIX_A + bi * IMG_MIX_B) % 256
+        blk = np.zeros((8, 8), dtype=np.int64)
+        blk[0, 0] = 8 * (int(v) - 128)
+        blocks.append(blk)
+    return jpeg_encode_blocks_progressive(
+        [blocks], w, h, np.ones((8, 8), dtype=np.int64), restart_interval=2
+    )
+
+
+def synthesize_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, media_type, media) with REAL progressive JFIFs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "image/jpeg",
+                    "media": [
+                        synthesize_jpeg_progressive(int(i)) for i in ids
+                    ],
+                }
+            )
+
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("media_type", StringType(), False),
+                StructField("media", BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def image_jpeg_progressive_features_sql() -> str:
+    """DuckDB oracle for the progressive fixtures: same closed-form
+    block values as the baseline oracle over the progressive dims."""
+    return f"""
+WITH params AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         10 + doc_id % 13 AS w,
+         9 + doc_id % 6 AS h,
+         (10 + doc_id % 13 + 7) // 8 AS nbx
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, nbx, unnest(range(w * h)) AS p FROM params
+),
+vals AS (
+  SELECT doc_id, w, h,
+         (doc_id * {IMG_MIX_A}
+          + ((p // w) // 8 * nbx + (p % w) // 8) * {IMG_MIX_B}) % 256 AS v
+  FROM px
+)
+SELECT doc_id,
+       any_value(w)::INTEGER AS width,
+       any_value(h)::INTEGER AS height,
+       (any_value(w) * any_value(h))::BIGINT AS n_pixels,
+       sum(v)::BIGINT AS gray_sum
+FROM vals
+GROUP BY doc_id ORDER BY doc_id
+"""
 
 
 JPEG_FEATURES_SCHEMA = StructType(

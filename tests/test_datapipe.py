@@ -865,9 +865,13 @@ class TestImageReal:
         # fails the chunk walk loudly instead of the old stub error
         with _pytest.raises(ValueError, match="PNG"):
             multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + b"x" * 64)
-        # transform-coded formats remain stubbed, loudly
-        with _pytest.raises(NotImplementedError):
+        # JPEG decodes for real now — garbage after SOI fails the
+        # segment walk loudly instead of the old stub error
+        with _pytest.raises(ValueError, match="truncated|marker"):
             multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"x" * 64)
+        # WebP remains stubbed, loudly
+        with _pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
     def test_spark_features_match_closed_form(self, spark):
         import numpy as np
@@ -1444,8 +1448,8 @@ class TestJpeg:
 
         data = bytearray(M.synthesize_jpeg(3))
         sof = bytes(data).find(b"\xff\xc0")
-        data[sof + 1] = 0xC2  # progressive SOF
-        with pytest.raises(NotImplementedError, match="non-baseline"):
+        data[sof + 1] = 0xC1  # extended sequential SOF
+        with pytest.raises(NotImplementedError, match="unsupported JPEG"):
             M.decode_image(bytes(data))
         data = bytearray(M.synthesize_jpeg(3))
         data[sof + 11] = 0x33  # Hi/Vi = 3x3 — beyond baseline's common set
@@ -1460,6 +1464,196 @@ class TestJpeg:
         assert_matches(
             M.jpeg_features(M.synthesize_jpeg_media(docs)).orderBy("doc_id"),
             M.image_jpeg_features_sql(),
+        )
+
+
+class TestJpegProgressive:
+    """SOF2 (T.81 G): the progressive encoder/decoder pair is verified
+    DIFFERENTIALLY against the independently-validated baseline path —
+    the same quantized coefficient blocks encoded both ways must
+    decode to bit-identical pixels (the scan script reconstructs every
+    coefficient exactly at Al=0)."""
+
+    @staticmethod
+    def _rand_blocks(rng, n, dens=0.35, lo=-60, hi=60):
+        import numpy as _np
+
+        out = []
+        for _ in range(n):
+            b = _np.zeros((8, 8), _np.int64)
+            mask = rng.random((8, 8)) < dens
+            b[mask] = rng.integers(lo, hi, size=int(mask.sum()))
+            out.append(b)
+        return out
+
+    def test_gray_differential_fuzz(self):
+        from bm25spark.datapipe import multimodal as M
+
+        rng = np.random.default_rng(7)
+        for _ in range(10):
+            nbx, nby = int(rng.integers(1, 5)), int(rng.integers(1, 4))
+            w = nbx * 8 - int(rng.integers(0, 8))
+            h = nby * 8 - int(rng.integers(0, 8))
+            nbx, nby = -(-w // 8), -(-h // 8)
+            q = rng.integers(1, 12, size=(8, 8)).astype(np.int64)
+            blocks = self._rand_blocks(rng, nbx * nby)
+            base = M.decode_image(M.jpeg_encode_blocks([blocks], w, h, q))
+            prog = M.decode_image(
+                M.jpeg_encode_blocks_progressive([blocks], w, h, q)
+            )
+            assert np.array_equal(base, prog)
+
+    def test_color_subsampled_with_restarts(self):
+        from bm25spark.datapipe import multimodal as M
+
+        rng = np.random.default_rng(21)
+        for trial in range(9):
+            samp = [
+                [(1, 1)] * 3,
+                [(2, 2), (1, 1), (1, 1)],
+                [(2, 1), (1, 1), (1, 1)],
+            ][trial % 3]
+            hmax = max(s[0] for s in samp)
+            vmax = max(s[1] for s in samp)
+            nmx, nmy = int(rng.integers(1, 3)), int(rng.integers(1, 3))
+            w = nmx * 8 * hmax - int(rng.integers(0, 8))
+            h = nmy * 8 * vmax - int(rng.integers(0, 8))
+            nmx = -(-w // (8 * hmax))
+            nmy = -(-h // (8 * vmax))
+            q = rng.integers(1, 10, size=(8, 8)).astype(np.int64)
+            comp_blocks = [
+                self._rand_blocks(rng, nmx * nmy * s[0] * s[1]) for s in samp
+            ]
+            ri = int(rng.integers(0, 3))
+            base = M.decode_image(
+                M.jpeg_encode_blocks(
+                    comp_blocks, w, h, q, sampling=samp, restart_interval=ri
+                )
+            )
+            prog = M.decode_image(
+                M.jpeg_encode_blocks_progressive(
+                    comp_blocks, w, h, q, sampling=samp, restart_interval=ri
+                )
+            )
+            assert np.array_equal(base, prog)
+
+    def test_scan_scripts(self):
+        """Deeper successive approximation (Al up to 3), band splits,
+        and a no-approximation multi-band script all reconstruct."""
+        from bm25spark.datapipe import multimodal as M
+
+        rng = np.random.default_rng(33)
+        scripts = [
+            [((0,), 0, 0, 0, 3), ((0,), 0, 0, 3, 2), ((0,), 0, 0, 2, 1),
+             ((0,), 0, 0, 1, 0), (0, 1, 63, 0, 3), (0, 1, 63, 3, 2),
+             (0, 1, 63, 2, 1), (0, 1, 63, 1, 0)],
+            [((0,), 0, 0, 0, 0), (0, 1, 2, 0, 0), (0, 3, 9, 0, 0),
+             (0, 10, 35, 0, 0), (0, 36, 63, 0, 0)],
+            [((0,), 0, 0, 0, 2), (0, 1, 10, 0, 1), (0, 11, 63, 0, 1),
+             ((0,), 0, 0, 2, 1), (0, 1, 10, 1, 0), ((0,), 0, 0, 1, 0),
+             (0, 11, 63, 1, 0)],
+        ]
+        for script in scripts:
+            for _ in range(3):
+                nbx, nby = int(rng.integers(1, 6)), int(rng.integers(1, 4))
+                w = nbx * 8 - int(rng.integers(0, 8))
+                h = nby * 8 - int(rng.integers(0, 8))
+                nbx, nby = -(-w // 8), -(-h // 8)
+                q = rng.integers(1, 8, size=(8, 8)).astype(np.int64)
+                blocks = self._rand_blocks(rng, nbx * nby, dens=0.4)
+                base = M.decode_image(M.jpeg_encode_blocks([blocks], w, h, q))
+                prog = M.decode_image(
+                    M.jpeg_encode_blocks_progressive(
+                        [blocks], w, h, q, scans=script
+                    )
+                )
+                assert np.array_equal(base, prog)
+
+    def test_zrl_and_long_eob_runs(self):
+        """Adversarial entropy shapes: nonzero only at the zigzag
+        band's far ends (ZRL chains in first AND refinement scans) and
+        a 40-block EOB run (EOBn symbol with extension bits)."""
+        from bm25spark.datapipe import multimodal as M
+
+        q = np.ones((8, 8), np.int64)
+        zzpos = M._ZIGZAG
+        nat = np.zeros(64, np.int64)
+        nat[zzpos[1]] = 40
+        nat[zzpos[63]] = -37
+        blocks = [nat.reshape(8, 8)]
+        base = M.decode_image(M.jpeg_encode_blocks([blocks], 8, 8, q))
+        prog = M.decode_image(
+            M.jpeg_encode_blocks_progressive([blocks], 8, 8, q)
+        )
+        assert np.array_equal(base, prog)
+
+        rng = np.random.default_rng(5)
+        blocks = []
+        for i in range(40):
+            nat = np.zeros(64, np.int64)
+            nat[0] = 8 * (int(rng.integers(0, 256)) - 128)
+            if i in (0, 39):
+                nat[zzpos[5]] = 25
+            blocks.append(nat.reshape(8, 8))
+        base = M.decode_image(M.jpeg_encode_blocks([blocks], 80, 32, q))
+        prog = M.decode_image(
+            M.jpeg_encode_blocks_progressive([blocks], 80, 32, q)
+        )
+        assert np.array_equal(base, prog)
+
+    def test_mixed_significance_refinement(self):
+        """Blocks mixing large coefficients (correction bits across
+        several refinement scans) with +-1..3 values that become
+        significant at different Al levels."""
+        from bm25spark.datapipe import multimodal as M
+
+        rng = np.random.default_rng(11)
+        q = np.ones((8, 8), np.int64)
+        script = [((0,), 0, 0, 0, 2), ((0,), 0, 0, 2, 1), ((0,), 0, 0, 1, 0),
+                  (0, 1, 63, 0, 3), (0, 1, 63, 3, 2), (0, 1, 63, 2, 1),
+                  (0, 1, 63, 1, 0)]
+        for _ in range(6):
+            blocks = []
+            for _b in range(6):
+                nat = np.zeros(64, np.int64)
+                kbig = rng.choice(64, size=4, replace=False)
+                ksmall = rng.choice(64, size=6, replace=False)
+                nat[kbig] = rng.integers(-120, 120, 4)
+                nat[ksmall] += rng.integers(-3, 4, 6)
+                blocks.append(nat.reshape(8, 8))
+            base = M.decode_image(M.jpeg_encode_blocks([blocks], 48, 8, q))
+            prog = M.decode_image(
+                M.jpeg_encode_blocks_progressive(
+                    [blocks], 48, 8, q, scans=script
+                )
+            )
+            assert np.array_equal(base, prog)
+
+    def test_synthesized_closed_form(self):
+        """The progressive fixtures decode to the closed-form
+        per-block constants (the SQL oracle's contract)."""
+        from bm25spark.datapipe import multimodal as M
+
+        for d in range(25):
+            data = M.synthesize_jpeg_progressive(d)
+            assert data[2:4] == b"\xff\xe0" and b"\xff\xc2" in data
+            px = M.decode_image(data)
+            w, h = M.jpeg_progressive_dims(d)
+            assert px.shape == (h, w, 1)
+            nbx = -(-w // 8)
+            p = np.arange(w * h)
+            bi = (p // w) // 8 * nbx + (p % w) // 8
+            want = ((d * M.IMG_MIX_A + bi * M.IMG_MIX_B) % 256).reshape(h, w)
+            assert np.array_equal(px[:, :, 0].astype(np.int64), want)
+
+    def test_spark_features_match_oracle(self, spark, docs):
+        from bm25spark.datapipe import multimodal as M
+
+        assert_matches(
+            M.jpeg_features(
+                M.synthesize_jpeg_progressive_media(docs)
+            ).orderBy("doc_id"),
+            M.image_jpeg_progressive_features_sql(),
         )
 
 
