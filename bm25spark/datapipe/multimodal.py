@@ -86,7 +86,17 @@ def decode_image(data: bytes) -> "np.ndarray":
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(data)  # real LZW + palette map -> (H, W, 3)
     if data[:2] == b"\xff\xd8":
-        return _decode_jpeg(data)  # baseline Huffman+IDCT -> gray/RGB
+        import struct
+
+        # refuse-loudly contract: malformed streams surface as
+        # ValueError, never as a bare struct/index/key error from the
+        # segment walk or entropy decoder internals
+        try:
+            return _decode_jpeg(data)  # baseline Huffman+IDCT -> gray/RGB
+        except (struct.error, IndexError, KeyError) as e:
+            raise ValueError(
+                f"malformed JPEG stream ({type(e).__name__}: {e})"
+            ) from e
     raise NotImplementedError(
         "only 24-bpp BMP, 8-bit gray/RGB/RGBA PNG, GCT GIF, and "
         "baseline/progressive JFIF (gray/4:4:4/4:2:2/4:2:0, DRI) "
@@ -1974,6 +1984,15 @@ def jpeg_encode_blocks_progressive(
             raise ValueError("progressive DC scan must have Se=0")
         if ss > 0 and len(scomps) != 1:
             raise ValueError("progressive AC scan must be single-component")
+        if ah and ah != al + 1:
+            # T.81 G.1.1.1.2: each refinement scan lowers Al by exactly
+            # one — a wider gap can't be conveyed by the single
+            # correction bit per coefficient and would encode a stream
+            # that decodes to wrong pixels
+            raise ValueError(
+                "successive-approximation refinement must have "
+                f"Ah=Al+1 (got Ah={ah}, Al={al})"
+            )
         sos = bytes([len(scomps)])
         for c in scomps:
             sos += bytes([c + 1, 0x00])
@@ -2036,7 +2055,6 @@ def _jpeg_emit_progressive_scan(
     pred = [0] * len(scomps)
     rst = 0
     mcu = 0
-    p1 = 1 << al
     eobrun = 0
     pending_bits: list[int] = []  # correction bits buffered with eobrun
 
@@ -2221,6 +2239,14 @@ def _decode_jpeg(data: bytes) -> "np.ndarray":
             prec, h, w, nf = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision")
+            if nf not in (1, 3):
+                # _jpeg_planes_to_pixels assumes gray or JFIF YCbCr;
+                # 4-component (Adobe CMYK/YCCK) would silently decode
+                # to wrong RGB and 2-component would crash — refuse
+                raise NotImplementedError(
+                    f"{nf}-component JPEG unsupported — grayscale (1) "
+                    "or JFIF YCbCr (3) only"
+                )
             for c in range(nf):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 hi, vi = hv >> 4, hv & 0xF
@@ -2408,7 +2434,11 @@ def _jpeg_progressive_scans(
             break
         if marker in (0x01, *range(0xD0, 0xD8)):
             continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG stream (segment header)")
         seglen = struct.unpack_from(">H", data, pos)[0]
+        if pos + seglen > len(data):
+            raise ValueError("truncated JPEG stream (segment body)")
         body = data[pos + 2 : pos + seglen]
         if marker == 0xC4:
             _parse_dht(body, huff)
@@ -2416,6 +2446,10 @@ def _jpeg_progressive_scans(
             _parse_dqt(body, qtabs)
         elif marker == 0xDD:
             dri = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xFE or 0xE0 <= marker <= 0xEF:
+            pass  # COM/APPn: tables/misc segments are legal before
+            # any SOS (T.81 B.2.3/B.2.4) — skip, same as the pre-SOS
+            # walk in _decode_jpeg
         elif marker == 0xDA:
             pos = _jpeg_progressive_one_scan(
                 data, pos + seglen, body, coefs, comps, huff, frame_idx,
@@ -2457,6 +2491,8 @@ def _jpeg_progressive_one_scan(
     refinement (newly-significant +-1<<Al with embedded correction
     bits for already-significant coefficients)."""
     ns = sos[0]
+    if len(sos) < 1 + 2 * ns + 3:
+        raise ValueError("truncated SOS header in progressive scan")
     scan = []
     for c in range(ns):
         cid, tdta = sos[1 + 2 * c], sos[2 + 2 * c]

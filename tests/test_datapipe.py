@@ -1656,6 +1656,79 @@ class TestJpegProgressive:
             M.image_jpeg_progressive_features_sql(),
         )
 
+    def test_refinement_step_validated(self):
+        """A scan script whose refinement jumps more than one Al step
+        (Ah != Al+1) can't be represented by single correction bits —
+        the encoder must refuse (T.81 G.1.1.1.2), not emit a stream
+        that decodes to wrong pixels."""
+        from bm25spark.datapipe import multimodal as M
+
+        q = np.ones((8, 8), np.int64)
+        nat = np.zeros(64, np.int64)
+        nat[M._ZIGZAG[5]] = 42
+        blocks = [nat.reshape(8, 8)]
+        bad = [((0,), 0, 0, 0, 0), (0, 1, 63, 0, 2), (0, 1, 63, 2, 0)]
+        with pytest.raises(ValueError, match="Ah=Al\\+1"):
+            M.jpeg_encode_blocks_progressive([blocks], 8, 8, q, scans=bad)
+
+    def test_unsupported_component_counts_refused(self):
+        """2- and 4-component frames (e.g. Adobe CMYK) must refuse
+        loudly rather than crash or silently emit wrong RGB. The
+        encoder refuses to write them, so splice the SOF by hand."""
+        import struct
+
+        from bm25spark.datapipe import multimodal as M
+
+        for ncomp in (2, 4):
+            sof = struct.pack(">BHHB", 8, 8, 8, ncomp)
+            for c in range(ncomp):
+                sof += struct.pack(">BBB", c + 1, 0x11, 0)
+            data = (
+                b"\xff\xd8"
+                + b"\xff\xc0"
+                + struct.pack(">H", 2 + len(sof))
+                + sof
+            )
+            with pytest.raises(NotImplementedError, match="component"):
+                M.decode_image(data)
+
+    def test_com_and_appn_between_scans(self):
+        """COM/APPn are legal tables/misc segments before any SOS
+        (T.81 B.2.3/B.2.4) — the multi-scan walker must skip them."""
+        from bm25spark.datapipe import multimodal as M
+
+        data = M.synthesize_jpeg_progressive(4)
+        ref = M.decode_image(data)
+        # splice a COM and an APP1 before the SECOND SOS
+        first_sos = data.index(b"\xff\xda")
+        second_sos = data.index(b"\xff\xda", first_sos + 2)
+        com = b"\xff\xfe" + (4).to_bytes(2, "big") + b"ok"
+        app1 = b"\xff\xe1" + (7).to_bytes(2, "big") + b"Exif\x00"
+        spliced = data[:second_sos] + com + app1 + data[second_sos:]
+        assert np.array_equal(M.decode_image(spliced), ref)
+
+    def test_malformed_streams_raise_valueerror(self):
+        """decode_image's refuse-loudly contract: truncations and byte
+        flips surface as ValueError (or NotImplementedError for
+        unsupported-mode flips), never bare struct/index/key errors."""
+        from bm25spark.datapipe import multimodal as M
+
+        for fixture in (M.synthesize_jpeg(3), M.synthesize_jpeg_progressive(3)):
+            for cut in range(2, len(fixture), 7):
+                try:
+                    M.decode_image(fixture[:cut])
+                except (ValueError, NotImplementedError):
+                    pass
+            rng = np.random.default_rng(17)
+            for _ in range(400):
+                buf = bytearray(fixture)
+                i = int(rng.integers(2, len(buf)))
+                buf[i] ^= int(rng.integers(1, 256))
+                try:
+                    M.decode_image(bytes(buf))
+                except (ValueError, NotImplementedError):
+                    pass
+
 
 class TestPQ:
     """Product-quantization ANN: oracle differential, recall gate vs
