@@ -559,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # front-load the entries that have not yet received a driver
     # CORRECTNESS row, so a future overflow can never hide them again
     _priority = [
+        "image_webp_features",
         "image_jpeg_progressive_features",
         "ann_pq_topk",
         "text_decontaminate",

@@ -52,6 +52,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_jpeg_progressive_features": lambda s, d: multimodal.jpeg_features(
             multimodal.synthesize_jpeg_progressive_media(_docs(s, d))
         ).orderBy("doc_id"),
+        # REAL WebP lossless (VP8L) from scratch: prefix codes, LZ77 +
+        # 2D distance map, color cache, meta-prefix groups, and all
+        # four transforms; the synthesizer rotates encoder features
+        # per doc so the gate exercises every decoder path
+        "image_webp_features": lambda s, d: _webp_entry(s, d),
         # REAL video path: write genuine RIFF/AVI containers (raw DIB
         # frames), parse them back with struct+NumPy, emit
         # integer-exact per-video and per-sampled-frame channel sums
@@ -141,6 +146,20 @@ def _image_container_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _webp_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import webp
+
+    return webp.webp_features(
+        webp.synthesize_webp_media(_docs(spark, sf_dir))
+    ).orderBy("doc_id")
+
+
+def _webp_oracle_sql() -> str:
+    from . import webp
+
+    return webp.image_webp_features_sql()
+
+
 def _decontam_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -216,6 +235,7 @@ def oracle_registry() -> dict[str, str]:
         "image_jpeg_features": multimodal.image_jpeg_features_sql(),
         "image_jpeg_progressive_features":
             multimodal.image_jpeg_progressive_features_sql(),
+        "image_webp_features": _webp_oracle_sql(),
         "video_avi_features": multimodal.video_avi_features_sql(),
         "video_frame_sample": multimodal.video_frame_sample_sql(every_n=2),
         "dedup_exact_groups": dedup.exact_dup_groups_sql(),

@@ -97,12 +97,16 @@ def decode_image(data: bytes) -> "np.ndarray":
             raise ValueError(
                 f"malformed JPEG stream ({type(e).__name__}: {e})"
             ) from e
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(data)  # real VP8L lossless -> (H, W, 4) RGBA
     raise NotImplementedError(
-        "only 24-bpp BMP, 8-bit gray/RGB/RGBA PNG, GCT GIF, and "
-        "baseline/progressive JFIF (gray/4:4:4/4:2:2/4:2:0, DRI) "
-        "decode in this environment; WebP needs a codec library "
-        "(PIL/cv2) — use extract_features for the wired-up "
-        "deterministic feature path"
+        "only 24-bpp BMP, 8-bit gray/RGB/RGBA PNG, GCT GIF, "
+        "baseline/progressive JFIF (gray/4:4:4/4:2:2/4:2:0, DRI), and "
+        "VP8L lossless WebP decode in this environment; lossy "
+        "VP8/VP8X WebP needs a codec library (PIL/cv2) — use "
+        "extract_features for the wired-up deterministic feature path"
     )
 
 

@@ -1,0 +1,1196 @@
+"""WebP lossless (VP8L) codec from scratch — the last image format
+that was honestly stubbed. Implements the public "WebP Lossless
+Bitstream Specification" end-to-end with stdlib + NumPy only:
+
+Decoder (full lossless spec):
+- RIFF/WEBP container walk, VP8L chunk, 0x2F signature, 14-bit dims.
+- LSB-first bitstream; canonical prefix codes read MSB-first bit by
+  bit (simple 1/2-symbol codes AND normal codes via the 19-symbol
+  code-length code with 16/17/18 repeats and the max-symbol cut).
+- LZ77 backward references (length/distance prefix coding with extra
+  bits), the 120-entry 2D distance map (derived algorithmically from
+  its construction rule: neighborhood dy 0..7 / dx -7..8 ordered by
+  Euclidean distance, |dx|, sign — spot-pinned against the spec's
+  published table in tests), and the hash-indexed color cache
+  (0x1e35a7bd multiplier).
+- Meta-prefix (entropy image selecting per-tile prefix-code groups).
+- All four transforms, applied in reverse read order: PREDICTOR (14
+  modes, black/L/T border rules, TR wrap to the current row's first
+  pixel at the right edge), COLOR (signed-int8 cross-channel deltas,
+  >>5), SUBTRACT_GREEN, and COLOR_INDEXING (delta-coded palette with
+  sub-byte green-channel bundling for palettes <= 16).
+
+Encoder (synthesizer / differential-fuzz partner): every feature is
+toggleable — subtract-green, per-tile predictor, per-tile color
+transform, palette (with bundling), color cache, greedy LZ77 (both
+2D-mapped and raw distances), and a 2-group meta-prefix split. The
+codec is LOSSLESS, so the deterministic synthesizer can rotate
+encoder features per doc_id while ONE closed-form SQL oracle states
+the decoded pixel sums for every variant (the same move PNG/GIF/JPEG
+use, multimodal.py).
+
+No reference counterpart (VectorChord-bm25 is text-only); this is
+part of the training-data-pipeline multimodal surface the brief asks
+for alongside SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .multimodal import IMG_MIX_A, IMG_MIX_B, IMG_MIX_C
+
+# ------------------------------------------------------------------ bits
+
+_CODE_LENGTH_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10,
+                      11, 12, 13, 14, 15)
+_CACHE_MULT = 0x1E35A7BD
+_MAX_CODE_LEN = 15
+
+
+class _BitReader:
+    """LSB-first bit reader over the VP8L payload."""
+
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        d, p = self.d, self.pos
+        if p + n > len(d) * 8:
+            raise ValueError("truncated VP8L stream")
+        for i in range(n):
+            v |= ((d[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
+        self.pos = p + n
+        return v
+
+
+class _BitWriter:
+    """LSB-first bit writer; prefix codes go in MSB-first via
+    put_code."""
+
+    def __init__(self) -> None:
+        self.bytes = bytearray()
+        self.bit = 0  # bits used in the last byte
+
+    def put(self, v: int, n: int) -> None:
+        for i in range(n):
+            if self.bit == 0:
+                self.bytes.append(0)
+            if (v >> i) & 1:
+                self.bytes[-1] |= 1 << self.bit
+            self.bit = (self.bit + 1) & 7
+
+    def put_code(self, code: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.put((code >> i) & 1, 1)
+
+
+# -------------------------------------------------------- prefix codes
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical prefix codes: symbols sorted by (length, symbol),
+    codes assigned sequentially per length — the convention both the
+    spec and DEFLATE use. -> {symbol: (code, length)}."""
+    nz = sorted((l, s) for s, l in enumerate(lengths) if l > 0)
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for l, s in nz:
+        code <<= l - prev_len
+        codes[s] = (code, l)
+        code += 1
+        prev_len = l
+    return codes
+
+
+def _decode_table(lengths: list[int]):
+    """-> ('single', sym) for one-symbol codes (read ZERO bits, the
+    spec's trivial-code convention) or ('tree', {(len, code): sym})
+    for complete canonical codes; raises on over/under-subscription."""
+    nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
+    if not nz:
+        raise ValueError("empty prefix code")
+    if len(nz) == 1:
+        return ("single", nz[0][1])
+    maxlen = max(l for l, _ in nz)
+    if maxlen > _MAX_CODE_LEN:
+        raise ValueError("prefix code deeper than 15")
+    kraft = sum(1 << (maxlen - l) for l, _ in nz)
+    if kraft != 1 << maxlen:
+        raise ValueError("incomplete or oversubscribed prefix code")
+    table = {
+        (l, code): s for s, (code, l) in _canonical_codes(lengths).items()
+    }
+    return ("tree", table)
+
+
+def _read_symbol(br: _BitReader, table) -> int:
+    if table[0] == "single":
+        return table[1]
+    t = table[1]
+    code = 0
+    ln = 0
+    while True:
+        code = (code << 1) | br.read(1)
+        ln += 1
+        s = t.get((ln, code))
+        if s is not None:
+            return s
+        if ln > _MAX_CODE_LEN:
+            raise ValueError("invalid prefix code bits")
+
+
+def _huffman_lengths(freqs: list[int], max_len: int) -> list[int]:
+    """Code lengths from a histogram (package-free heap Huffman with
+    a flat complete-code fallback if the tree exceeds max_len)."""
+    import heapq
+
+    syms = [s for s, f in enumerate(freqs) if f > 0]
+    lengths = [0] * len(freqs)
+    if not syms:
+        return lengths
+    if len(syms) == 1:
+        lengths[syms[0]] = 1
+        return lengths
+    heap = [(freqs[s], s, (s,)) for s in syms]
+    heapq.heapify(heap)
+    depth = dict.fromkeys(syms, 0)
+    while len(heap) > 1:
+        f1, t1, m1 = heapq.heappop(heap)
+        f2, t2, m2 = heapq.heappop(heap)
+        for s in m1 + m2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, min(t1, t2), m1 + m2))
+    if max(depth.values()) > max_len:
+        # flat complete code: k shortest symbols at L-1, rest at L
+        n = len(syms)
+        lbits = max(1, (n - 1).bit_length())
+        k = (1 << lbits) - n
+        for i, s in enumerate(sorted(syms)):
+            depth[s] = lbits - 1 if i < k else lbits
+    for s, l in depth.items():
+        lengths[s] = l
+    return lengths
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int):
+    """One prefix code per spec: simple (1-2 symbols) or normal
+    (code-length-coded lengths with 16/17/18 repeats + max-symbol)."""
+    if br.read(1):  # simple
+        num_symbols = br.read(1) + 1
+        s0 = br.read(8) if br.read(1) else br.read(1)
+        if s0 >= alphabet_size:
+            raise ValueError("simple-code symbol out of range")
+        if num_symbols == 1:
+            return ("single", s0)
+        s1 = br.read(8)
+        if s1 >= alphabet_size:
+            raise ValueError("simple-code symbol out of range")
+        return ("tree", {(1, 0): s0, (1, 1): s1})
+    num_codes = br.read(4) + 4
+    cl_lengths = [0] * 19
+    for i in range(num_codes):
+        cl_lengths[_CODE_LENGTH_ORDER[i]] = br.read(3)
+    cl_table = _decode_table(cl_lengths)
+    if br.read(1):  # explicit max_symbol
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev = 8
+    sym = 0
+    while sym < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = _read_symbol(br, cl_table)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev = cl
+        elif cl == 16:
+            rep = 3 + br.read(2)
+            for _ in range(rep):
+                if sym >= alphabet_size:
+                    raise ValueError("code-length repeat overflows")
+                lengths[sym] = prev
+                sym += 1
+        elif cl == 17:
+            sym += 3 + br.read(3)
+        else:  # 18
+            sym += 11 + br.read(7)
+        if sym > alphabet_size:
+            raise ValueError("code-length run overflows alphabet")
+    return _decode_table(lengths)
+
+
+def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> dict:
+    """Emit one prefix code; -> {symbol: (code, len)} for the data
+    pass. Unused codes are written as a 1-symbol simple code of
+    symbol 0 (4 bits); <=2 used symbols that fit in a byte use the
+    simple form; everything else is code-length coded (literal
+    lengths + 17/18 zero runs, no 16 — decoders must handle all)."""
+    syms = [s for s, l in enumerate(lengths) if l > 0]
+    if not syms:
+        bw.put(1, 1)  # simple
+        bw.put(0, 1)  # one symbol
+        bw.put(0, 1)  # 1-bit first symbol
+        bw.put(0, 1)  # symbol 0
+        return {0: (0, 0)}
+    if len(syms) <= 2 and max(syms) <= 255:
+        bw.put(1, 1)
+        bw.put(len(syms) - 1, 1)
+        if syms[0] <= 1:
+            bw.put(0, 1)
+            bw.put(syms[0], 1)
+        else:
+            bw.put(1, 1)
+            bw.put(syms[0], 8)
+        if len(syms) == 1:
+            return {syms[0]: (0, 0)}
+        bw.put(syms[1], 8)
+        return {syms[0]: (0, 1), syms[1]: (1, 1)}
+    bw.put(0, 1)  # normal
+    # RLE the length array into code-length symbols
+    seq: list[tuple[int, int, int]] = []  # (cl_sym, extra_val, extra_bits)
+    i = 0
+    n = len(lengths)
+    while i < n:
+        if lengths[i] == 0:
+            j = i
+            while j < n and lengths[j] == 0:
+                j += 1
+            run = j - i
+            while run >= 11:
+                r = min(run, 138)
+                seq.append((18, r - 11, 7))
+                run -= r
+            while run >= 3:
+                r = min(run, 10)
+                seq.append((17, r - 3, 3))
+                run -= r
+            seq.extend((0, 0, 0) for _ in range(run))
+            i = j
+        else:
+            seq.append((lengths[i], 0, 0))
+            i += 1
+    freqs19 = [0] * 19
+    for s, _, _ in seq:
+        freqs19[s] += 1
+    cl_lengths = _huffman_lengths(freqs19, max_len=7)
+    cl_codes = _canonical_codes(cl_lengths)
+    bw.put(15, 4)  # num_code_lengths = 19
+    for sym in _CODE_LENGTH_ORDER:
+        bw.put(cl_lengths[sym], 3)
+    bw.put(0, 1)  # no explicit max_symbol
+    single_cl = sum(1 for l in cl_lengths if l) == 1
+    for s, ev, eb in seq:
+        if not single_cl:  # single-symbol CL codes read zero bits
+            code, ln = cl_codes[s]
+            bw.put_code(code, ln)
+        if eb:
+            bw.put(ev, eb)
+    if len(syms) == 1:
+        # trivial code written via the normal path (symbol > 255 can't
+        # use the simple form): the decoder reads ZERO bits for it
+        return {syms[0]: (0, 0)}
+    return _canonical_codes(lengths)
+
+
+# --------------------------------------------- LZ77 prefix value coding
+
+
+def _prefix_value_decode(br: _BitReader, code: int) -> int:
+    """Length/distance prefix coding: codes 0..3 are 1..4; above,
+    (2+(code&1)) << extra_bits + ReadBits(extra_bits) + 1."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _prefix_value_encode(v: int, max_code: int) -> tuple[int, int, int]:
+    """Inverse of _prefix_value_decode -> (code, extra_val, extra_bits)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    for code in range(4, max_code):
+        extra = (code - 2) >> 1
+        offset = (2 + (code & 1)) << extra
+        if offset + 1 <= v <= offset + (1 << extra):
+            return code, v - offset - 1, extra
+    raise ValueError(f"value {v} exceeds prefix-code range")
+
+
+def _distance_map() -> list[tuple[int, int]]:
+    """The spec's 120-entry 2D neighbor table, generated from its
+    construction rule: candidates dy 0..7 x dx -7..8 (dx>0 when dy=0),
+    ordered by squared Euclidean distance, then |dx|, positive dx
+    first. The first 16 entries are pinned against the published
+    table in tests."""
+    cand = [
+        (dx, dy)
+        for dy in range(8)
+        for dx in range(-7, 9)
+        if dy > 0 or dx > 0
+    ]
+    cand.sort(key=lambda t: (t[0] * t[0] + t[1] * t[1], abs(t[0]), t[0] < 0))
+    return cand
+
+
+_DIST_MAP = _distance_map()
+
+
+def _plane_code_to_distance(w: int, code: int) -> int:
+    if code > 120:
+        return code - 120
+    dx, dy = _DIST_MAP[code - 1]
+    return max(1, dy * w + dx)
+
+
+# ------------------------------------------------------------ transforms
+
+
+def _split(argb: np.ndarray) -> tuple[np.ndarray, ...]:
+    a = (argb >> 24) & 0xFF
+    r = (argb >> 16) & 0xFF
+    g = (argb >> 8) & 0xFF
+    b = argb & 0xFF
+    return a, r, g, b
+
+
+def _join(a, r, g, b) -> np.ndarray:
+    return (
+        (a.astype(np.uint32) << 24)
+        | (r.astype(np.uint32) << 16)
+        | (g.astype(np.uint32) << 8)
+        | b.astype(np.uint32)
+    )
+
+
+def _ct_delta(t: np.ndarray | int, c: np.ndarray | int) -> np.ndarray:
+    """ColorTransformDelta: both args as SIGNED int8, product >> 5
+    (arithmetic — Python's >> on negatives floors, matching C)."""
+    ti = np.asarray(t, dtype=np.uint8).astype(np.int8).astype(np.int32)
+    ci = np.asarray(c, dtype=np.uint8).astype(np.int8).astype(np.int32)
+    return (ti * ci) >> 5
+
+
+def _avg2(p: np.ndarray, q: np.ndarray) -> np.ndarray:
+    return (p.astype(np.int32) + q.astype(np.int32)) >> 1
+
+
+def _predict(mode: int, L, T, TL, TR) -> np.ndarray:
+    """One predictor mode over (4,) int32 channel vectors [a,r,g,b]."""
+    if mode == 0:
+        return np.array([0xFF, 0, 0, 0], np.int32)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:  # Select
+        p = L.astype(np.int32) + T.astype(np.int32) - TL.astype(np.int32)
+        pl = int(np.abs(p - L).sum())
+        pt = int(np.abs(p - T).sum())
+        return L if pl < pt else T
+    if mode == 12:  # ClampAddSubtractFull
+        return np.clip(
+            L.astype(np.int32) + T.astype(np.int32) - TL.astype(np.int32),
+            0, 255,
+        )
+    if mode == 13:  # ClampAddSubtractHalf
+        ave = _avg2(L, T)
+        d = ave - TL.astype(np.int32)
+        # C-style truncation toward zero for (a - b) / 2
+        half = np.where(d >= 0, d >> 1, -((-d) >> 1))
+        return np.clip(ave + half, 0, 255)
+    raise ValueError(f"invalid predictor mode {mode}")
+
+
+def _px_channels(argb2d: np.ndarray, y: int, x: int) -> np.ndarray:
+    p = int(argb2d[y, x])
+    return np.array(
+        [(p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF],
+        np.int32,
+    )
+
+
+def _predictor_apply(
+    argb2d: np.ndarray, modes: np.ndarray, size_bits: int, inverse: bool
+) -> np.ndarray:
+    """Shared forward/inverse predictor walk. Inverse reconstructs in
+    raster order (neighbors are final pixels); forward subtracts the
+    prediction computed from the ORIGINAL pixels — exactly what the
+    decoder will have reconstructed at that point."""
+    h, w = argb2d.shape
+    src = argb2d  # neighbor source: final pixels in both directions
+    out = np.zeros_like(argb2d)
+    for y in range(h):
+        for x in range(w):
+            if inverse:
+                neigh = out
+            else:
+                neigh = src
+            if x == 0 and y == 0:
+                pred = np.array([0xFF, 0, 0, 0], np.int32)
+            elif y == 0:
+                pred = _px_channels(neigh, 0, x - 1)
+            elif x == 0:
+                pred = _px_channels(neigh, y - 1, 0)
+            else:
+                mode = int(modes[y >> size_bits, x >> size_bits])
+                L = _px_channels(neigh, y, x - 1)
+                T = _px_channels(neigh, y - 1, x)
+                TL = _px_channels(neigh, y - 1, x - 1)
+                TR = (
+                    _px_channels(neigh, y - 1, x + 1)
+                    if x + 1 < w
+                    else _px_channels(neigh, y, 0)
+                )
+                pred = _predict(mode, L, T, TL, TR)
+            cur = _px_channels(src, y, x)
+            res = (cur + pred if inverse else cur - pred) & 0xFF
+            out[y, x] = (
+                (int(res[0]) << 24)
+                | (int(res[1]) << 16)
+                | (int(res[2]) << 8)
+                | int(res[3])
+            )
+    return out
+
+
+def _color_transform_apply(
+    argb2d: np.ndarray, elems: np.ndarray, size_bits: int, inverse: bool
+) -> np.ndarray:
+    """COLOR transform. elems: (th, tw) uint32 tile pixels holding
+    red_to_blue<<16 | green_to_blue<<8 | green_to_red."""
+    h, w = argb2d.shape
+    ty = np.arange(h) >> size_bits
+    tx = np.arange(w) >> size_bits
+    e = elems[np.ix_(ty, tx)]
+    g2r = e & 0xFF
+    g2b = (e >> 8) & 0xFF
+    r2b = (e >> 16) & 0xFF
+    a, r, g, b = _split(argb2d)
+    if inverse:
+        r2 = (r.astype(np.int32) + _ct_delta(g2r, g)) & 0xFF
+        b2 = (
+            b.astype(np.int32) + _ct_delta(g2b, g) + _ct_delta(r2b, r2)
+        ) & 0xFF
+    else:
+        r2 = (r.astype(np.int32) - _ct_delta(g2r, g)) & 0xFF
+        b2 = (
+            b.astype(np.int32) - _ct_delta(g2b, g) - _ct_delta(r2b, r)
+        ) & 0xFF
+    return _join(a, r2, g, b2)
+
+
+def _subtract_green_apply(argb2d: np.ndarray, inverse: bool) -> np.ndarray:
+    a, r, g, b = _split(argb2d)
+    if inverse:
+        r2, b2 = (r + g) & 0xFF, (b + g) & 0xFF
+    else:
+        r2, b2 = (r - g) & 0xFF, (b - g) & 0xFF
+    return _join(a, r2, g, b2)
+
+
+def _palette_width_bits(n: int) -> int:
+    return 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+
+
+def _inv_color_indexing(
+    packed: np.ndarray, palette: np.ndarray, orig_w: int
+) -> np.ndarray:
+    n = len(palette)
+    wb = _palette_width_bits(n)
+    h = packed.shape[0]
+    out = np.zeros((h, orig_w), np.uint32)
+    bits = 8 >> wb
+    mask = (1 << bits) - 1
+    for y in range(h):
+        for x in range(orig_w):
+            green = (int(packed[y, x >> wb]) >> 8) & 0xFF
+            idx = (green >> (bits * (x & ((1 << wb) - 1)))) & mask
+            out[y, x] = palette[idx] if idx < n else 0
+    return out
+
+
+# ---------------------------------------------------------------- decode
+
+
+def _read_stream(
+    br: _BitReader, w: int, h: int, level0: bool
+) -> np.ndarray:
+    """One entropy-coded image (the spec's ReadImage): transforms and
+    meta-prefix only at level 0. Returns (h, w) uint32 ARGB."""
+    transforms: list[tuple] = []
+    cur_w = w
+    if level0:
+        seen = set()
+        while br.read(1):
+            ttype = br.read(2)
+            if ttype in seen:
+                raise ValueError("duplicate transform")
+            seen.add(ttype)
+            if ttype == 0:  # PREDICTOR
+                sb = br.read(3) + 2
+                tw, th = -(-cur_w // (1 << sb)), -(-h // (1 << sb))
+                img = _read_stream(br, tw, th, False)
+                transforms.append(("pred", sb, (img >> 8) & 0xFF, cur_w))
+            elif ttype == 1:  # COLOR
+                sb = br.read(3) + 2
+                tw, th = -(-cur_w // (1 << sb)), -(-h // (1 << sb))
+                img = _read_stream(br, tw, th, False)
+                transforms.append(("color", sb, img, cur_w))
+            elif ttype == 2:  # SUBTRACT_GREEN
+                transforms.append(("sg", cur_w))
+            else:  # COLOR_INDEXING
+                n = br.read(8) + 1
+                pal_img = _read_stream(br, n, 1, False)
+                pal = np.zeros(n, np.uint32)
+                prev = np.zeros(4, np.int64)
+                for i in range(n):
+                    ch = _px_channels(pal_img, 0, i).astype(np.int64)
+                    prev = (prev + ch) & 0xFF
+                    pal[i] = (
+                        (int(prev[0]) << 24)
+                        | (int(prev[1]) << 16)
+                        | (int(prev[2]) << 8)
+                        | int(prev[3])
+                    )
+                transforms.append(("index", pal, cur_w))
+                cur_w = -(-cur_w // (1 << _palette_width_bits(n)))
+
+    cache_bits = br.read(4) if br.read(1) else 0
+    if cache_bits > 11:
+        raise ValueError("color cache bits > 11")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
+
+    meta_img = None
+    meta_bits = 0
+    ngroups = 1
+    if level0 and br.read(1):  # meta-prefix
+        meta_bits = br.read(3) + 2
+        mw, mh = -(-cur_w // (1 << meta_bits)), -(-h // (1 << meta_bits))
+        meta_img = _read_stream(br, mw, mh, False)
+        meta_idx = ((meta_img >> 8) & 0xFFFF).astype(np.int64)
+        ngroups = int(meta_idx.max()) + 1
+
+    green_size = 256 + 24 + cache_size
+    groups = []
+    for _ in range(ngroups):
+        groups.append(
+            (
+                _read_prefix_code(br, green_size),
+                _read_prefix_code(br, 256),  # red
+                _read_prefix_code(br, 256),  # blue
+                _read_prefix_code(br, 256),  # alpha
+                _read_prefix_code(br, 40),  # distance
+            )
+        )
+
+    n = cur_w * h
+    out = np.zeros(n, np.uint32)
+    pos = 0
+    grp = groups[0]
+    while pos < n:
+        if meta_img is not None:
+            y, x = divmod(pos, cur_w)
+            m = int(meta_img[y >> meta_bits, x >> meta_bits])
+            grp = groups[((m >> 8) & 0xFFFF)]
+        s = _read_symbol(br, grp[0])
+        if s < 256:
+            red = _read_symbol(br, grp[1])
+            blue = _read_symbol(br, grp[2])
+            alpha = _read_symbol(br, grp[3])
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            if cache_size:
+                cache[(_CACHE_MULT * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+            pos += 1
+        elif s < 256 + 24:
+            length = _prefix_value_decode(br, s - 256)
+            dcode = _read_symbol(br, grp[4])
+            dist = _plane_code_to_distance(
+                cur_w, _prefix_value_decode(br, dcode)
+            )
+            if dist > pos or pos + length > n:
+                raise ValueError("LZ77 reference out of bounds")
+            for _ in range(length):
+                px = int(out[pos - dist])
+                out[pos] = px
+                if cache_size:
+                    cache[
+                        (_CACHE_MULT * px & 0xFFFFFFFF) >> (32 - cache_bits)
+                    ] = px
+                pos += 1
+        else:
+            idx = s - 256 - 24
+            out[pos] = cache[idx]
+            pos += 1
+
+    img = out.reshape(h, cur_w)
+    for t in reversed(transforms):
+        if t[0] == "pred":
+            img = _predictor_apply(img, t[2], t[1], inverse=True)
+        elif t[0] == "color":
+            img = _color_transform_apply(img, t[2], t[1], inverse=True)
+        elif t[0] == "sg":
+            img = _subtract_green_apply(img, inverse=True)
+        else:
+            img = _inv_color_indexing(img, t[1], t[2])
+    return img
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """RIFF/WEBP -> (H, W, 4) uint8 RGBA. Real decode for VP8L
+    (lossless); lossy VP8/VP8X-wrapped streams refuse loudly (they
+    need a full video-codec intra decoder — out of scope, same
+    honesty rule as H.264)."""
+    try:
+        if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+            raise ValueError("not a WebP (RIFF/WEBP header missing)")
+        pos = 12
+        payload = None
+        while pos + 8 <= len(data):
+            tag = data[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", data, pos + 4)
+            if tag == b"VP8L":
+                payload = data[pos + 8 : pos + 8 + ln]
+                break
+            if tag in (b"VP8 ", b"VP8X"):
+                raise NotImplementedError(
+                    "lossy/extended WebP (VP8/VP8X) needs a codec "
+                    "library; only VP8L lossless decodes here"
+                )
+            pos += 8 + ln + (ln & 1)
+        if payload is None:
+            raise ValueError("no VP8L chunk in WebP container")
+        if len(payload) < 5 or payload[0] != 0x2F:
+            raise ValueError("bad VP8L signature")
+        br = _BitReader(payload[1:])
+        w = br.read(14) + 1
+        h = br.read(14) + 1
+        br.read(1)  # alpha hint
+        if br.read(3) != 0:
+            raise ValueError("unsupported VP8L version")
+        argb = _read_stream(br, w, h, level0=True)
+        a, r, g, b = _split(argb)
+        return np.stack([r, g, b, a], axis=-1).astype(np.uint8)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(
+            f"malformed WebP stream ({type(e).__name__}: {e})"
+        ) from e
+
+
+# ---------------------------------------------------------------- encode
+
+
+def _dist_reverse_map(w: int) -> dict[int, int]:
+    """linear distance -> 1-based 2D plane code for this width (first
+    map entry wins, mirroring the decoder's forward mapping)."""
+    rev: dict[int, int] = {}
+    for i, (dx, dy) in enumerate(_DIST_MAP):
+        d = dy * w + dx
+        if d >= 1 and d not in rev:
+            rev[d] = i + 1
+    return rev
+
+
+def _tokenize(
+    flat: np.ndarray,
+    w: int,
+    cache_bits: int,
+    lz77: bool,
+) -> list[tuple]:
+    """Greedy LZ77 + color-cache tokenizer. Tokens:
+    ('lit', a, r, g, b), ('cache', idx), ('copy', length, dist).
+    Simulates the decoder's cache inserts exactly (literals and every
+    copied pixel) so both sides stay in lockstep."""
+    n = len(flat)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [None] * cache_size
+    tokens: list[tuple] = []
+    # positions of last few occurrences of each pixel value for match search
+    last_pos: dict[int, list[int]] = {}
+    i = 0
+    while i < n:
+        best_len, best_dist = 0, 0
+        if lz77 and i > 0:
+            for j in last_pos.get(int(flat[i]), ())[-8:]:
+                dist = i - j
+                if dist > 1048576 - 120:
+                    continue
+                ln = 0
+                while i + ln < n and ln < 4096 and flat[j + ln] == flat[i + ln]:
+                    ln += 1
+                if ln > best_len:
+                    best_len, best_dist = ln, dist
+        if best_len >= 3:
+            tokens.append(("copy", best_len, best_dist))
+            for k in range(i, i + best_len):
+                px = int(flat[k])
+                last_pos.setdefault(px, []).append(k)
+                if cache_size:
+                    cache[(_CACHE_MULT * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+            i += best_len
+            continue
+        px = int(flat[i])
+        hidx = (_CACHE_MULT * px & 0xFFFFFFFF) >> (32 - cache_bits) if cache_size else 0
+        if cache_size and cache[hidx] == px:
+            tokens.append(("cache", hidx))
+        else:
+            tokens.append(
+                ("lit", (px >> 24) & 0xFF, (px >> 16) & 0xFF,
+                 (px >> 8) & 0xFF, px & 0xFF)
+            )
+            if cache_size:
+                cache[hidx] = px
+        last_pos.setdefault(px, []).append(i)
+        i += 1
+    return tokens
+
+
+def _token_positions(tokens: list[tuple]) -> list[int]:
+    """Pixel position at which each token STARTS (group lookup point)."""
+    pos = 0
+    out = []
+    for t in tokens:
+        out.append(pos)
+        pos += t[1] if t[0] == "copy" else 1
+    return out
+
+
+def _write_data(
+    bw: _BitWriter,
+    tokens: list[tuple],
+    w: int,
+    cache_bits: int,
+    ngroups: int,
+    group_of_pos,
+) -> None:
+    """Histogram + code emission + token emission for one image."""
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green_size = 256 + 24 + cache_size
+    rev = _dist_reverse_map(w)
+    positions = _token_positions(tokens)
+
+    # per-group histograms
+    hists = [
+        [
+            [0] * green_size, [0] * 256, [0] * 256, [0] * 256, [0] * 40,
+        ]
+        for _ in range(ngroups)
+    ]
+    encoded: list[tuple] = []  # pre-resolved symbols per token
+    for t, p in zip(tokens, positions):
+        g = group_of_pos(p) if ngroups > 1 else 0
+        hg = hists[g]
+        if t[0] == "lit":
+            _, a, r, gg, b = t
+            hg[0][gg] += 1
+            hg[1][r] += 1
+            hg[2][b] += 1
+            hg[3][a] += 1
+            encoded.append(("lit", g, a, r, gg, b))
+        elif t[0] == "cache":
+            sym = 256 + 24 + t[1]
+            hg[0][sym] += 1
+            encoded.append(("sym", g, sym))
+        else:
+            _, length, dist = t
+            lcode, lev, leb = _prefix_value_encode(length, 24)
+            hg[0][256 + lcode] += 1
+            pdist = rev.get(dist, dist + 120)
+            dcode, dev, deb = _prefix_value_encode(pdist, 40)
+            hg[4][dcode] += 1
+            encoded.append(
+                ("copy", g, lcode, lev, leb, dcode, dev, deb)
+            )
+
+    codes = []
+    for g in range(ngroups):
+        gc = []
+        for hist in hists[g]:
+            lengths = _huffman_lengths(hist, max_len=_MAX_CODE_LEN)
+            gc.append(_write_prefix_code(bw, lengths))
+        codes.append(gc)
+
+    def emit(cmap: dict, sym: int) -> None:
+        code, ln = cmap[sym]
+        if ln:
+            bw.put_code(code, ln)
+
+    for e in encoded:
+        g = e[1]
+        gc = codes[g]
+        if e[0] == "lit":
+            _, _, a, r, gg, b = e
+            emit(gc[0], gg)
+            emit(gc[1], r)
+            emit(gc[2], b)
+            emit(gc[3], a)
+        elif e[0] == "sym":
+            emit(gc[0], e[2])
+        else:
+            _, _, lcode, lev, leb, dcode, dev, deb = e
+            emit(gc[0], 256 + lcode)
+            if leb:
+                bw.put(lev, leb)
+            emit(gc[4], dcode)
+            if deb:
+                bw.put(dev, deb)
+
+
+def _write_stream(
+    bw: _BitWriter,
+    argb2d: np.ndarray,
+    level0: bool,
+    *,
+    subtract_green: bool = False,
+    predictor_bits: int = 0,
+    color_bits: int = 0,
+    palette: bool = False,
+    cache_bits: int = 0,
+    lz77: bool = True,
+    meta_bits: int = 0,
+    rng: "np.random.Generator | None" = None,
+) -> None:
+    """One entropy-coded image (encoder side of _read_stream).
+    Transforms listed in read order [sg, pred, color, index]; forward
+    application in the SAME order (the decoder inverts in reverse)."""
+    h, w = argb2d.shape
+    img = argb2d.astype(np.uint32)
+    cur_w = w
+    if level0:
+        if subtract_green:
+            bw.put(1, 1)
+            bw.put(2, 2)  # SUBTRACT_GREEN
+            img = _subtract_green_apply(img, inverse=False)
+        if predictor_bits:
+            bw.put(1, 1)
+            bw.put(0, 2)  # PREDICTOR
+            bw.put(predictor_bits - 2, 3)
+            tw = -(-cur_w // (1 << predictor_bits))
+            th = -(-h // (1 << predictor_bits))
+            modes = (
+                rng.integers(0, 14, size=(th, tw))
+                if rng is not None
+                else np.full((th, tw), 2)
+            ).astype(np.uint32)
+            img = _predictor_apply(img, modes, predictor_bits, inverse=False)
+            tile_px = (0xFF << 24) | (modes << 8)
+            _write_stream(bw, tile_px.astype(np.uint32), False, lz77=lz77)
+        if color_bits:
+            bw.put(1, 1)
+            bw.put(1, 2)  # COLOR
+            bw.put(color_bits - 2, 3)
+            tw = -(-cur_w // (1 << color_bits))
+            th = -(-h // (1 << color_bits))
+            if rng is not None:
+                elems = (
+                    (rng.integers(0, 256, (th, tw)).astype(np.uint32) << 16)
+                    | (rng.integers(0, 256, (th, tw)).astype(np.uint32) << 8)
+                    | rng.integers(0, 256, (th, tw)).astype(np.uint32)
+                )
+            else:
+                elems = np.full((th, tw), (16 << 16) | (8 << 8) | 4, np.uint32)
+            img = _color_transform_apply(img, elems, color_bits, inverse=False)
+            _write_stream(
+                bw, (elems | (0xFF << 24)).astype(np.uint32), False, lz77=lz77
+            )
+        if palette:
+            flat = img.reshape(-1)
+            pal_vals = list(dict.fromkeys(int(p) for p in flat))
+            n = len(pal_vals)
+            if n > 256:
+                raise ValueError("palette transform needs <=256 colors")
+            bw.put(1, 1)
+            bw.put(3, 2)  # COLOR_INDEXING
+            bw.put(n - 1, 8)
+            # delta-code the palette entries per channel
+            pal_arr = np.array(pal_vals, np.uint32).reshape(1, n)
+            deltas = np.zeros((1, n), np.uint32)
+            prev = np.zeros(4, np.int64)
+            for i in range(n):
+                ch = _px_channels(pal_arr, 0, i).astype(np.int64)
+                d = (ch - prev) & 0xFF
+                deltas[0, i] = (
+                    (int(d[0]) << 24) | (int(d[1]) << 16)
+                    | (int(d[2]) << 8) | int(d[3])
+                )
+                prev = ch
+            _write_stream(bw, deltas, False, lz77=False)
+            # pack indices into the green channel
+            index_of = {v: i for i, v in enumerate(pal_vals)}
+            wb = _palette_width_bits(n)
+            bits = 8 >> wb
+            pw = -(-cur_w // (1 << wb))
+            packed = np.zeros((h, pw), np.uint32)
+            for y in range(h):
+                for x in range(cur_w):
+                    idx = index_of[int(img[y, x])]
+                    packed[y, x >> wb] |= np.uint32(
+                        (idx << (bits * (x & ((1 << wb) - 1)))) << 8
+                    )
+            packed |= np.uint32(0xFF) << 24
+            img = packed
+            cur_w = pw
+        bw.put(0, 1)  # no more transforms
+
+    if cache_bits:
+        bw.put(1, 1)
+        bw.put(cache_bits, 4)
+    else:
+        bw.put(0, 1)
+
+    group_of_pos = None
+    ngroups = 1
+    if level0:
+        if meta_bits:
+            bw.put(1, 1)
+            bw.put(meta_bits - 2, 3)
+            mw = -(-cur_w // (1 << meta_bits))
+            mh = -(-h // (1 << meta_bits))
+            tyx = np.add.outer(np.arange(mh), np.arange(mw)) % 2
+            meta_px = ((0xFF << 24) | (tyx.astype(np.uint32) << 8)).astype(
+                np.uint32
+            )
+            _write_stream(bw, meta_px, False, lz77=False)
+            # the decoder derives the group count from the meta image's
+            # max index — a single-tile image collapses to one group
+            ngroups = int(tyx.max()) + 1
+            mb, cw = meta_bits, cur_w
+
+            def group_of_pos(p: int) -> int:
+                y, x = divmod(p, cw)
+                return ((y >> mb) + (x >> mb)) % 2
+
+        else:
+            bw.put(0, 1)
+
+    tokens = _tokenize(img.reshape(-1), cur_w, cache_bits, lz77)
+    _write_data(bw, tokens, cur_w, cache_bits, ngroups, group_of_pos)
+
+
+def encode_webp(
+    px_rgba: np.ndarray,
+    *,
+    subtract_green: bool = False,
+    predictor_bits: int = 0,
+    color_bits: int = 0,
+    palette: bool = False,
+    cache_bits: int = 0,
+    lz77: bool = True,
+    meta_bits: int = 0,
+    rng: "np.random.Generator | None" = None,
+) -> bytes:
+    """(H, W, 4) uint8 RGBA -> a genuine lossless WebP file. Every
+    VP8L feature is independently toggleable so tests can fuzz the
+    decoder across the whole feature matrix; the output always
+    decodes bit-exactly to the input (the format is lossless)."""
+    h, w = px_rgba.shape[:2]
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("dims out of VP8L range")
+    px = px_rgba.astype(np.uint32)
+    argb = (px[:, :, 3] << 24) | (px[:, :, 0] << 16) | (px[:, :, 1] << 8) | px[:, :, 2]
+    bw = _BitWriter()
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(1, 1)  # alpha hint
+    bw.put(0, 3)  # version
+    _write_stream(
+        bw, argb, True,
+        subtract_green=subtract_green, predictor_bits=predictor_bits,
+        color_bits=color_bits, palette=palette, cache_bits=cache_bits,
+        lz77=lz77, meta_bits=meta_bits, rng=rng,
+    )
+    payload = b"\x2f" + bytes(bw.bytes)
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# -------------------------------------------------- synthesizer / Spark
+
+WEBP_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_pixels", LongType(), False),
+        StructField("r_sum", LongType(), False),
+        StructField("g_sum", LongType(), False),
+        StructField("b_sum", LongType(), False),
+        StructField("a_sum", LongType(), False),
+    ]
+)
+
+
+def webp_dims(doc_id: int) -> tuple[int, int]:
+    return 5 + int(doc_id) % 12, 4 + int(doc_id) % 7
+
+
+def _webp_pixels(doc_id: int, w: int, h: int) -> np.ndarray:
+    """(h, w, 4) uint8 RGBA via the repo-wide closed-form mix rule —
+    the SQL oracle regenerates these exactly (c = 0..3 -> R,G,B,A)."""
+    p = np.arange(w * h, dtype=np.int64)[:, None]
+    c = np.arange(4, dtype=np.int64)[None, :]
+    v = (np.int64(doc_id) * IMG_MIX_A + p * IMG_MIX_B + c * IMG_MIX_C) % 256
+    return v.astype(np.uint8).reshape(h, w, 4)
+
+
+def synthesize_webp(doc_id: int) -> bytes:
+    """A genuine VP8L lossless WebP. Losslessness lets the encoder
+    ROTATE its feature set per doc_id — plain literals, LZ77, color
+    cache, subtract-green, per-tile predictor, per-tile color
+    transform, palette indexing, meta-prefix groups — while the
+    decoded pixels (and therefore the oracle) stay the same closed
+    form for every variant. The gate thereby exercises every decoder
+    path, not just one."""
+    w, h = webp_dims(doc_id)
+    px = _webp_pixels(doc_id, w, h)
+    rng = np.random.default_rng(int(doc_id))
+    variant = int(doc_id) % 7
+    opts = [
+        dict(lz77=False),                                    # pure literals
+        dict(lz77=True, cache_bits=4),                       # LZ77 + cache
+        dict(subtract_green=True, lz77=True),                # SG
+        dict(predictor_bits=2, cache_bits=3, rng=rng),       # predictor
+        dict(color_bits=2, subtract_green=True, rng=rng),    # cross-color
+        dict(palette=True, lz77=True),                       # indexing
+        dict(meta_bits=2, lz77=True, cache_bits=5,           # everything
+             subtract_green=True, predictor_bits=3, rng=rng),
+    ][variant]
+    return encode_webp(px, **opts)
+
+
+def synthesize_webp_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, media_type, media) with REAL VP8L WebP blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "image/webp",
+                    "media": [synthesize_webp(int(i)) for i in ids],
+                }
+            )
+
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("media_type", StringType(), False),
+                StructField("media", BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def webp_features(media_df: DataFrame) -> DataFrame:
+    """Decode every ``image/webp`` blob with the from-scratch VP8L
+    decoder and emit integer-exact dims + RGBA channel sums. Same
+    no-shuffle mapInPandas shape as the other media decoders — the
+    per-blob work is the decode itself, scaling embarrassingly with
+    partitions at 100 TB."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["doc_id"].astype("int64"), pdf["media"]):
+                px = decode_webp(bytes(blob)).astype(np.int64)
+                h, w = px.shape[:2]
+                sums = px.reshape(-1, 4).sum(axis=0)
+                rows.append(
+                    (int(i), w, h, w * h,
+                     int(sums[0]), int(sums[1]), int(sums[2]), int(sums[3]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "r_sum", "g_sum", "b_sum", "a_sum",
+                ],
+            )
+
+    return (
+        media_df.filter(F.col("media_type") == "image/webp")
+        .select("doc_id", "media")
+        .mapInPandas(run, WEBP_FEATURES_SCHEMA)
+    )
+
+
+def image_webp_features_sql() -> str:
+    """DuckDB oracle: regenerate the closed-form RGBA pixels and state
+    the sums the full VP8L encode->entropy->transform->decode loop
+    must land on — for all seven encoder-feature variants."""
+    return f"""
+WITH params AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         5 + doc_id % 12 AS w,
+         4 + doc_id % 7 AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM params
+),
+chans AS (
+  SELECT doc_id, w, h,
+         (doc_id * {IMG_MIX_A} + p * {IMG_MIX_B} + 0) % 256 AS r,
+         (doc_id * {IMG_MIX_A} + p * {IMG_MIX_B} + {IMG_MIX_C}) % 256 AS g,
+         (doc_id * {IMG_MIX_A} + p * {IMG_MIX_B} + {2 * IMG_MIX_C}) % 256 AS b,
+         (doc_id * {IMG_MIX_A} + p * {IMG_MIX_B} + {3 * IMG_MIX_C}) % 256 AS a
+  FROM px
+)
+SELECT doc_id,
+       any_value(w)::INTEGER AS width,
+       any_value(h)::INTEGER AS height,
+       (any_value(w) * any_value(h))::BIGINT AS n_pixels,
+       sum(r)::BIGINT AS r_sum,
+       sum(g)::BIGINT AS g_sum,
+       sum(b)::BIGINT AS b_sum,
+       sum(a)::BIGINT AS a_sum
+FROM chans
+GROUP BY doc_id ORDER BY doc_id
+"""
