@@ -203,7 +203,15 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int):
         s1 = br.read(8)
         if s1 >= alphabet_size:
             raise ValueError("simple-code symbol out of range")
-        return ("tree", {(1, 0): s0, (1, 1): s1})
+        if s0 == s1:
+            # one distinct symbol -> trivial zero-bit code (canonical
+            # construction collapses equal-length duplicates)
+            return ("single", s0)
+        # the simple form only transmits WHICH symbols have length 1;
+        # codes are then assigned canonically, so bit 0 must map to
+        # the numerically smaller symbol regardless of wire order
+        lo, hi = (s0, s1) if s0 < s1 else (s1, s0)
+        return ("tree", {(1, 0): lo, (1, 1): hi})
     num_codes = br.read(4) + 4
     cl_lengths = [0] * 19
     for i in range(num_codes):
@@ -571,14 +579,14 @@ def _read_stream(
                 sb = br.read(3) + 2
                 tw, th = -(-cur_w // (1 << sb)), -(-h // (1 << sb))
                 img = _read_stream(br, tw, th, False)
-                transforms.append(("pred", sb, (img >> 8) & 0xFF, cur_w))
+                transforms.append(("pred", sb, (img >> 8) & 0xFF))
             elif ttype == 1:  # COLOR
                 sb = br.read(3) + 2
                 tw, th = -(-cur_w // (1 << sb)), -(-h // (1 << sb))
                 img = _read_stream(br, tw, th, False)
-                transforms.append(("color", sb, img, cur_w))
+                transforms.append(("color", sb, img))
             elif ttype == 2:  # SUBTRACT_GREEN
-                transforms.append(("sg", cur_w))
+                transforms.append(("sg",))
             else:  # COLOR_INDEXING
                 n = br.read(8) + 1
                 pal_img = _read_stream(br, n, 1, False)
@@ -680,9 +688,10 @@ def _read_stream(
 
 def decode_webp(data: bytes) -> np.ndarray:
     """RIFF/WEBP -> (H, W, 4) uint8 RGBA. Real decode for VP8L
-    (lossless); lossy VP8/VP8X-wrapped streams refuse loudly (they
-    need a full video-codec intra decoder — out of scope, same
-    honesty rule as H.264)."""
+    (lossless), including VP8X-extended containers that wrap a VP8L
+    chunk with metadata; lossy VP8 and animations refuse loudly
+    (they need a full video-codec intra decoder — out of scope,
+    same honesty rule as H.264)."""
     try:
         if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
             raise ValueError("not a WebP (RIFF/WEBP header missing)")
@@ -694,11 +703,19 @@ def decode_webp(data: bytes) -> np.ndarray:
             if tag == b"VP8L":
                 payload = data[pos + 8 : pos + 8 + ln]
                 break
-            if tag in (b"VP8 ", b"VP8X"):
+            if tag == b"VP8 ":
                 raise NotImplementedError(
-                    "lossy/extended WebP (VP8/VP8X) needs a codec "
-                    "library; only VP8L lossless decodes here"
+                    "lossy WebP (VP8) needs a codec library; only "
+                    "VP8L lossless decodes here"
                 )
+            if tag in (b"ANIM", b"ANMF"):
+                raise NotImplementedError(
+                    "animated WebP unsupported — decoding only the "
+                    "first frame would misrepresent the file"
+                )
+            # VP8X and metadata chunks (ICCP/EXIF/XMP/ALPH/unknown)
+            # are skipped: a lossless file saved with metadata wraps
+            # the same VP8L chunk in the extended container
             pos += 8 + ln + (ln & 1)
         if payload is None:
             raise ValueError("no VP8L chunk in WebP container")
@@ -1028,6 +1045,17 @@ def encode_webp(
     h, w = px_rgba.shape[:2]
     if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
         raise ValueError("dims out of VP8L range")
+    for name, bits in (
+        ("predictor_bits", predictor_bits),
+        ("color_bits", color_bits),
+        ("meta_bits", meta_bits),
+    ):
+        if bits and not 2 <= bits <= 9:
+            # the wire field is 3 bits storing (bits - 2): anything
+            # outside 2..9 would silently truncate and desync
+            raise ValueError(f"{name} must be 0 or 2..9, got {bits}")
+    if cache_bits and not 1 <= cache_bits <= 11:
+        raise ValueError(f"cache_bits must be 0..11, got {cache_bits}")
     px = px_rgba.astype(np.uint32)
     argb = (px[:, :, 3] << 24) | (px[:, :, 0] << 16) | (px[:, :, 1] << 8) | px[:, :, 2]
     bw = _BitWriter()

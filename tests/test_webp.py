@@ -230,6 +230,93 @@ class TestRoundtrip:
         with pytest.raises(NotImplementedError, match="VP8L lossless"):
             W.decode_webp(data)
 
+    def test_simple_code_canonical_order(self):
+        """The simple form only transmits WHICH symbols have length 1;
+        codes are assigned canonically, so bit 0 must select the
+        numerically SMALLER symbol even when the stream lists the
+        larger one first (the in-repo encoder always writes ascending,
+        so only a hand-built stream can pin this)."""
+        bits = []
+
+        def put(v, n):
+            bits.extend((v >> i) & 1 for i in range(n))
+
+        put(2 - 1, 14)  # width-1
+        put(1 - 1, 14)  # height-1
+        put(0, 1)       # alpha hint
+        put(0, 3)       # version
+        put(0, 1)       # no transforms
+        put(0, 1)       # no color cache
+        put(0, 1)       # no meta-prefix
+        # green: simple TWO-symbol code transmitted DESCENDING (200, 100)
+        put(1, 1)   # simple
+        put(1, 1)   # two symbols
+        put(1, 1)   # 8-bit first symbol
+        put(200, 8)
+        put(100, 8)
+        for sym in (10, 20, 255, 0):  # red, blue, alpha, dist: single
+            put(1, 1)
+            put(0, 1)
+            put(1, 1)
+            put(sym, 8)
+        # data: pixel0 green bit 0 -> canonical smaller symbol (100),
+        # pixel1 green bit 1 -> larger symbol (200)
+        put(0, 1)
+        put(1, 1)
+        payload = bytearray()
+        for i, b in enumerate(bits):
+            if i % 8 == 0:
+                payload.append(0)
+            payload[-1] |= b << (i % 8)
+        payload = b"\x2f" + bytes(payload)
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunk += b"\x00"
+        data = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+        px = W.decode_webp(data)
+        assert px[0, 0].tolist() == [10, 100, 20, 255]
+        assert px[0, 1].tolist() == [10, 200, 20, 255]
+
+    def test_vp8x_wrapped_lossless_decodes(self):
+        """A lossless file saved with metadata wraps the identical
+        VP8L chunk in a VP8X extended container — the walk must skip
+        VP8X/EXIF and still decode it."""
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, (5, 4, 4)).astype(np.uint8)
+        plain = W.encode_webp(px)
+        vp8l_chunk = plain[12:]
+        w, h = 4, 5
+        vp8x_body = struct.pack(
+            "<B3B", 0x08, 0, 0, 0
+        ) + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+        vp8x = b"VP8X" + struct.pack("<I", len(vp8x_body)) + vp8x_body
+        exif_body = b"Exif\x00\x00odd"  # odd length -> pad byte
+        exif = b"EXIF" + struct.pack("<I", len(exif_body)) + exif_body
+        if len(exif_body) & 1:
+            exif += b"\x00"
+        inner = vp8x + exif + vp8l_chunk
+        data = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"WEBP" + inner
+        assert np.array_equal(W.decode_webp(data), px)
+
+    def test_animated_webp_refused(self):
+        body = b"\x00" * 6
+        anim = b"ANIM" + struct.pack("<I", len(body)) + body
+        data = b"RIFF" + struct.pack("<I", 4 + len(anim)) + b"WEBP" + anim
+        with pytest.raises(NotImplementedError, match="animated"):
+            W.decode_webp(data)
+
+    def test_encoder_rejects_out_of_range_bits(self):
+        px = np.zeros((4, 4, 4), np.uint8)
+        for kw in (
+            {"predictor_bits": 1},
+            {"predictor_bits": 10},
+            {"color_bits": 1},
+            {"meta_bits": 10},
+            {"cache_bits": 12},
+        ):
+            with pytest.raises(ValueError, match="must be"):
+                W.encode_webp(px, **kw)
+
 
 class TestSynthesizer:
     def test_closed_form_all_variants(self):
