@@ -559,11 +559,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # front-load the entries that have not yet received a driver
     # CORRECTNESS row, so a future overflow can never hide them again
     _priority = [
+        "dedup_substring_spans",
+        "dedup_keep_canonical",
         "image_webp_features",
-        "image_jpeg_progressive_features",
+        "image_jpeg_features",
+        "ann_cosine_topk",
         "ann_pq_topk",
         "text_decontaminate",
-        "image_jpeg_features",
         "image_container_features",
         "bm25_dist_q_modes",
         "bm25_dist_batch_modes",

@@ -39,19 +39,14 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scanline filters, stdlib inflate + NumPy unfiltering), and
         # GIF89a (from-scratch LZW dictionary coding)
         "image_container_features": lambda s, d: _image_container_entry(s, d),
-        # REAL transform-coded path: baseline JFIF (sequential DCT,
-        # canonical Huffman entropy coding) written and decoded from
-        # scratch; constant-block + all-ones-quant streams make the
-        # full entropy+IDCT loop integer-exact (closed-form oracle)
-        "image_jpeg_features": lambda s, d: multimodal.jpeg_features(
-            multimodal.synthesize_jpeg_media(_docs(s, d))
-        ).orderBy("doc_id"),
-        # PROGRESSIVE (SOF2) JFIF: multi-scan spectral selection +
-        # successive approximation with DRI restarts, decoded by the
-        # full T.81 G.2 algorithm; same closed-form gray sums
-        "image_jpeg_progressive_features": lambda s, d: multimodal.jpeg_features(
-            multimodal.synthesize_jpeg_progressive_media(_docs(s, d))
-        ).orderBy("doc_id"),
+        # REAL transform-coded path, BOTH JPEG modes in one labeled
+        # entry: baseline JFIF (sequential DCT, canonical Huffman)
+        # and progressive SOF2 (spectral selection + successive
+        # approximation with DRI restarts, the full T.81 G.2
+        # algorithm), each written and decoded from scratch;
+        # constant-block + all-ones-quant streams make the loop
+        # integer-exact (closed-form oracle)
+        "image_jpeg_features": lambda s, d: _jpeg_modes_entry(s, d),
         # REAL WebP lossless (VP8L) from scratch: prefix codes, LZ77 +
         # 2D distance map, color cache, meta-prefix groups, and all
         # four transforms; the synthesizer rotates encoder features
@@ -81,10 +76,19 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d)
         ),
         "dedup_components": lambda s, d: dedup.dedup_components(_docs(s, d)),
-        "ann_cosine_topk": lambda s, d: similarity.ann_cosine_topk(_emb(s, d)),
-        "ann_cosine_topk_kernel": lambda s, d: similarity.ann_cosine_topk_kernel(
-            _emb(s, d)
+        # span-level exact-substring dedup (Lee et al. ACL'22 shape):
+        # merged char ranges of 40-gram windows seen in >= 2 docs
+        "dedup_substring_spans": lambda s, d: dedup.substring_dup_spans(
+            _docs(s, d)
         ),
+        # the pipeline's endpoint: per-doc keep/drop + canonical id
+        "dedup_keep_canonical": lambda s, d: dedup.dedup_keep_canonical(
+            _docs(s, d)
+        ),
+        # BOTH physical plans in one labeled entry: the HOF-expression
+        # brute force and the Arrow/NumPy-matmul kernel compute the
+        # identical ranking (same rounding, same tie order)
+        "ann_cosine_topk": lambda s, d: _ann_cosine_paths_entry(s, d),
         # gate pins (bits, tables, multiprobe): the oracle SQL is a
         # static string and must hash the same LSH; the API default
         # scales bits with corpus size (lsh_bits_for)
@@ -144,6 +148,80 @@ def _image_container_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lab(gif, "gif"))
         .orderBy("fmt", "doc_id")
     )
+
+
+def _jpeg_modes_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline ∪ progressive JPEG decode features, labeled by mode.
+    Each leg is the unchanged per-mode pipeline over the same docs;
+    both land on the same closed-form gray sums."""
+    from pyspark.sql import functions as F
+
+    from . import multimodal
+
+    docs = _docs(spark, sf_dir)
+    cols = ["doc_id", "width", "height", "n_pixels", "gray_sum"]
+
+    def lab(df: DataFrame, mode: str) -> DataFrame:
+        return df.select(F.lit(mode).alias("mode"), *cols)
+
+    base = multimodal.jpeg_features(multimodal.synthesize_jpeg_media(docs))
+    prog = multimodal.jpeg_features(
+        multimodal.synthesize_jpeg_progressive_media(docs)
+    )
+    return (
+        lab(base, "baseline")
+        .unionByName(lab(prog, "progressive"))
+        .orderBy("mode", "doc_id")
+    )
+
+
+def _jpeg_modes_oracle_sql() -> str:
+    from . import multimodal
+
+    cols = "doc_id, width, height, n_pixels, gray_sum"
+    return f"""
+SELECT 'baseline' AS mode, {cols}
+FROM ({multimodal.image_jpeg_features_sql()})
+UNION ALL
+SELECT 'progressive' AS mode, {cols}
+FROM ({multimodal.image_jpeg_progressive_features_sql()})
+ORDER BY mode, doc_id
+"""
+
+
+def _ann_cosine_paths_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force HOF plan ∪ Arrow-kernel plan, labeled by path —
+    both must produce the identical rank-ordered top-k."""
+    from pyspark.sql import functions as F
+
+    from . import similarity
+
+    emb = _emb(spark, sf_dir)
+    cols = ["probe_id", "vec_id", "cos"]
+
+    def lab(df: DataFrame, path: str) -> DataFrame:
+        return df.select(F.lit(path).alias("path"), *cols)
+
+    brute = similarity.ann_cosine_topk(emb)
+    kernel = similarity.ann_cosine_topk_kernel(emb)
+    return (
+        lab(brute, "bruteforce")
+        .unionByName(lab(kernel, "kernel"))
+        .orderBy("path", "probe_id", F.desc("cos"), "vec_id")
+    )
+
+
+def _ann_cosine_paths_oracle_sql() -> str:
+    from . import similarity
+
+    cols = "probe_id, vec_id, cos"
+    inner = similarity.ann_cosine_topk_sql()
+    return f"""
+SELECT 'bruteforce' AS path, {cols} FROM ({inner})
+UNION ALL
+SELECT 'kernel' AS path, {cols} FROM ({inner})
+ORDER BY path, probe_id, cos DESC, vec_id
+"""
 
 
 def _webp_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,9 +310,7 @@ def oracle_registry() -> dict[str, str]:
     return {
         "audio_wav_features": multimodal.audio_wav_features_sql(),
         "image_container_features": multimodal.image_container_features_sql(),
-        "image_jpeg_features": multimodal.image_jpeg_features_sql(),
-        "image_jpeg_progressive_features":
-            multimodal.image_jpeg_progressive_features_sql(),
+        "image_jpeg_features": _jpeg_modes_oracle_sql(),
         "image_webp_features": _webp_oracle_sql(),
         "video_avi_features": multimodal.video_avi_features_sql(),
         "video_frame_sample": multimodal.video_frame_sample_sql(every_n=2),
@@ -246,10 +322,12 @@ def oracle_registry() -> dict[str, str]:
         "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
         # components of the candidate-pair graph via a recursive CTE
         "dedup_components": dedup.dedup_components_sql(),
-        "ann_cosine_topk": similarity.ann_cosine_topk_sql(),
-        # the NumPy-matmul scale path computes the identical result
-        # (verified rank-identical at sf0.001/0.01/0.1), same oracle
-        "ann_cosine_topk_kernel": similarity.ann_cosine_topk_sql(),
+        # span dedup groups by the gram TEXT (the Spark path's
+        # xxhash64 grouping must agree or the gate mismatches)
+        "dedup_substring_spans": dedup.substring_dup_spans_sql(),
+        "dedup_keep_canonical": dedup.dedup_keep_canonical_sql(),
+        # ONE oracle, both physical paths labeled in the entry
+        "ann_cosine_topk": _ann_cosine_paths_oracle_sql(),
         # integer-exact LSH: the oracle reproduces the full pipeline
         # (bucket bits, multiprobe, re-rank) bit-for-bit
         "ann_lsh_topk": similarity.ann_lsh_topk_sql(dim=64, bits=8, tables=4),

@@ -648,3 +648,152 @@ walk(v, r) AS (
 SELECT v::BIGINT AS doc_id, min(r)::BIGINT AS component_id
 FROM walk GROUP BY v ORDER BY doc_id
 """
+
+
+def substring_dup_spans(docs: DataFrame, k: int = 40) -> DataFrame:
+    """Cross-document duplicate SPANS: maximal character ranges made
+    of ``k``-char windows that appear verbatim in >= 2 distinct docs —
+    the span-level exact-substring dedup of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (ACL 2022), re-shaped
+    for Spark. Their suffix array is a single-machine structure; the
+    distributed equivalent is anchor k-grams: every length-k window is
+    an anchor, an anchor is *duplicated* if its text occurs in another
+    document, and the union of duplicated anchor windows (merged while
+    they overlap or touch) is exactly the set of characters lying
+    inside some cross-doc duplicated substring of length >= k.
+
+    Plan shape at scale: one explode (positions stay inside the row's
+    partition, no shuffle), one groupBy on an 8-byte xxhash64 of the
+    window (partial map-side agg; the 40-char gram itself never
+    shuffles), a semi-join back, and a per-doc window for the
+    gaps-and-islands merge. The oracle groups by the gram itself, so a
+    Spark-side hash collision would surface as a gate mismatch.
+
+    Returns (doc_id, span_start, span_end, span_len) with 1-based
+    inclusive char positions, sorted by (doc_id, span_start).
+    """
+    pos = (
+        docs.filter(F.length("text") >= k)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.expr(f"explode(sequence(1, length(text) - {k} + 1))").alias(
+                "p"
+            ),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("p").cast("bigint").alias("p"),
+            F.xxhash64(F.expr(f"substring(text, p, {k})")).alias("h"),
+        )
+    )
+    pos = _persist_tracked(pos)
+    dup_h = (
+        pos.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    anchors = pos.join(dup_h, "h").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    # equal-length intervals [p, p+k-1] sorted by p: max end so far is
+    # lag(p)+k-1, so a new island starts exactly when p - lag(p) > k
+    # (strictly past adjacency — touching spans merge)
+    grp = (
+        anchors.withColumn(
+            "brk",
+            F.when(F.col("p") - F.lag("p").over(w) > k, 1).otherwise(0),
+        )
+        .withColumn("g", F.sum("brk").over(w))
+    )
+    return (
+        grp.groupBy("doc_id", "g")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + k - 1).alias("span_end"),
+            (F.max("p") - F.min("p") + k).alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_len")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def substring_dup_spans_sql(k: int = 40) -> str:
+    """Exact oracle: identical construction grouping by the gram text
+    itself (no hash), unnest(generate_series) for positions, and the
+    same gaps-and-islands merge."""
+    return f"""
+WITH pos AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(generate_series(1::BIGINT, length(text) - {k - 1})) AS p,
+         text
+  FROM documents WHERE length(text) >= {k}
+),
+pg AS (SELECT doc_id, p, substr(text, p::INT, {k}) AS gram FROM pos),
+dups AS (
+  SELECT gram FROM pg GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+anch AS (SELECT doc_id, p FROM pg WHERE gram IN (SELECT gram FROM dups)),
+brk AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > {k}
+              THEN 1 ELSE 0 END AS b
+  FROM anch
+),
+grp AS (
+  SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS g
+  FROM brk
+)
+SELECT doc_id, min(p) AS span_start, max(p) + {k - 1} AS span_end,
+       max(p) - min(p) + {k} AS span_len
+FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start
+"""
+
+
+def dedup_keep_canonical(docs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """The end of the dedup pipeline: ONE row per input document with
+    the keep/drop decision a training-data build actually applies.
+    Canonical id = the component id from the MinHash candidate-pair
+    graph (:func:`dedup_components`); documents outside any candidate
+    pair are their own canonical. ``keep`` is true exactly for the
+    minimum doc_id of each duplicate cluster and for all singletons.
+
+    Scale shape: components over the pair graph (O(log n) rounds),
+    then one left join of the full corpus against the (tiny) labeled
+    vertex set — broadcastable, since only docs that appeared in a
+    candidate pair carry a label.
+
+    Returns (doc_id, canonical_id, keep) sorted by doc_id.
+    """
+    comp = dedup_components(docs, max_iters=max_iters).select(
+        "doc_id", "component_id"
+    )
+    return (
+        docs.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+        .join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+                "canonical_id"
+            ),
+            (
+                F.coalesce(F.col("component_id"), F.col("doc_id"))
+                == F.col("doc_id")
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_keep_canonical_sql() -> str:
+    """Oracle: the recursive-CTE component labeling wrapped as a
+    subquery, left-joined to the full corpus."""
+    comp = dedup_components_sql()
+    return f"""
+WITH comp AS ({comp})
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(c.component_id, d.doc_id)::BIGINT AS canonical_id,
+       (coalesce(c.component_id, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+ORDER BY doc_id
+"""

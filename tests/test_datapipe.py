@@ -161,6 +161,74 @@ class TestDedup:
     def test_simhash(self, docs):
         assert_matches(dedup.simhash(docs), dedup.simhash_sql())
 
+    def test_substring_spans_match_oracle(self, docs):
+        assert_matches(
+            dedup.substring_dup_spans(docs), dedup.substring_dup_spans_sql()
+        )
+
+    def test_substring_spans_semantics(self, spark):
+        """A 60-char string planted verbatim in two docs at different
+        offsets is recovered as exactly that span in each (windows
+        straddling the boundary are unique, so the merged range is the
+        shared text and nothing more); a shared run shorter than k is
+        invisible; a doc with no cross-doc repeat emits no rows."""
+        s = "".join(chr(ord("A") + (i * 7) % 26) for i in range(60))
+        short = "zYxWvUtSrQpOnMlKjIhGfEdCbA0123456789"  # 36 < k=40
+        rows = [
+            (1, "aaaa0" * 8 + s + "bbbb1" * 8),      # S at 41..100
+            (2, "cccc2" * 4 + s + short + "dddd3"),  # S at 21..80
+            (3, "eeee4" * 6 + short + "ffff5" * 6),  # short only
+            (4, "unique text " * 10),
+        ]
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_len)
+            for r in dedup.substring_dup_spans(df, k=40).collect()
+        }
+        assert got == {(1, 41, 100, 60), (2, 21, 80, 60)}
+
+    def test_substring_spans_merge_adjacent(self, spark):
+        """Two duplicated runs separated by exactly nothing (adjacent
+        anchor windows) merge into one span; runs separated by a
+        unique gap longer than k stay separate spans."""
+        a = "".join(chr(ord("a") + (i * 11) % 26) for i in range(50))
+        b = "".join(chr(ord("A") + (i * 5) % 26) for i in range(50))
+        gap = "0123456789!@#$%^&*()" * 5  # 100 unique-ish chars
+        rows = [
+            (1, a + b + "x" * 7),          # a+b contiguous: one span
+            (2, a + gap + b),              # a and b split by the gap
+            (3, "filler" + a + "tail, also " + b + "end padding!"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_len)
+            for r in dedup.substring_dup_spans(df, k=40).collect()
+        )
+        by_doc = {}
+        for d, st, ln in got:
+            by_doc.setdefault(d, []).append((st, ln))
+        assert by_doc[1] == [(1, 100)]          # merged a+b
+        assert len(by_doc[2]) == 2              # split by the gap
+        assert [ln for _, ln in by_doc[2]] == [50, 50]
+
+    def test_keep_canonical_match_oracle(self, docs):
+        assert_matches(
+            dedup.dedup_keep_canonical(docs), dedup.dedup_keep_canonical_sql()
+        )
+
+    def test_keep_canonical_semantics(self, spark):
+        """Near-dup cluster keeps exactly its min doc_id; singletons
+        keep themselves; every input doc appears exactly once."""
+        base = " ".join(f"w{i}" for i in range(60))
+        near = " ".join(f"w{i}" for i in range(59)) + " zz"
+        rows = [(5, base), (9, near), (1, "solo " * 30)]
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        got = {
+            r.doc_id: (r.canonical_id, r.keep)
+            for r in dedup.dedup_keep_canonical(df).collect()
+        }
+        assert got == {5: (5, True), 9: (5, False), 1: (1, True)}
+
     def test_ngram_jaccard(self, docs):
         assert_matches(
             dedup.ngram_jaccard_pairs(docs), dedup.ngram_jaccard_pairs_sql()
@@ -869,8 +937,16 @@ class TestImageReal:
         # segment walk loudly instead of the old stub error
         with _pytest.raises(ValueError, match="truncated|marker"):
             multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"x" * 64)
-        # WebP remains stubbed, loudly
-        with _pytest.raises(NotImplementedError):
+        # lossless VP8L decodes for real now; LOSSY VP8 stays stubbed,
+        # loudly (a well-formed chunk — a bare tag with no length is a
+        # malformed container and fails the chunk walk as ValueError)
+        import struct as _struct
+
+        lossy = b"VP8 " + _struct.pack("<I", 10) + b"\x00" * 10
+        data = b"RIFF" + _struct.pack("<I", 4 + len(lossy)) + b"WEBP" + lossy
+        with _pytest.raises(NotImplementedError, match="VP8L lossless"):
+            multimodal.decode_image(data)
+        with _pytest.raises(ValueError, match="VP8L chunk"):
             multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
     def test_spark_features_match_closed_form(self, spark):
@@ -1455,8 +1531,13 @@ class TestJpeg:
         data[sof + 11] = 0x33  # Hi/Vi = 3x3 — beyond baseline's common set
         with pytest.raises(NotImplementedError, match="sampling factors"):
             M.decode_image(bytes(data))
-        with pytest.raises(NotImplementedError, match="WebP"):
-            M.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+        # lossy VP8 (well-formed chunk) refuses loudly; VP8L is real now
+        import struct as _struct
+
+        lossy = b"VP8 " + _struct.pack("<I", 10) + b"\x00" * 10
+        blob = b"RIFF" + _struct.pack("<I", 4 + len(lossy)) + b"WEBP" + lossy
+        with pytest.raises(NotImplementedError, match="VP8L lossless"):
+            M.decode_image(blob)
 
     def test_spark_features_match_oracle(self, spark, docs):
         from bm25spark.datapipe import multimodal as M
