@@ -104,10 +104,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     except ImportError:
         have_wand = False
 
-    for name, (tokens, k) in _QUERY_SETS.items():
-        if have_wand:
-            out[f"bm25_{name}"] = _both_paths_q(tokens, k)
-        else:
+    if have_wand:
+        # ALL five query sets × both code paths in ONE labeled entry
+        # (formerly bm25_q_multi/_single_hot/_single_rare/
+        # _with_missing/_k100): every (qset, path) leg keeps its own
+        # oracle pin inside the union, and the collapse frees driver
+        # CORRECTNESS window slots for new operators
+        def _q_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from pyspark.sql import functions as F
+
+            legs = []
+            for name, (tokens, k) in _QUERY_SETS.items():
+                df = _both_paths_q(tokens, k)(spark, sf_dir)
+                legs.append(df.select(F.lit(name).alias("qset"), "*"))
+            u = legs[0]
+            for df in legs[1:]:
+                u = u.unionByName(df)
+            return u.orderBy("qset", "path", F.desc("score"), "doc_id")
+
+        out["bm25_q_suite"] = _q_suite
+    else:
+        for name, (tokens, k) in _QUERY_SETS.items():
             out[f"bm25_exact_{name}"] = _exact_q(tokens, k)
 
     if have_wand:
@@ -559,6 +576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # front-load the entries that have not yet received a driver
     # CORRECTNESS row, so a future overflow can never hide them again
     _priority = [
+        "bpe_train_merges",
+        "bm25_q_suite",
         "dedup_substring_spans",
         "dedup_keep_canonical",
         "image_webp_features",
@@ -588,18 +607,24 @@ def oracle_sql() -> dict[str, str]:
     except ImportError:
         have_wand = False
 
-    for name, (tokens, k) in _QUERY_SETS.items():
-        sql = oracle.bm25_topk_sql(tokens, k)
-        if have_wand:
-            # both code paths (exact Catalyst scorer / indexed WAND
-            # kernel) against the SAME oracle rows, labeled
-            out[f"bm25_{name}"] = (
-                f"SELECT 'exact' AS path, doc_id, score FROM ({sql})\n"
-                f"UNION ALL\nSELECT 'wand' AS path, doc_id, score FROM ({sql})\n"
-                "ORDER BY path, score DESC, doc_id"
-            )
-        else:
-            out[f"bm25_exact_{name}"] = sql
+    if have_wand:
+        # one suite oracle: each query set's shared SQL appears twice
+        # (exact + wand legs), labeled, in _QUERY_SETS iteration order
+        parts = []
+        for name, (tokens, k) in _QUERY_SETS.items():
+            sql = oracle.bm25_topk_sql(tokens, k)
+            for path in ("exact", "wand"):
+                parts.append(
+                    f"SELECT '{name}' AS qset, '{path}' AS path, "
+                    f"doc_id, score FROM ({sql})"
+                )
+        out["bm25_q_suite"] = (
+            "\nUNION ALL\n".join(parts)
+            + "\nORDER BY qset, path, score DESC, doc_id"
+        )
+    else:
+        for name, (tokens, k) in _QUERY_SETS.items():
+            out[f"bm25_exact_{name}"] = oracle.bm25_topk_sql(tokens, k)
 
     if have_wand:
         toks, kk = _QUERY_SETS["q_multi"]

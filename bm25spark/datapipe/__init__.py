@@ -119,6 +119,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (gate pins n=4 so both hit and clean docs occur at every SF;
         # the API default is the published 13)
         "text_decontaminate": lambda s, d: _decontam_entry(s, d),
+        # distributed BPE merge learning (Sennrich ACL'16 / GPT-2
+        # style): corpus pass -> word histogram, then per-merge pure
+        # Catalyst pair-count + greedy fold; oracle re-trains with an
+        # independent dict-based implementation
+        "bpe_train_merges": lambda s, d: _bpe_entry(s, d),
     }
 
 
@@ -222,6 +227,18 @@ UNION ALL
 SELECT 'kernel' AS path, {cols} FROM ({inner})
 ORDER BY path, probe_id, cos DESC, vec_id
 """
+
+
+def _bpe_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import bpe
+
+    return bpe.bpe_train(_docs(spark, sf_dir))
+
+
+def _bpe_oracle_sql() -> str:
+    from . import bpe
+
+    return bpe.bpe_train_sql()
 
 
 def _webp_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,4 +370,6 @@ def oracle_registry() -> dict[str, str]:
         "text_decontaminate": decontam.decontaminate_ngrams_sql(
             n=4, bench_pred="doc_id % 97 = 0"
         ),
+        # trained model parameters inlined as literals (IVF contract)
+        "bpe_train_merges": _bpe_oracle_sql(),
     }

@@ -1,0 +1,209 @@
+"""Distributed BPE (byte-pair-encoding) tokenizer training — the
+merge-learning step of Sennrich et al., "Neural Machine Translation of
+Rare Words with Subword Units" (ACL 2016), the algorithm behind the
+GPT-2/RoBERTa tokenizers, re-shaped for Spark.
+
+The key scale property of classic BPE training is that merges operate
+on the UNIQUE-WORD histogram, not the corpus: one corpus-scale pass
+builds (word, freq), and every merge round afterwards touches only
+unique words (billions of rows at 100 TB, but orders of magnitude
+smaller than the corpus, and shrinking as merges fuse symbols). Per
+round the plan is: one explode of adjacent symbol pairs weighted by
+word freq, one partial-agg groupBy on the pair, a bounded 1-row
+collect of the argmax (deterministic tiebreak: freq DESC, lhs ASC,
+rhs ASC), and a narrow greedy left-to-right fold applying the merge —
+all pure Catalyst HOF expressions, no Python in the hot path. The
+histogram frame is eagerly localCheckpoint-ed per round so the plan
+doesn't grow with the merge count (same discipline as
+``dedup.connected_components``).
+
+Pre-tokenization is deliberately byte-simple and engine-portable:
+lowercase, then extract ``[a-z0-9]+`` runs — both JVM ``lower`` +
+``regexp_extract_all`` and the oracle's Python ``re.findall`` produce
+identical runs, so the gate pins the whole training loop end-to-end.
+Each word is seeded as its character sequence plus a ``</w>``
+end-of-word marker (Sennrich's convention, so merges can learn
+word-final units).
+
+The trained merge table is a model parameter (like the IVF centroids
+in :mod:`bm25spark.datapipe.similarity`): the oracle re-trains it with
+an independent dict-based reference implementation and inlines the
+rows as literals.
+
+No reference counterpart (VectorChord-bm25's analyzers are fixed or
+whole-token-vocab trained, bm25spark/analyze.py:356); this extends the
+tokenizer ecosystem the training-data-pipeline brief asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_MERGES = 24
+_WORD_RE = "[a-z0-9]+"
+_EOW = "</w>"
+
+
+def _word_histogram(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over the corpus — the only corpus-scale pass."""
+    return (
+        docs.select(
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = N_MERGES,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the
+    merge table (merge_rank, lhs, rhs, merged, freq) ordered by rank —
+    merge_rank 1 is the first (most frequent) merge, ``freq`` the
+    corpus-weighted count of the pair at the moment it was chosen.
+
+    The per-round 1-row ``collect`` is bounded driver traffic (the
+    argmax pair), the same contract as IVF's bounded centroid
+    training; rounds are sequential by definition (each merge changes
+    the pair statistics the next round counts).
+    """
+    spark = docs.sparkSession
+    seqs = (
+        _word_histogram(docs, text_col)
+        .select(
+            F.expr(
+                "concat(transform(sequence(1, length(w)),"
+                f" i -> substring(w, i, 1)), array('{_EOW}'))"
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    pair_expr = (
+        "transform(slice(syms, 1, size(syms) - 1),"
+        " (s, i) -> struct(s AS lhs, syms[i + 1] AS rhs))"
+    )
+    for rank in range(1, n_merges + 1):
+        top = (
+            seqs.filter(F.size("syms") >= 2)
+            .select("freq", F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, c = top[0]["lhs"], top[0]["rhs"], int(top[0]["c"])
+        merged = lhs + rhs
+        merges.append((rank, lhs, rhs, merged, c))
+        # greedy left-to-right non-overlapping merge (Sennrich's
+        # replacement order): fold the tail onto [first], fusing when
+        # the accumulator's last symbol is lhs and the next is rhs
+        apply_expr = (
+            "aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]),"
+            f" (acc, x) -> IF(element_at(acc, -1) = '{lhs}'"
+            f" AND x = '{rhs}',"
+            f" concat(slice(acc, 1, size(acc) - 1), array('{merged}')),"
+            " concat(acc, array(x))))"
+        )
+        seqs = seqs.withColumn(
+            "syms", F.expr(apply_expr)
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        schema="merge_rank INT, lhs STRING, rhs STRING, "
+        "merged STRING, freq BIGINT",
+    ).orderBy("merge_rank")
+
+
+def bpe_reference_train(
+    texts: list[str], n_merges: int = N_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Independent dict-based reference implementation (the oracle's
+    trainer): same pre-tokenization, same tiebreak, same greedy fold —
+    but a different engine and data structure entirely."""
+    import re
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for t in texts:
+        wc.update(re.findall(_WORD_RE, t.lower()))
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, f in wc.items():
+        key = tuple(list(w) + [_EOW])
+        vocab[key] = vocab.get(key, 0) + f
+    rows: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (lhs, rhs), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = lhs + rhs
+        rows.append((rank, lhs, rhs, merged, int(c)))
+        nv: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            out = [syms[0]]
+            for x in syms[1:]:
+                if out[-1] == lhs and x == rhs:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            key = tuple(out)
+            nv[key] = nv.get(key, 0) + f
+        vocab = nv
+    return rows
+
+
+def bpe_train_sql(
+    n_merges: int = N_MERGES, sf_dir: str | None = None
+) -> str:
+    """Oracle: re-train the merge table with the independent reference
+    implementation over the same parquet and inline it as literals
+    (model parameters, same contract as the IVF-centroid oracle)."""
+    import os
+
+    import duckdb
+
+    if sf_dir is None:
+        sf_dir = os.environ.get(
+            "BM25SPARK_GATE_SF_DIR", "/root/testdata/sf0.01"
+        )
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.execute(
+            f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    ]
+    rows = bpe_reference_train(texts, n_merges)
+    if not rows:
+        return (
+            "SELECT 0::INT AS merge_rank, '' AS lhs, '' AS rhs, "
+            "'' AS merged, 0::BIGINT AS freq WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"({rk}, '{l}', '{r}', '{m}', {f})" for rk, l, r, m, f in rows
+    )
+    return f"""
+SELECT merge_rank::INT AS merge_rank, lhs, rhs, merged, freq::BIGINT AS freq
+FROM (VALUES
+  {values}
+) AS t(merge_rank, lhs, rhs, merged, freq)
+ORDER BY merge_rank
+"""

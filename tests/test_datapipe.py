@@ -235,6 +235,58 @@ class TestDedup:
         )
 
 
+class TestBpeTrain:
+    def test_matches_independent_reference(self, spark, docs):
+        """The distributed trainer and the dict-based reference must
+        learn the identical merge sequence (ranks, pairs, freqs) —
+        this is the same differential the oracle gate runs."""
+        from bm25spark.datapipe import bpe
+
+        got = [tuple(r) for r in bpe.bpe_train(docs, n_merges=12).collect()]
+        texts = [r.text for r in docs.select("text").collect()]
+        assert got == bpe.bpe_reference_train(texts, 12)
+
+    def test_matches_oracle_sql(self, docs):
+        from bm25spark.datapipe import bpe
+
+        assert_matches(
+            bpe.bpe_train(docs, n_merges=6),
+            bpe.bpe_train_sql(n_merges=6, sf_dir=SF),
+        )
+
+    def test_known_corpus(self, spark):
+        """Hand-checkable corpus: 'aa' dominates, so merge 1 fuses
+        (a,a) and merge 2 attaches </w>; greedy left-to-right
+        non-overlap means 'aaa' contributes ONE (aa,a) pair after
+        merge 1, not two."""
+        from bm25spark.datapipe import bpe
+
+        rows = [(1, "aa aa aa aaa"), (2, "aa aa b")]
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        got = [tuple(r) for r in bpe.bpe_train(df, n_merges=3).collect()]
+        # round 1 over the word histogram {aa:5, aaa:1, b:1}:
+        # 'aa</w>' has one (a,a) slot x5, 'aaa</w>' has two -> (a,a)=7;
+        # (a,</w>) = 5+1 = 6 -> merge (a,a) at freq 7
+        assert got[0] == (1, "a", "a", "aa", 7)
+        # round 2: 'aa</w>' x5 gives (aa,</w>) 5; 'aaa' -> [aa, a,
+        # </w>] gives (aa,a) 1, (a,</w>) 1; 'b</w>' 1 -> merge
+        # (aa,</w>) freq 5
+        assert got[1] == (2, "aa", "</w>", "aa</w>", 5)
+        texts = [t for _, t in rows]
+        assert got == bpe.bpe_reference_train(texts, 3)
+
+    def test_merge_exhaustion_stops_early(self, spark):
+        """A corpus whose words fully fuse runs out of pairs: the
+        trainer returns fewer than n_merges rows instead of looping."""
+        from bm25spark.datapipe import bpe
+
+        df = spark.createDataFrame([(1, "ab ab ab")], "doc_id INT, text STRING")
+        got = bpe.bpe_train(df, n_merges=10).collect()
+        # 'ab</w>': (a,b) -> 'ab', (ab,</w>) -> 'ab</w>' -> no pairs
+        assert len(got) == 2
+        assert [r.merged for r in got] == ["ab", "ab</w>"]
+
+
 class TestTextStats:
     def test_stats(self, docs):
         assert_matches(textstats.text_stats(docs), textstats.text_stats_sql())
