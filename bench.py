@@ -21,7 +21,8 @@ Workloads:
                        the reference's trec-covid scale: 28.38 QPS =>
                        ~35 ms p50, /root/reference/README.md:385-402)
 - exact_q_multi        full exact-scorer Catalyst plan
-- dedup_minhash_pairs / ann_cosine_topk / text_stats
+- dedup_minhash_pairs / ann_cosine_topk / ann_pq_topk / text_stats /
+  dedup_substring_spans / bpe_train16
                        training-data pipeline operators
 
 Environment: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
@@ -454,6 +455,14 @@ def main() -> None:
     steady("ann_pq_topk", lambda: similarity.ann_pq_topk(emb).collect())
 
     steady("text_stats", lambda: textstats.text_stats(docs).collect())
+
+    from bm25spark.datapipe import bpe
+
+    steady(
+        "dedup_substring_spans",
+        lambda: dedup.substring_dup_spans(docs).collect(),
+    )
+    steady("bpe_train16", lambda: bpe.bpe_train(docs, n_merges=16).collect())
 
     out = {
         "metric": "bm25 index build + top-k query + datapipe wall time",

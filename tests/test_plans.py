@@ -105,3 +105,25 @@ def test_delta_batch_plan_broadcasts_and_single_python_crossing(spark, tmp_path)
     # exactly one Arrow tokenizer crossing in the delta leg, plus the
     # per-shard kernels (FlatMapGroupsInPandas / cogroup)
     assert plan.count("ArrowEvalPython") <= 1, plan.count("ArrowEvalPython")
+
+
+def test_substring_spans_shuffle_carries_hash_not_gram(spark, docs):
+    """The scale claim in dedup.substring_dup_spans: the 40-char gram
+    is hashed to 8 bytes BEFORE the pair-count shuffle, so no string
+    gram column ever crosses an Exchange; the groupBy gets a map-side
+    partial aggregate; and the whole pipeline stays Python-free."""
+    from bm25spark.datapipe import dedup
+
+    plan = plan_of(dedup.substring_dup_spans(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # partial agg before the exchange (count_distinct partials)
+    assert "partial_" in plan
+    # every shuffle is keyed on the hash or doc_id — a plan that
+    # shuffled `substring(...)` output would name the expression or a
+    # gram alias in its hashpartitioning clause
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "substring" not in keys and "gram" not in keys, keys
+    dedup.release_caches()
