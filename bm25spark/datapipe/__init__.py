@@ -124,6 +124,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Catalyst pair-count + greedy fold; oracle re-trains with an
         # independent dict-based implementation
         "bpe_train_merges": lambda s, d: _bpe_entry(s, d),
+        # CCNet-style model-based quality scoring: corpus-trained
+        # add-one bigram LM, per-doc mean NLL + perplexity
+        "text_lm_perplexity": lambda s, d: _lm_entry(s, d),
+        # deterministic salted-hash train/val/test assignment
+        "text_split_assign": lambda s, d: _splits_entry(s, d),
     }
 
 
@@ -233,6 +238,30 @@ def _bpe_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import bpe
 
     return bpe.bpe_train(_docs(spark, sf_dir))
+
+
+def _lm_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import lm
+
+    return lm.lm_perplexity(_docs(spark, sf_dir))
+
+
+def _lm_oracle_sql() -> str:
+    from . import lm
+
+    return lm.lm_perplexity_sql()
+
+
+def _splits_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import splits
+
+    return splits.split_assign(_docs(spark, sf_dir))
+
+
+def _splits_oracle_sql() -> str:
+    from . import splits
+
+    return splits.split_assign_sql()
 
 
 def _bpe_oracle_sql() -> str:
@@ -372,4 +401,6 @@ def oracle_registry() -> dict[str, str]:
         ),
         # trained model parameters inlined as literals (IVF contract)
         "bpe_train_merges": _bpe_oracle_sql(),
+        "text_lm_perplexity": _lm_oracle_sql(),
+        "text_split_assign": _splits_oracle_sql(),
     }

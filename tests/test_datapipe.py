@@ -287,6 +287,93 @@ class TestBpeTrain:
         assert [r.merged for r in got] == ["ab", "ab</w>"]
 
 
+class TestLmPerplexity:
+    def test_matches_oracle(self, docs):
+        from bm25spark.datapipe import lm
+
+        assert_matches(lm.lm_perplexity(docs), lm.lm_perplexity_sql())
+
+    def test_hand_computed(self, spark):
+        """Closed-form check: corpus 'a b', 'a b', 'a c'. V=3.
+        c(a,b)=2, c(a,c)=1, c1(a)=3. P(b|a)=(2+1)/(3+3)=1/2,
+        P(c|a)=(1+1)/(3+3)=1/3. Doc 1/2: nll=ln2; doc 3: nll=ln3."""
+        import math
+
+        from bm25spark.datapipe import lm
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id INT, text STRING"
+        )
+        got = {r.doc_id: (r.n_bigrams, r.avg_nll, r.ppl)
+               for r in lm.lm_perplexity(df).collect()}
+        assert got[1] == (1, round(math.log(2), 4), 2.0)
+        assert got[2] == got[1]
+        assert got[3] == (1, round(math.log(3), 4), 3.0)
+
+    def test_short_docs_null(self, spark):
+        from bm25spark.datapipe import lm
+
+        df = spark.createDataFrame(
+            [(1, "single"), (2, ""), (3, "two tokens here")],
+            "doc_id INT, text STRING",
+        )
+        got = {r.doc_id: (r.n_bigrams, r.avg_nll) for r in
+               lm.lm_perplexity(df).collect()}
+        assert got[1] == (0, None) and got[2] == (0, None)
+        assert got[3][0] == 2 and got[3][1] is not None
+
+    def test_separate_train_corpus_unseen_history(self, spark):
+        """Scoring docs against a DIFFERENT training corpus: a bigram
+        whose history never occurred in training gets the fully-
+        smoothed 1/V mass — finite, not an error."""
+        import math
+
+        from bm25spark.datapipe import lm
+
+        train = spark.createDataFrame(
+            [(10, "a b"), (11, "a b")], "doc_id INT, text STRING"
+        )
+        score = spark.createDataFrame(
+            [(1, "z q")], "doc_id INT, text STRING"
+        )
+        got = lm.lm_perplexity(score, train_docs=train).collect()
+        # V=2 (train tokens a,b); unseen: (0+1)/(0+2) = 1/2
+        assert got[0].avg_nll == round(math.log(2), 4)
+
+
+class TestSplitAssign:
+    def test_matches_oracle(self, docs):
+        from bm25spark.datapipe import splits
+
+        assert_matches(splits.split_assign(docs), splits.split_assign_sql())
+
+    def test_deterministic_and_salt_sensitive(self, docs):
+        from bm25spark.datapipe import splits
+
+        a = {(r.doc_id, r.split) for r in splits.split_assign(docs).collect()}
+        b = {(r.doc_id, r.split) for r in splits.split_assign(docs).collect()}
+        assert a == b
+        c = {(r.doc_id, r.split) for r in
+             splits.split_assign(docs, salt="fold2").collect()}
+        assert a != c  # a new salt re-draws the assignment
+
+    def test_weights_validated_and_cover(self, spark, docs):
+        import pytest as _pytest
+
+        from bm25spark.datapipe import splits
+
+        with _pytest.raises(ValueError, match="sum to 1"):
+            splits.split_assign(docs, weights=(("a", 0.5), ("b", 0.3)))
+        with _pytest.raises(ValueError, match="> 0"):
+            splits.split_assign(
+                docs, weights=(("a", 1.5), ("b", -0.5))
+            )
+        # every row lands in some split (thresholds cover [0, 1e6))
+        got = splits.split_assign(docs).collect()
+        assert all(r.split is not None for r in got)
+        assert {r.split for r in got} <= {"train", "val", "test"}
+
+
 class TestTextStats:
     def test_stats(self, docs):
         assert_matches(textstats.text_stats(docs), textstats.text_stats_sql())
