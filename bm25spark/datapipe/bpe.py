@@ -40,8 +40,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .tokenize import words_expr, words_py
+
 N_MERGES = 24
-_WORD_RE = "[a-z0-9]+"
 _EOW = "</w>"
 
 
@@ -49,11 +50,7 @@ def _word_histogram(docs: DataFrame, text_col: str) -> DataFrame:
     """(word, freq) over the corpus — the only corpus-scale pass."""
     return (
         docs.select(
-            F.explode(
-                F.expr(
-                    f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)"
-                )
-            ).alias("w")
+            F.explode(F.expr(words_expr(text_col))).alias("w")
         )
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
@@ -133,12 +130,11 @@ def bpe_reference_train(
     """Independent dict-based reference implementation (the oracle's
     trainer): same pre-tokenization, same tiebreak, same greedy fold —
     but a different engine and data structure entirely."""
-    import re
     from collections import Counter
 
     wc: Counter = Counter()
     for t in texts:
-        wc.update(re.findall(_WORD_RE, t.lower()))
+        wc.update(words_py(t))
     vocab: dict[tuple[str, ...], int] = {}
     for w, f in wc.items():
         key = tuple(list(w) + [_EOW])

@@ -663,11 +663,15 @@ def substring_dup_spans(docs: DataFrame, k: int = 40) -> DataFrame:
     inside some cross-doc duplicated substring of length >= k.
 
     Plan shape at scale: one explode (positions stay inside the row's
-    partition, no shuffle), one groupBy on an 8-byte xxhash64 of the
-    window (partial map-side agg; the 40-char gram itself never
-    shuffles), a semi-join back, and a per-doc window for the
-    gaps-and-islands merge. The oracle groups by the gram itself, so a
-    Spark-side hash collision would surface as a gate mismatch.
+    partition, no shuffle), one groupBy on TWO independent xxhash64s
+    of the window (16 bytes total — the 40-char gram itself never
+    shuffles, and at the 10^14-window scale of a 100 TB corpus a
+    single 64-bit key would expect ~n²/2^65 collisions, each silently
+    marking non-duplicate text as duplicated; the 128-bit pair drives
+    that expectation to ~10^-10), a semi-join back, and a per-doc
+    window for the gaps-and-islands merge. The oracle groups by the
+    gram itself, so any residual hash collision would surface as a
+    gate mismatch at verification scales.
 
     Returns (doc_id, span_start, span_end, span_len) with 1-based
     inclusive char positions, sorted by (doc_id, span_start).
@@ -685,16 +689,20 @@ def substring_dup_spans(docs: DataFrame, k: int = 40) -> DataFrame:
             "doc_id",
             F.col("p").cast("bigint").alias("p"),
             F.xxhash64(F.expr(f"substring(text, p, {k})")).alias("h"),
+            # second independent 64 bits: same gram, salt column
+            F.xxhash64(
+                F.expr(f"substring(text, p, {k})"), F.lit("#2")
+            ).alias("h2"),
         )
     )
     pos = _persist_tracked(pos)
     dup_h = (
-        pos.groupBy("h")
+        pos.groupBy("h", "h2")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("h")
+        .select("h", "h2")
     )
-    anchors = pos.join(dup_h, "h").select("doc_id", "p")
+    anchors = pos.join(dup_h, ["h", "h2"]).select("doc_id", "p")
     w = Window.partitionBy("doc_id").orderBy("p")
     # equal-length intervals [p, p+k-1] sorted by p: max end so far is
     # lag(p)+k-1, so a new island starts exactly when p - lag(p) > k
@@ -759,9 +767,11 @@ def dedup_keep_canonical(docs: DataFrame, max_iters: int = 20) -> DataFrame:
     minimum doc_id of each duplicate cluster and for all singletons.
 
     Scale shape: components over the pair graph (O(log n) rounds),
-    then one left join of the full corpus against the (tiny) labeled
-    vertex set — broadcastable, since only docs that appeared in a
-    candidate pair carry a label.
+    then one left join of the full corpus against the labeled vertex
+    set. Only docs that appeared in a candidate pair carry a label,
+    but on a heavily duplicated corpus that set is O(corpus) — so no
+    forced broadcast hint: AQE broadcasts when the labeled side is
+    actually small and shuffle-joins when it isn't.
 
     Returns (doc_id, canonical_id, keep) sorted by doc_id.
     """
@@ -770,7 +780,7 @@ def dedup_keep_canonical(docs: DataFrame, max_iters: int = 20) -> DataFrame:
     )
     return (
         docs.select(F.col("doc_id").cast("bigint").alias("doc_id"))
-        .join(F.broadcast(comp), "doc_id", "left")
+        .join(comp, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("component_id"), F.col("doc_id")).alias(

@@ -7,25 +7,29 @@ single-machine trie; the distributed equivalent for a bigram model is
 two hash aggregations (bigram counts, history counts) and one join
 back onto each document's bigrams.
 
-Model: add-one-smoothed bigram MLE over ``[a-z0-9]+`` runs of the
-lowercased text (the same engine-portable pre-tokenizer the BPE
-trainer uses), trained on the corpus itself unless a separate
+Model: add-one-smoothed bigram MLE over the shared engine-portable
+pre-tokenizer (:mod:`bm25spark.datapipe.tokenize` — the same one the
+BPE trainer uses), trained on the corpus itself unless a separate
 ``train_docs`` reference corpus is given:
 
     P(w2 | w1) = (c(w1, w2) + 1) / (c1(w1) + V)
 
 where ``c1`` counts w1 as a bigram history (the row-sum of the bigram
 table, so the model is exactly self-consistent) and ``V`` is the
-corpus's distinct-token count (one bounded scalar action). Per doc:
-``avg_nll`` = mean over its bigrams of -ln P, ``ppl`` = exp(avg_nll);
-documents with fewer than two tokens score NULL (no bigrams).
+training corpus's distinct-token count (one bounded scalar action).
+Per doc: ``avg_nll`` = mean over its bigrams of -ln P, ``ppl`` =
+exp(avg_nll); documents with fewer than two tokens score NULL.
 
 Everything is pure Catalyst (explode + two groupBys + one join); the
 count tables shuffle on token keys with map-side partial aggregation,
 and the scoring join broadcasts nothing by default — AQE picks the
-strategy by the trained table's actual size. Values round to 4
-decimals so the DuckDB oracle (same construction in SQL) lands on the
-identical doubles.
+strategy by the trained table's actual size. In the self-trained path
+the tokenized frame is persisted (tracked, drained on the next call)
+so the corpus is tokenized ONCE for training counts, vocab, and
+scoring; with a fixed reference corpus the training aggregations
+amortize away entirely and scoring is a single join — the CCNet
+deployment shape. Values round to 4 decimals so the DuckDB oracle
+(the same construction in SQL) lands on the identical doubles.
 
 No reference counterpart (VectorChord-bm25 is a ranking index); this
 is training-data-pipeline surface alongside dedup/decontamination.
@@ -36,17 +40,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_WORD_RE = "[a-z0-9]+"
+from .tokenize import words_expr, words_sql
+
+#: tracked persists (same discipline as bm25spark.datapipe.dedup: one
+#: live frame at a time, drained on the next call or explicitly)
+_live_persists: list[DataFrame] = []
 
 
-def _doc_bigrams(docs: DataFrame, text_col: str) -> DataFrame:
-    """(doc_id, w1, w2) — one row per adjacent token pair occurrence."""
-    toks = docs.select(
+def release_caches() -> None:
+    while _live_persists:
+        _live_persists.pop().unpersist()
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    release_caches()
+    df = df.persist()
+    _live_persists.append(df)
+    return df
+
+
+def _doc_tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    return docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.expr(
-            f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)"
-        ).alias("toks"),
+        F.expr(words_expr(text_col)).alias("toks"),
     )
+
+
+def _bigrams(toks: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent token pair occurrence."""
     pair_expr = (
         "transform(slice(toks, 1, size(toks) - 1),"
         " (t, i) -> struct(t AS w1, toks[i + 1] AS w2))"
@@ -66,29 +87,26 @@ def lm_perplexity(
     """Score every document by add-one bigram-LM perplexity. Returns
     (doc_id, n_bigrams, avg_nll, ppl) ordered by doc_id; NULL scores
     for documents with < 2 tokens. ``train_docs`` defaults to ``docs``
-    (self-trained — at 100 TB you train once on a reference corpus
-    and reuse the count tables, which is the same plan minus the
-    training aggregations)."""
-    train = train_docs if train_docs is not None else docs
-    train_bi = _doc_bigrams(train, text_col)
-    bigram_c = train_bi.groupBy("w1", "w2").agg(
+    (self-trained)."""
+    self_trained = train_docs is None
+    score_toks = _doc_tokens(docs, text_col)
+    if self_trained:
+        score_toks = _persist_tracked(score_toks)
+        train_toks = score_toks
+    else:
+        train_toks = _persist_tracked(_doc_tokens(train_docs, text_col))
+    bigram_c = _bigrams(train_toks).groupBy("w1", "w2").agg(
         F.count("*").alias("c12")
     )
     history_c = bigram_c.groupBy("w1").agg(F.sum("c12").alias("c1"))
     # V: distinct tokens in the training corpus — one bounded scalar
     vocab = (
-        train.select(
-            F.explode(
-                F.expr(
-                    f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)"
-                )
-            ).alias("w")
-        )
+        train_toks.select(F.explode("toks").alias("w"))
         .agg(F.count_distinct("w").alias("v"))
         .collect()[0]["v"]
     )
     scored = (
-        _doc_bigrams(docs, text_col)
+        _bigrams(score_toks)
         .join(bigram_c, ["w1", "w2"], "left")
         .join(history_c, ["w1"], "left")
         # an unseen history (possible only with a separate train
@@ -127,8 +145,7 @@ def lm_perplexity_sql() -> str:
     ``documents`` view (self-trained)."""
     return f"""
 WITH toks AS (
-  SELECT doc_id::BIGINT AS doc_id,
-         regexp_extract_all(lower(text), '{_WORD_RE}') AS t
+  SELECT doc_id::BIGINT AS doc_id, {words_sql("text")} AS t
   FROM documents
 ),
 bi AS (

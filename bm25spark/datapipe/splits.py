@@ -43,6 +43,17 @@ def _thresholds(
         cum += w
         out.append((name, round(cum * _SCALE)))
     out[-1] = (out[-1][0], _SCALE)  # absorb float residue
+    # a weight below the bucket resolution (or a rounding tie) would
+    # make its split silently unreachable — refuse instead
+    prev = 0
+    for name, thr in out:
+        if thr <= prev:
+            raise ValueError(
+                f"split {name!r} is unreachable: weight below the "
+                f"1/{_SCALE} bucket resolution (threshold {thr} after "
+                f"{prev})"
+            )
+        prev = thr
     return out
 
 

@@ -368,6 +368,13 @@ class TestSplitAssign:
             splits.split_assign(
                 docs, weights=(("a", 1.5), ("b", -0.5))
             )
+        # a weight below the bucket resolution would be silently
+        # unreachable — must refuse, not drop the split
+        with _pytest.raises(ValueError, match="unreachable"):
+            splits.split_assign(
+                docs,
+                weights=(("train", 0.999999), ("val", 5e-7), ("test", 5e-7)),
+            )
         # every row lands in some split (thresholds cover [0, 1e6))
         got = splits.split_assign(docs).collect()
         assert all(r.split is not None for r in got)
