@@ -248,3 +248,60 @@ SELECT time_bucket(INTERVAL '{window_hours} hour', ts) AS win_start,
 FROM events
 GROUP BY 1, 2, 3
 """
+
+
+DEDUP_STREAM_SCHEMA = "content_hash string, doc_id bigint"
+
+
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming exact deduplication with KEEPER semantics: across
+    micro-batches, emit one (content_hash, doc_id) row the first time
+    a normalized content hash appears — the keeper is the minimum
+    doc_id among that hash's arrivals in its first batch — and drop
+    every later duplicate silently. This is the streaming counterpart
+    of ``datapipe.dedup.exact_dup_groups``'s keeper assignment; the
+    built-in ``dropDuplicates``/``dropDuplicatesWithinWatermark``
+    dedups rows but cannot express "min-id keeper per group, emitted
+    exactly once", which needs one tiny state cell per hash.
+
+    Scale note: state is one boolean per distinct hash and grows
+    unboundedly by design (exact dedup has to remember everything);
+    production pipelines bound it with a retention watermark
+    (``dropDuplicatesWithinWatermark``'s trade) or periodic state
+    compaction against the sealed corpus — both documented trades,
+    not defaults, because silently forgetting a hash re-admits
+    duplicates.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        (content_hash,) = key
+        if state.exists:
+            # keeper already emitted in an earlier batch: drain and drop
+            for _ in pdfs:
+                pass
+            return
+        keeper = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                keeper = m if keeper is None else min(keeper, m)
+        if keeper is None:
+            return
+        state.update((1,))
+        yield pd.DataFrame(
+            {"content_hash": [content_hash], "doc_id": [keeper]}
+        )
+
+    return (
+        docs.withColumn("content_hash", F.md5("text"))
+        .groupBy("content_hash")
+        .applyInPandasWithState(
+            fn,
+            DEDUP_STREAM_SCHEMA,
+            "seen int",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

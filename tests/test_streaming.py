@@ -205,3 +205,85 @@ class TestSessionize:
             (1, 2): (m(120), m(125), 2, 7.0),
             (2, 1): (m(0), m(10), 2, 4.0),
         }
+
+
+class TestDedupStream:
+    def test_keeper_once_across_batches(self, spark, tmp_path):
+        """Two micro-batches (one parquet file each, maxFilesPerTrigger=1):
+        the keeper is the min doc_id of a hash's FIRST batch; later
+        batches with the same hash emit nothing."""
+        from bm25spark import streaming
+
+        src = str(tmp_path / "docs_src")
+        # batch 1: hash A (docs 7, 3 -> keeper 3), hash B (doc 5)
+        spark.createDataFrame(
+            [(7, "same text"), (3, "same text"), (5, "other")],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(src)
+        # batch 2: hash A again (doc 1 — LATER, so dropped even though
+        # smaller), hash C (doc 9)
+        spark.createDataFrame(
+            [(1, "same text"), (9, "third")], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            streaming.dedup_stream(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.content_hash: r.doc_id
+            for r in spark.sql("SELECT * FROM dedup_out").collect()
+        }
+        import hashlib
+
+        h = lambda t: hashlib.md5(t.encode()).hexdigest()
+        # exactly one keeper per distinct hash, first-batch min id;
+        # doc 1 (a smaller id arriving later) must NOT displace 3
+        want_a = {h("same text"): 3, h("other"): 5, h("third"): 9}
+        want_b = {h("same text"): 1, h("other"): 5, h("third"): 9}
+        # file-source batch order between the two parquet part files
+        # is deterministic per listing order but not contractual;
+        # accept either arrival order, reject double emission
+        assert got in (want_a, want_b)
+        assert len(got) == 3
+
+    def test_single_batch_equals_batch_keeper(self, spark, tmp_path):
+        """All data in one trigger: keepers equal the batch operator's
+        (min doc_id per content hash)."""
+        from bm25spark import streaming
+        from bm25spark.datapipe import dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        src = str(tmp_path / "docs_src2")
+        docs.select("doc_id", "text").coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            src
+        )
+        q = (
+            streaming.dedup_stream(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_out2")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.content_hash, r.doc_id)
+            for r in spark.sql("SELECT * FROM dedup_out2").collect()
+        }
+        want = {
+            (r.content_hash, r.keeper_id)
+            for r in dedup.exact_dup_groups(docs).collect()
+        }
+        assert got == want
