@@ -689,9 +689,12 @@ def substring_dup_spans(docs: DataFrame, k: int = 40) -> DataFrame:
             "doc_id",
             F.col("p").cast("bigint").alias("p"),
             F.xxhash64(F.expr(f"substring(text, p, {k})")).alias("h"),
-            # second independent 64 bits: same gram, salt column
+            # second independent 64 bits: Spark chains multi-column
+            # hashes (first column's hash seeds the next), so the salt
+            # must come FIRST — xxhash64(gram, salt) would be a pure
+            # function of h and add zero collision resistance
             F.xxhash64(
-                F.expr(f"substring(text, p, {k})"), F.lit("#2")
+                F.lit("#2"), F.expr(f"substring(text, p, {k})")
             ).alias("h2"),
         )
     )

@@ -40,23 +40,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _persist_tracked, release_caches  # noqa: F401
 from .tokenize import words_expr, words_sql
 
-#: tracked persists (same discipline as bm25spark.datapipe.dedup: one
-#: live frame at a time, drained on the next call or explicitly)
-_live_persists: list[DataFrame] = []
-
-
-def release_caches() -> None:
-    while _live_persists:
-        _live_persists.pop().unpersist()
-
-
-def _persist_tracked(df: DataFrame) -> DataFrame:
-    release_caches()
-    df = df.persist()
-    _live_persists.append(df)
-    return df
+# tracked persists are SHARED with the dedup module (one live frame
+# across the whole datapipe at a time, drained on the next tracked
+# call or via release_caches) — one implementation, not three
 
 
 def _doc_tokens(docs: DataFrame, text_col: str) -> DataFrame:

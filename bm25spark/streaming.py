@@ -256,7 +256,9 @@ DEDUP_STREAM_SCHEMA = "content_hash string, doc_id bigint"
 def dedup_stream(docs: DataFrame) -> DataFrame:
     """Streaming exact deduplication with KEEPER semantics: across
     micro-batches, emit one (content_hash, doc_id) row the first time
-    a normalized content hash appears — the keeper is the minimum
+    a content hash (md5 of the raw text, exactly like
+    ``exact_dup_groups`` — no normalization) appears — the keeper is
+    the minimum
     doc_id among that hash's arrivals in its first batch — and drop
     every later duplicate silently. This is the streaming counterpart
     of ``datapipe.dedup.exact_dup_groups``'s keeper assignment; the
@@ -295,7 +297,12 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
         )
 
     return (
-        docs.withColumn("content_hash", F.md5("text"))
+        # null text never dedups (md5(NULL)=NULL would fuse all
+        # null-text docs into one fake cluster — match the batch op's
+        # filter), and only (hash, doc_id) crosses the stateful
+        # shuffle: the text payload the state fn never reads stays out
+        docs.filter(F.col("text").isNotNull())
+        .select(F.md5("text").alias("content_hash"), "doc_id")
         .groupBy("content_hash")
         .applyInPandasWithState(
             fn,

@@ -256,6 +256,38 @@ class TestDedupStream:
         assert got in (want_a, want_b)
         assert len(got) == 3
 
+    def test_null_text_never_dedups(self, spark, tmp_path):
+        """md5(NULL) is NULL — without the isNotNull filter every
+        null-text doc would fuse into one fake 'duplicate' cluster;
+        they must simply not participate (matching exact_dup_groups)."""
+        from bm25spark import streaming
+
+        src = str(tmp_path / "docs_null")
+        spark.createDataFrame(
+            [(1, None), (2, None), (3, "real")],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            src
+        )
+        q = (
+            streaming.dedup_stream(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_null")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckptn"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = [
+            (r.content_hash, r.doc_id)
+            for r in spark.sql("SELECT * FROM dedup_null").collect()
+        ]
+        import hashlib
+
+        assert got == [(hashlib.md5(b"real").hexdigest(), 3)]
+
     def test_single_batch_equals_batch_keeper(self, spark, tmp_path):
         """All data in one trigger: keepers equal the batch operator's
         (min doc_id per content hash)."""
