@@ -287,6 +287,118 @@ class TestBpeTrain:
         assert [r.merged for r in got] == ["ab", "ab</w>"]
 
 
+class TestNewOpsDifferentialFuzz:
+    """Seeded random-corpus differentials for the round-6 operators:
+    the Spark pipeline vs an independent pure-Python brute force on
+    adversarial small corpora (tiny alphabet so repeats/merges/shared
+    substrings actually occur; empty/short/whitespace edge docs)."""
+
+    def _corpus(self, rng, n_docs):
+        docs = []
+        for i in range(n_docs):
+            kind = rng.integers(0, 5)
+            if kind == 0:
+                t = ""
+            elif kind == 1:
+                t = "x" * int(rng.integers(1, 6))
+            else:
+                words = [
+                    "".join(
+                        chr(ord("a") + c)
+                        for c in rng.integers(0, 3, rng.integers(1, 5))
+                    )
+                    for _ in range(int(rng.integers(1, 30)))
+                ]
+                t = " ".join(words)
+            docs.append((i, t))
+        # plant verbatim shared tails so substring spans fire
+        if n_docs >= 4 and docs[0][1] and len(docs[0][1]) > 45:
+            docs[1] = (1, docs[1][1] + " " + docs[0][1][:45])
+        return docs
+
+    def test_substring_spans_vs_bruteforce(self, spark):
+        from bm25spark.datapipe import dedup
+
+        k = 8  # small k so random repeats occur
+        rng = np.random.default_rng(11)
+        for _ in range(4):
+            rows = self._corpus(rng, int(rng.integers(4, 12)))
+            df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+            got = sorted(
+                tuple(r) for r in dedup.substring_dup_spans(df, k=k).collect()
+            )
+            # brute force: duplicated = k-gram text in >=2 distinct docs
+            from collections import defaultdict
+
+            where = defaultdict(set)
+            for d, t in rows:
+                for p in range(len(t) - k + 1):
+                    where[t[p : p + k]].add(d)
+            dup = {g for g, ds in where.items() if len(ds) >= 2}
+            want = []
+            for d, t in rows:
+                ps = [
+                    p + 1
+                    for p in range(len(t) - k + 1)
+                    if t[p : p + k] in dup
+                ]
+                spans = []
+                for p in ps:
+                    if spans and p - spans[-1][1] <= k:
+                        spans[-1][1] = p
+                    else:
+                        spans.append([p, p])
+                want += [
+                    (d, a, b + k - 1, b + k - 1 - a + 1) for a, b in spans
+                ]
+            assert got == sorted(want)
+
+    def test_bpe_vs_reference_on_random_corpora(self, spark):
+        from bm25spark.datapipe import bpe
+
+        rng = np.random.default_rng(23)
+        for _ in range(3):
+            rows = self._corpus(rng, int(rng.integers(3, 10)))
+            df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+            got = [tuple(r) for r in bpe.bpe_train(df, n_merges=10).collect()]
+            want = bpe.bpe_reference_train([t for _, t in rows], 10)
+            assert got == want
+
+    def test_lm_perplexity_vs_bruteforce(self, spark):
+        import math
+        from collections import Counter
+
+        from bm25spark.datapipe import lm
+        from bm25spark.datapipe.tokenize import words_py
+
+        rng = np.random.default_rng(31)
+        rows = self._corpus(rng, 10)
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        got = {r.doc_id: (r.n_bigrams, r.avg_nll, r.ppl)
+               for r in lm.lm_perplexity(df).collect()}
+        toks = {d: words_py(t) for d, t in rows}
+        bc: Counter = Counter()
+        for ts in toks.values():
+            for a, b in zip(ts, ts[1:]):
+                bc[(a, b)] += 1
+        hc: Counter = Counter()
+        for (a, _), c in bc.items():
+            hc[a] += c
+        v = len({w for ts in toks.values() for w in ts})
+        for d, ts in toks.items():
+            pairs = list(zip(ts, ts[1:]))
+            if not pairs:
+                assert got[d] == (0, None, None)
+                continue
+            s = sum(
+                math.log((bc[p] + 1) / (hc[p[0]] + v)) for p in pairs
+            )
+            nll = round(-s / len(pairs), 4)
+            assert got[d][0] == len(pairs)
+            assert abs(got[d][1] - nll) < 1e-9
+            assert abs(got[d][2] - round(math.exp(-s / len(pairs)), 4)) < 1e-9
+
+
 class TestLmPerplexity:
     def test_matches_oracle(self, docs):
         from bm25spark.datapipe import lm
