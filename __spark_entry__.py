@@ -576,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # front-load the entries that have not yet received a driver
     # CORRECTNESS row, so a future overflow can never hide them again
     _priority = [
+        "ann_ivfpq_topk",
         "text_lm_perplexity",
         "text_split_assign",
         "bpe_train_merges",

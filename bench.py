@@ -453,6 +453,7 @@ def main() -> None:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     steady("ann_cosine_topk", lambda: similarity.ann_cosine_topk(emb).collect())
     steady("ann_pq_topk", lambda: similarity.ann_pq_topk(emb).collect())
+    steady("ann_ivfpq_topk", lambda: similarity.ann_ivfpq_topk(emb).collect())
 
     steady("text_stats", lambda: textstats.text_stats(docs).collect())
 

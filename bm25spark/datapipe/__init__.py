@@ -103,6 +103,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(_emb(s, d)),
         "ann_pq_topk": lambda s, d: similarity.ann_pq_topk(_emb(s, d)),
+        # the composed billion-scale structure: coarse inverted lists
+        # prune, PQ residual codes rank via ADC LUTs, exact re-rank
+        "ann_ivfpq_topk": lambda s, d: similarity.ann_ivfpq_topk(_emb(s, d)),
         "text_stats": lambda s, d: textstats.text_stats(_docs(s, d)),
         "text_quality": lambda s, d: textstats.text_quality(_docs(s, d)),
         "text_fingerprint": lambda s, d: textstats.text_fingerprint(_docs(s, d)),
@@ -350,6 +353,32 @@ def _pq_oracle_sql(sf_dir: str | None = None) -> str:
     return similarity.ann_pq_topk_sql(books)
 
 
+def _ivfpq_oracle_sql(sf_dir: str | None = None) -> str:
+    """Train the composed IVFPQ parameters (coarse centroids + PQ
+    codebooks over residuals) exactly as the Spark entry does and
+    inline both as literals (same contract as :func:`_ivf_oracle_sql`)."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from . import similarity
+
+    if sf_dir is None:
+        sf_dir = os.environ.get(
+            "BM25SPARK_GATE_SF_DIR", "/root/testdata/sf0.01"
+        )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT embedding FROM read_parquet("
+        f"'{sf_dir}/embeddings.parquet') ORDER BY vec_id LIMIT 65536"
+    ).fetchall()
+    tmat = np.array([r[0] for r in rows], dtype=np.float64)
+    centroids, books = similarity.ivfpq_train(tmat)
+    return similarity.ann_ivfpq_topk_sql(centroids, books)
+
+
 def oracle_registry() -> dict[str, str]:
     from . import decontam, dedup, multimodal, similarity, textstats
 
@@ -389,6 +418,7 @@ def oracle_registry() -> dict[str, str]:
         # (the correctness gate is specified at sf=0.01)
         "ann_ivf_topk": _ivf_oracle_sql(),
         "ann_pq_topk": _pq_oracle_sql(),
+        "ann_ivfpq_topk": _ivfpq_oracle_sql(),
         "text_stats": textstats.text_stats_sql(),
         "text_quality": textstats.text_quality_sql(),
         "text_fingerprint": textstats.text_fingerprint_sql(),

@@ -1386,3 +1386,345 @@ ranked AS (
 SELECT probe_id, vec_id, cos FROM ranked WHERE rn <= {k}
 ORDER BY probe_id, cos DESC, vec_id
 """
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+
+def ivfpq_train(
+    tmat: np.ndarray,
+    n_clusters: int = IVF_CLUSTERS,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    quant: int = LSH_QUANT,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the two-level faiss-IVFPQ structure on a bounded sample:
+    coarse integer k-means centroids, then PQ codebooks on the integer
+    RESIDUALS (vector minus its assigned centroid, all in the
+    floor(x*quant) domain, so the inner ``pq_train`` runs with
+    quant=1 and stays bit-exact). Both are parameters, not data."""
+    centroids = ivf_train(tmat, k=n_clusters, quant=quant)
+    tq = np.floor(tmat.astype(np.float64) * float(quant)).astype(np.int64)
+    a = _sq_dists(tq, centroids).argmin(axis=1)
+    resid = (tq - centroids[a]).astype(np.float64)
+    books = pq_train(resid, m=m, ks=ks, quant=1)
+    return centroids, books
+
+
+def ivfpq_adc_candidates(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    luts: np.ndarray,
+    probe_lists: list[list[int]],
+    pids: np.ndarray,
+    pool: int = PQ_POOL,
+    quant: int = LSH_QUANT,
+) -> DataFrame:
+    """ONE Arrow-batched corpus pass: assign each vector to its coarse
+    centroid (first-min), PQ-encode its residual, and accumulate ADC
+    only against probes that actually probe that centroid's list —
+    the inverted-list pruning is what makes IVFPQ beat flat PQ at
+    scale (a vector outside every probed list costs one assignment
+    and nothing else). Each batch emits its batch-local top-``pool``
+    per probe by (adc, vec_id) — the global window's exact total
+    order, so the cut is lossless (same argument as
+    :func:`pq_adc_candidates`)."""
+    import pandas as pd
+
+    spark = emb.sparkSession
+    b = spark.sparkContext.broadcast(
+        (centroids, books, luts, probe_lists, pids)
+    )
+
+    def scan(batches):
+        cents, books_, luts_, plists_, pids_ = b.value
+        m, ks, sd = books_.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["embedding"].to_list(), dtype=np.float64)
+            q = np.floor(vecs * float(quant)).astype(np.int64)
+            a = _sq_dists(q, cents).argmin(axis=1)
+            resid = q - cents[a]
+            codes = np.stack(
+                [
+                    _sq_dists(resid[:, s * sd : (s + 1) * sd], books_[s])
+                    .argmin(axis=1)
+                    for s in range(m)
+                ],
+                axis=1,
+            )
+            vid = pdf["vec_id"].to_numpy(np.int64)
+            out = []
+            srange = np.arange(m)
+            for qi in range(len(pids_)):
+                # vectors whose coarse list this probe probes
+                sel_adc = []
+                sel_vid = []
+                for j, cid in enumerate(plists_[qi]):
+                    mask = a == cid
+                    if not mask.any():
+                        continue
+                    cc = codes[mask]
+                    sel_adc.append(
+                        luts_[qi, j][srange, cc].sum(axis=1)
+                    )
+                    sel_vid.append(vid[mask])
+                if not sel_adc:
+                    continue
+                adc = np.concatenate(sel_adc)
+                vv = np.concatenate(sel_vid)
+                pp = min(pool, len(adc))
+                order = np.lexsort((vv, adc))[:pp]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "probe_id": pids_[qi],
+                            "vec_id": vv[order],
+                            "adc": adc[order],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    ).mapInPandas(scan, "probe_id bigint, vec_id bigint, adc bigint")
+
+
+def ann_ivfpq_topk(
+    emb: DataFrame,
+    probes=None,
+    k: int = K,
+    n_clusters: int = IVF_CLUSTERS,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    pool: int = PQ_POOL,
+    quant: int = LSH_QUANT,
+    train_sample: int = 65536,
+) -> DataFrame:
+    """faiss-style IVFPQ, the structure billion-scale ANN actually
+    serves: coarse inverted lists prune the corpus to ``nprobe``
+    lists per probe, PQ codes over centroid RESIDUALS compress each
+    kept vector to ``m`` bytes, an ADC LUT scan ranks candidates
+    without touching floats, and the per-probe top-``pool`` is
+    exact-cosine re-ranked to ``k``. Every stage is integer-exact
+    (floor-quantized squared L2, first-min ties), so the DuckDB
+    oracle reproduces the candidate pool bit-for-bit.
+
+    100-TB shape: at scale the assignment + codes become a persisted
+    artifact partitioned by coarse cid (``build_ivf_index``'s layout
+    with an extra m-byte code column) and the scan reads ONLY the
+    probed partitions; here the one-pass form assigns on the fly but
+    keeps the same pruning — a vector outside every probed list
+    contributes one matmul row and zero shuffle bytes. The shuffle is
+    the batch-local-cut candidate stream, O(batches·P·pool)."""
+    probes = probes if probes is not None else PROBES
+    spark = emb.sparkSession
+
+    train = emb.orderBy("vec_id").limit(train_sample).collect()
+    tmat = np.array([r.embedding for r in train], dtype=np.float64)
+    centroids, books = ivfpq_train(
+        tmat, n_clusters=n_clusters, m=m, ks=ks, quant=quant
+    )
+    sd = books.shape[2]
+
+    pr = sorted(
+        emb.filter(F.col("vec_id").isin(probes)).collect(),
+        key=lambda r: r.vec_id,
+    )
+    if not pr:
+        return spark.createDataFrame(
+            [], "probe_id bigint, vec_id bigint, cos double"
+        )
+    pids = np.array([int(r.vec_id) for r in pr], dtype=np.int64)
+    pmat = np.array([r.embedding for r in pr], dtype=np.float64)
+    probe_lists = _ivf_probe_lists(pmat, centroids, quant, nprobe)
+    pq_ = np.floor(pmat * float(quant)).astype(np.int64)
+    # (P, nprobe, m, ks) residual LUTs: probe residual vs codewords
+    luts = np.zeros(
+        (len(pids), nprobe, books.shape[0], books.shape[1]), dtype=np.int64
+    )
+    for qi, cids in enumerate(probe_lists):
+        for j, cid in enumerate(cids):
+            prr = (pq_[qi] - centroids[cid])[None, :]
+            for s in range(books.shape[0]):
+                luts[qi, j, s] = _sq_dists(
+                    prr[:, s * sd : (s + 1) * sd], books[s]
+                )[0]
+    adcs = ivfpq_adc_candidates(
+        emb, centroids, books, luts, probe_lists, pids,
+        pool=pool, quant=quant,
+    )
+    wpool = Window.partitionBy("probe_id").orderBy(
+        F.asc("adc"), F.asc("vec_id")
+    )
+    cands = (
+        adcs.withColumn("rn", F.row_number().over(wpool))
+        .filter(F.col("rn") <= pool)
+        .select("probe_id", "vec_id")
+    )
+    base = emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("e"),
+    )
+    pemb = base.filter(
+        F.col("vec_id").isin([int(p) for p in pids])
+    ).select(F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"))
+    scored = (
+        F.broadcast(cands)
+        .join(base, "vec_id")
+        .join(F.broadcast(pemb), "probe_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(_cosine(F.col("pe"), F.col("e")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "vec_id", "cos")
+        .orderBy("probe_id", F.desc("cos"), "vec_id")
+    )
+
+
+def ann_ivfpq_topk_sql(
+    centroids: np.ndarray,
+    books: np.ndarray,
+    probes=None,
+    k: int = K,
+    nprobe: int = IVF_NPROBE,
+    pool: int = PQ_POOL,
+    quant: int = LSH_QUANT,
+) -> str:
+    """DuckDB oracle for :func:`ann_ivfpq_topk`: trained centroids and
+    residual codebooks as literals; coarse assignment, probe lists,
+    residual encoding (first-min), per-(probe, cid) residual LUTs,
+    ADC sums restricted to probed lists, (adc, vec_id) pool cut and
+    cosine re-rank replicate the Spark pipeline exactly."""
+    probes = probes if probes is not None else PROBES
+    plist = ", ".join(str(p) for p in probes)
+    nk = len(centroids)
+    dim = centroids.shape[1]
+    m, ks, sd = books.shape
+    cent_lits = ", ".join(
+        "[" + ",".join(str(int(v)) + ".0" for v in c) + "]" for c in centroids
+    )
+    dists = ", ".join(
+        f"list_dot_product(q, q) - 2*list_dot_product(q, c[{j + 1}])"
+        f" + list_dot_product(c[{j + 1}], c[{j + 1}])"
+        for j in range(nk)
+    )
+    cb_rows = ", ".join(
+        f"({s}, {j}, [" + ",".join(f"{int(v)}.0" for v in books[s][j]) + "])"
+        for s in range(m)
+        for j in range(ks)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+cent(c) AS (SELECT [{cent_lits}]),
+cb(s, code, cw) AS (SELECT * FROM (VALUES {cb_rows})),
+qe AS (
+  SELECT vec_id, list_transform(e, x -> floor(x * {quant}.0)) AS q FROM base
+),
+dv AS (
+  SELECT vec_id, q, [{dists}] AS d FROM qe CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, q, list_position(d, list_min(d)) - 1 AS cid FROM dv
+),
+-- integer residual vs the assigned centroid
+resid AS (
+  SELECT vec_id, cid,
+         list_transform(range(1, {dim + 1}),
+                        i -> (q[i::INT] - c[cid::INT + 1][i::INT])::DOUBLE)
+           AS r
+  FROM assigned CROSS JOIN cent
+),
+subs AS (
+  SELECT vec_id, cid, s.s AS s,
+         r[s.s * {sd} + 1 : s.s * {sd} + {sd}] AS rs
+  FROM resid CROSS JOIN (SELECT unnest(range({m})) AS s) s
+),
+rdists AS (
+  SELECT subs.vec_id, subs.cid, subs.s, cb.code,
+         (list_dot_product(rs, rs) - 2 * list_dot_product(rs, cw)
+          + list_dot_product(cw, cw))::BIGINT AS d
+  FROM subs JOIN cb ON subs.s = cb.s
+),
+vcodes AS (
+  SELECT vec_id, cid, s, code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, s ORDER BY d, code) AS rnk
+    FROM rdists
+  ) WHERE rnk = 1
+),
+pc AS (
+  SELECT vec_id AS probe_id, j.j AS cid,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY list_extract(d, j.j + 1), j.j
+         ) AS rnk
+  FROM dv CROSS JOIN (SELECT unnest(range({nk})) AS j) j
+  WHERE vec_id IN ({plist})
+),
+probe_cids AS (SELECT probe_id, cid FROM pc WHERE rnk <= {nprobe}),
+-- probe residual vs each PROBED centroid, then its LUT
+presid AS (
+  SELECT pcs.probe_id, pcs.cid,
+         list_transform(range(1, {dim + 1}),
+                        i -> (q[i::INT] - c[pcs.cid::INT + 1][i::INT])::DOUBLE)
+           AS r
+  FROM probe_cids pcs
+  JOIN qe ON qe.vec_id = pcs.probe_id
+  CROSS JOIN cent
+),
+psubs AS (
+  SELECT probe_id, cid, s.s AS s,
+         r[s.s * {sd} + 1 : s.s * {sd} + {sd}] AS rs
+  FROM presid CROSS JOIN (SELECT unnest(range({m})) AS s) s
+),
+plut AS (
+  SELECT psubs.probe_id, psubs.cid, psubs.s, cb.code,
+         (list_dot_product(rs, rs) - 2 * list_dot_product(rs, cw)
+          + list_dot_product(cw, cw))::BIGINT AS d
+  FROM psubs JOIN cb ON psubs.s = cb.s
+),
+adc AS (
+  SELECT plut.probe_id, vcodes.vec_id, sum(plut.d)::BIGINT AS adc
+  FROM vcodes
+  JOIN plut ON plut.cid = vcodes.cid
+           AND plut.s = vcodes.s AND plut.code = vcodes.code
+  GROUP BY 1, 2
+),
+pooled AS (
+  SELECT probe_id, vec_id,
+         row_number() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rn
+  FROM adc
+),
+cands AS (SELECT probe_id, vec_id FROM pooled WHERE rn <= {pool}),
+scored AS (
+  SELECT cnd.probe_id, cnd.vec_id,
+         round(
+           list_dot_product(p.e, v.e)
+           / (sqrt(list_dot_product(p.e, p.e))
+              * sqrt(list_dot_product(v.e, v.e))),
+           6) AS cos
+  FROM cands cnd
+  JOIN base v ON cnd.vec_id = v.vec_id
+  JOIN base p ON cnd.probe_id = p.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT probe_id, vec_id, cos FROM ranked WHERE rn <= {k}
+ORDER BY probe_id, cos DESC, vec_id
+"""
