@@ -298,58 +298,46 @@ def _decontam_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.decontaminate_ngrams(train, bench, n=4)
 
 
-def _ivf_oracle_sql(sf_dir: str | None = None) -> str:
-    """Train the IVF centroids exactly as the Spark entry does (same
-    rows, same order, same deterministic k-means) and inline them as
-    literals in the DuckDB oracle. ``sf_dir`` defaults to the driver
-    gate's sf0.01, overridable via ``BM25SPARK_GATE_SF_DIR`` so
-    ``scripts/verify_gate.py [sf_dir]`` verifies at any scale (the
-    Spark entry trains on whatever dir the gate passes — the oracle
-    must train on the same one)."""
+def _gate_train_matrix(sf_dir: str | None):
+    """The ONE sampling contract shared by every literal-parameter
+    oracle (IVF / PQ / IVFPQ): gate sf dir (``BM25SPARK_GATE_SF_DIR``
+    override, default the driver's sf0.01), embeddings ordered by
+    vec_id, LIMIT 65536, float64 — exactly what the Spark entries
+    train on. A change here changes every oracle identically."""
     import os
 
     import duckdb
     import numpy as np
 
-    from . import similarity
-
     if sf_dir is None:
         sf_dir = os.environ.get(
             "BM25SPARK_GATE_SF_DIR", "/root/testdata/sf0.01"
         )
-
     con = duckdb.connect()
     rows = con.execute(
         "SELECT embedding FROM read_parquet("
         f"'{sf_dir}/embeddings.parquet') ORDER BY vec_id LIMIT 65536"
     ).fetchall()
-    tmat = np.array([r[0] for r in rows], dtype=np.float64)
-    centroids = similarity.ivf_train(tmat)
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def _ivf_oracle_sql(sf_dir: str | None = None) -> str:
+    """Train the IVF centroids exactly as the Spark entry does (same
+    rows, same order, same deterministic k-means) and inline them as
+    literals in the DuckDB oracle (sampling contract:
+    :func:`_gate_train_matrix`)."""
+    from . import similarity
+
+    centroids = similarity.ivf_train(_gate_train_matrix(sf_dir))
     return similarity.ann_ivf_topk_sql(centroids)
 
 
 def _pq_oracle_sql(sf_dir: str | None = None) -> str:
     """Train the PQ codebooks exactly as the Spark entry does and
     inline them as literals (same contract as :func:`_ivf_oracle_sql`)."""
-    import os
-
-    import duckdb
-    import numpy as np
-
     from . import similarity
 
-    if sf_dir is None:
-        sf_dir = os.environ.get(
-            "BM25SPARK_GATE_SF_DIR", "/root/testdata/sf0.01"
-        )
-
-    con = duckdb.connect()
-    rows = con.execute(
-        "SELECT embedding FROM read_parquet("
-        f"'{sf_dir}/embeddings.parquet') ORDER BY vec_id LIMIT 65536"
-    ).fetchall()
-    tmat = np.array([r[0] for r in rows], dtype=np.float64)
-    books = similarity.pq_train(tmat)
+    books = similarity.pq_train(_gate_train_matrix(sf_dir))
     return similarity.ann_pq_topk_sql(books)
 
 
@@ -357,25 +345,9 @@ def _ivfpq_oracle_sql(sf_dir: str | None = None) -> str:
     """Train the composed IVFPQ parameters (coarse centroids + PQ
     codebooks over residuals) exactly as the Spark entry does and
     inline both as literals (same contract as :func:`_ivf_oracle_sql`)."""
-    import os
-
-    import duckdb
-    import numpy as np
-
     from . import similarity
 
-    if sf_dir is None:
-        sf_dir = os.environ.get(
-            "BM25SPARK_GATE_SF_DIR", "/root/testdata/sf0.01"
-        )
-
-    con = duckdb.connect()
-    rows = con.execute(
-        "SELECT embedding FROM read_parquet("
-        f"'{sf_dir}/embeddings.parquet') ORDER BY vec_id LIMIT 65536"
-    ).fetchall()
-    tmat = np.array([r[0] for r in rows], dtype=np.float64)
-    centroids, books = similarity.ivfpq_train(tmat)
+    centroids, books = similarity.ivfpq_train(_gate_train_matrix(sf_dir))
     return similarity.ann_ivfpq_topk_sql(centroids, books)
 
 

@@ -1411,6 +1411,30 @@ def ivfpq_train(
     return centroids, books
 
 
+def ivfpq_probe_luts(
+    pmat: np.ndarray,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    probe_lists: list[list[int]],
+    quant: int = LSH_QUANT,
+) -> np.ndarray:
+    """(P, nprobe, m, ks) residual ADC lookup tables: the probe's
+    integer residual vs each probed centroid, per-subspace squared L2
+    to every codeword. One implementation for serving AND tests."""
+    m, ks, sd = books.shape
+    pq_ = np.floor(pmat.astype(np.float64) * float(quant)).astype(np.int64)
+    nprobe = len(probe_lists[0]) if probe_lists else 0
+    luts = np.zeros((len(probe_lists), nprobe, m, ks), dtype=np.int64)
+    for qi, cids in enumerate(probe_lists):
+        for j, cid in enumerate(cids):
+            prr = (pq_[qi] - centroids[cid])[None, :]
+            for s in range(m):
+                luts[qi, j, s] = _sq_dists(
+                    prr[:, s * sd : (s + 1) * sd], books[s]
+                )[0]
+    return luts
+
+
 def ivfpq_adc_candidates(
     emb: DataFrame,
     centroids: np.ndarray,
@@ -1439,7 +1463,8 @@ def ivfpq_adc_candidates(
 
     def scan(batches):
         cents, books_, luts_, plists_, pids_ = b.value
-        m, ks, sd = books_.shape
+        m = books_.shape[0]
+        probed_cids = sorted({c for pl in plists_ for c in pl})
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1447,15 +1472,18 @@ def ivfpq_adc_candidates(
             q = np.floor(vecs * float(quant)).astype(np.int64)
             a = _sq_dists(q, cents).argmin(axis=1)
             resid = q - cents[a]
-            codes = np.stack(
-                [
-                    _sq_dists(resid[:, s * sd : (s + 1) * sd], books_[s])
-                    .argmin(axis=1)
-                    for s in range(m)
-                ],
-                axis=1,
-            )
+            # residuals live in the already-quantized integer domain,
+            # so the shared encoder runs with quant=1 (floor is exact)
+            codes = _pq_encode(resid.astype(np.float64), books_, 1)
             vid = pdf["vec_id"].to_numpy(np.int64)
+            # gather each probed list ONCE per batch (probes share
+            # coarse lists, so per-(probe, cid) masking would redo
+            # the boolean scans and copies 2-3x)
+            by_cid = {}
+            for cid in probed_cids:
+                mask = a == cid
+                if mask.any():
+                    by_cid[cid] = (codes[mask], vid[mask])
             out = []
             srange = np.arange(m)
             for qi in range(len(pids_)):
@@ -1463,14 +1491,14 @@ def ivfpq_adc_candidates(
                 sel_adc = []
                 sel_vid = []
                 for j, cid in enumerate(plists_[qi]):
-                    mask = a == cid
-                    if not mask.any():
+                    hit = by_cid.get(cid)
+                    if hit is None:
                         continue
-                    cc = codes[mask]
+                    cc, vv = hit
                     sel_adc.append(
                         luts_[qi, j][srange, cc].sum(axis=1)
                     )
-                    sel_vid.append(vid[mask])
+                    sel_vid.append(vv)
                 if not sel_adc:
                     continue
                 adc = np.concatenate(sel_adc)
@@ -1530,7 +1558,6 @@ def ann_ivfpq_topk(
     centroids, books = ivfpq_train(
         tmat, n_clusters=n_clusters, m=m, ks=ks, quant=quant
     )
-    sd = books.shape[2]
 
     pr = sorted(
         emb.filter(F.col("vec_id").isin(probes)).collect(),
@@ -1543,18 +1570,7 @@ def ann_ivfpq_topk(
     pids = np.array([int(r.vec_id) for r in pr], dtype=np.int64)
     pmat = np.array([r.embedding for r in pr], dtype=np.float64)
     probe_lists = _ivf_probe_lists(pmat, centroids, quant, nprobe)
-    pq_ = np.floor(pmat * float(quant)).astype(np.int64)
-    # (P, nprobe, m, ks) residual LUTs: probe residual vs codewords
-    luts = np.zeros(
-        (len(pids), nprobe, books.shape[0], books.shape[1]), dtype=np.int64
-    )
-    for qi, cids in enumerate(probe_lists):
-        for j, cid in enumerate(cids):
-            prr = (pq_[qi] - centroids[cid])[None, :]
-            for s in range(books.shape[0]):
-                luts[qi, j, s] = _sq_dists(
-                    prr[:, s * sd : (s + 1) * sd], books[s]
-                )[0]
+    luts = ivfpq_probe_luts(pmat, centroids, books, probe_lists, quant)
     adcs = ivfpq_adc_candidates(
         emb, centroids, books, luts, probe_lists, pids,
         pool=pool, quant=quant,

@@ -2115,7 +2115,6 @@ class TestIvfPq:
         )
         tmat = np.array([r[1] for r in rows], dtype=np.float64)
         cent, books = S.ivfpq_train(tmat)
-        sd = books.shape[2]
         pr = sorted(
             emb.filter(F.col("vec_id").isin(S.PROBES)).collect(),
             key=lambda r: r.vec_id,
@@ -2123,18 +2122,7 @@ class TestIvfPq:
         pids = np.array([int(r.vec_id) for r in pr], dtype=np.int64)
         pmat = np.array([r.embedding for r in pr], dtype=np.float64)
         plists = S._ivf_probe_lists(pmat, cent, S.LSH_QUANT, S.IVF_NPROBE)
-        pq_ = np.floor(pmat * float(S.LSH_QUANT)).astype(np.int64)
-        luts = np.zeros(
-            (len(pids), S.IVF_NPROBE, books.shape[0], books.shape[1]),
-            dtype=np.int64,
-        )
-        for qi, cids in enumerate(plists):
-            for j, cid in enumerate(cids):
-                prr = (pq_[qi] - cent[cid])[None, :]
-                for s in range(books.shape[0]):
-                    luts[qi, j, s] = S._sq_dists(
-                        prr[:, s * sd : (s + 1) * sd], books[s]
-                    )[0]
+        luts = S.ivfpq_probe_luts(pmat, cent, books, plists, S.LSH_QUANT)
         cands = S.ivfpq_adc_candidates(
             emb, cent, books, luts, plists, pids
         ).collect()
@@ -2147,11 +2135,21 @@ class TestIvfPq:
         }
         probed = {int(p): set(cids) for p, cids in zip(pids, plists)}
         assert cands, "ADC stream empty"
+        # THE pruning proof: every emitted candidate's coarse
+        # assignment is one of its probe's nprobe probed lists
         for r in cands:
             assert assign[r.vec_id] in probed[r.probe_id]
-        # and pruning is visible: some corpus vector reached NO probe
-        seen = {r.vec_id for r in cands}
-        assert len(seen) < len(rows)
+        # stronger when possible: vectors assigned to a cid that NO
+        # probe probes must be absent from the entire stream (this
+        # isolates list pruning from the pool cut; skipped only if
+        # the probes happen to cover every cluster)
+        union = set().union(*probed.values())
+        uncovered = {
+            v for v, c in assign.items() if c not in union
+        }
+        if uncovered:
+            seen = {r.vec_id for r in cands}
+            assert not (uncovered & seen)
 
 
 class TestPQ:
