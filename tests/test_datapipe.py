@@ -2425,3 +2425,58 @@ class TestGifReal:
             M.gif_features(M.synthesize_gif_media(docs)).orderBy("doc_id"),
             M.image_gif_features_sql(),
         )
+
+
+class TestCorpusPipeline:
+    """The end-to-end composition: its verdict must equal applying the
+    four proven operators independently, and the materializer must
+    return exactly the kept docs."""
+
+    def test_verdict_equals_independent_operators(self, spark, docs):
+        from bm25spark.datapipe import (
+            decontam, dedup, pipeline, splits, textstats,
+        )
+
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        got = {
+            r.doc_id: (r.is_duplicate, r.quality_keep, r.contaminated,
+                       r.split, r.keep)
+            for r in pipeline.prepare_corpus(
+                docs, benchmark=bench, decontam_n=4
+            ).collect()
+        }
+        canon = {r.doc_id: r.keep
+                 for r in dedup.dedup_keep_canonical(docs).collect()}
+        qf = {r.doc_id: r.keep
+              for r in textstats.corpus_quality_filter(docs).collect()}
+        dc = {r.doc_id: r.contaminated
+              for r in decontam.decontaminate_ngrams(
+                  docs, bench, n=4).collect()}
+        sp = {r.doc_id: r.split
+              for r in splits.split_assign(docs).collect()}
+        assert set(got) == set(canon)
+        for d, (is_dup, qkeep, cont, split, keep) in got.items():
+            assert is_dup == (not canon[d])
+            assert qkeep == qf[d]
+            assert cont == dc.get(d, False)
+            assert split == sp[d]
+            assert keep == ((not is_dup) and qkeep and (not cont))
+        # the composition actually filters something at this SF
+        assert any(not v[4] for v in got.values())
+        assert any(v[4] for v in got.values())
+
+    def test_clean_corpus_materializer(self, spark, docs):
+        from bm25spark.datapipe import pipeline
+
+        verdict = pipeline.prepare_corpus(docs)
+        kept = {r.doc_id for r in verdict.filter(F.col("keep")).collect()}
+        out = pipeline.clean_corpus(docs)
+        assert {r.doc_id for r in out.collect()} == kept
+        # original columns survive, split is attached
+        assert set(out.columns) == set(docs.columns) | {"split"}
+
+    def test_no_benchmark_means_no_contamination(self, spark, docs):
+        from bm25spark.datapipe import pipeline
+
+        got = pipeline.prepare_corpus(docs).collect()
+        assert all(not r.contaminated for r in got)
