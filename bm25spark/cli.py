@@ -164,6 +164,32 @@ def main(argv: list[str] | None = None) -> None:
     )
     _vocab_analyzer_args(sb)
 
+    pp = sub.add_parser(
+        "prepare",
+        help="end-to-end corpus preparation: dedup-keeper -> quality "
+        "rules -> optional benchmark decontamination -> split "
+        "assignment; writes the per-doc audit frame and (optionally) "
+        "the cleaned corpus",
+    )
+    pp.add_argument("--input", required=True)
+    pp.add_argument("--format", default="auto")
+    pp.add_argument("--text-col", default="text")
+    pp.add_argument("--id-col", default="doc_id")
+    pp.add_argument(
+        "--benchmark", default=None,
+        help="held-out eval table (same shape) to decontaminate against",
+    )
+    pp.add_argument("--benchmark-format", default="auto")
+    pp.add_argument("--decontam-n", type=int, default=13)
+    pp.add_argument(
+        "--output", required=True,
+        help="parquet dir for the audit frame (one row per input doc)",
+    )
+    pp.add_argument(
+        "--clean-output", default=None,
+        help="optional parquet dir for the kept docs + split column",
+    )
+
     v = sub.add_parser("vacuum")
     v.add_argument("--index-dir", required=True)
     v.add_argument("--text-col", required=True)
@@ -328,6 +354,47 @@ def main(argv: list[str] | None = None) -> None:
             spark, args.index_dir, qs, args.k, blocked=blocked
         ).collect():
             print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "prepare":
+        from pyspark.sql import functions as F
+
+        from .datapipe import pipeline
+
+        def _doc_shape(df):
+            # the pipeline operators are doc-shaped (doc_id, text)
+            return df.select(
+                F.col(args.id_col).cast("bigint").alias("doc_id"),
+                F.col(args.text_col).alias("text"),
+            )
+
+        docs = _doc_shape(load_table(spark, args.input, args.format))
+        bench = (
+            _doc_shape(load_table(spark, args.benchmark, args.benchmark_format))
+            if args.benchmark
+            else None
+        )
+        verdict = pipeline.prepare_corpus(
+            docs, benchmark=bench, decontam_n=args.decontam_n
+        )
+        verdict.write.mode("overwrite").parquet(args.output)
+        v = spark.read.parquet(args.output)
+        summary = {
+            "docs": v.count(),
+            "kept": v.filter(F.col("keep")).count(),
+            "dropped_duplicate": v.filter(F.col("is_duplicate")).count(),
+            "dropped_quality": v.filter(~F.col("quality_keep")).count(),
+            "dropped_contaminated": v.filter(F.col("contaminated")).count(),
+            "audit": args.output,
+        }
+        if args.clean_output:
+            kept = v.filter(F.col("keep")).select("doc_id", "split")
+            full = load_table(spark, args.input, args.format).withColumn(
+                "doc_id", F.col(args.id_col).cast("bigint")
+            )
+            full.join(kept, "doc_id").write.mode("overwrite").parquet(
+                args.clean_output
+            )
+            summary["clean"] = args.clean_output
+        print(json.dumps(summary))
     elif args.cmd == "vacuum":
         vacuum(spark, args.index_dir, args.text_col)
         print(json.dumps({"vacuumed": args.index_dir}))

@@ -269,3 +269,78 @@ def test_load_table_catalog_and_parquet(spark, corpus_path):
     assert via_iceberg.count() == 120
     with pytest.raises(Exception):
         load_table(spark, "no_such_table_xyz", "iceberg")
+
+
+def test_prepare_pipeline_cli_and_index_integration(spark, tmp_path, capsys):
+    """The two halves of the repo compose: `prepare` cleans a corpus
+    (dedup keeper + quality rules + decontamination + split), then the
+    cleaned parquet builds a BM25 index that serves rank-identically
+    to the exact scorer — the full user workflow in one test."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    audit = str(tmp_path / "audit")
+    clean = str(tmp_path / "clean")
+    cli.main([
+        "prepare", "--input", src, "--format", "parquet",
+        "--output", audit, "--clean-output", clean,
+    ])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs"] == 500
+    assert 0 < summary["kept"] < 500
+    assert summary["dropped_duplicate"] > 0
+    assert summary["dropped_contaminated"] == 0  # no benchmark given
+
+    # audit frame invariants: one row per doc, verdict composition
+    a = spark.read.parquet(audit)
+    assert a.count() == 500
+    from pyspark.sql import functions as F
+
+    bad = a.filter(
+        F.col("keep")
+        != (~F.col("is_duplicate") & F.col("quality_keep")
+            & ~F.col("contaminated"))
+    )
+    assert bad.count() == 0
+
+    # the cleaned corpus builds and serves
+    d = str(tmp_path / "idx")
+    cli.main([
+        "build", "--input", clean, "--format", "parquet",
+        "--text-col", "text", "--order-cols", "doc_id",
+        "--index-dir", d, "--analyzer", "simple",
+        "--shard-size", "16384",
+    ])
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["n_docs"] == summary["kept"]
+    cli.main(["search", "--index-dir", d, "--query", "data table", "-k", "5"])
+    lines = [
+        json.loads(x) for x in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert len(lines) == 5
+
+    # rank-identical to the pure-Catalyst exact scorer on the SAME
+    # cleaned corpus (the reference's own regression invariant)
+    from bm25spark.config import Bm25Config
+    from bm25spark.query import exact_topk
+
+    cleaned = spark.read.parquet(clean)
+    ex = exact_topk(
+        spark, cleaned, "text", "doc_id", "data table", 5,
+        cfg=Bm25Config(analyzer="simple"),
+    ).collect()
+    got = [(int(r["doc_id"]), round(float(r["score"]), 4)) for r in lines]
+    want = [(int(r["doc_id"]), round(float(r["score"]), 4)) for r in ex]
+    assert got == want
+
+
+def test_prepare_cli_with_benchmark_decontaminates(spark, tmp_path, capsys):
+    src = "/root/testdata/sf0.001/documents.parquet"
+    audit = str(tmp_path / "audit_b")
+    cli.main([
+        "prepare", "--input", src, "--format", "parquet",
+        "--benchmark", src, "--benchmark-format", "parquet",
+        "--decontam-n", "4", "--output", audit,
+    ])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # self-benchmark: every doc with >=4 tokens is contaminated
+    assert summary["dropped_contaminated"] > 400
+    assert summary["kept"] < 100
