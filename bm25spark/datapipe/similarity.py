@@ -1744,3 +1744,38 @@ ranked AS (
 SELECT probe_id, vec_id, cos FROM ranked WHERE rn <= {k}
 ORDER BY probe_id, cos DESC, vec_id
 """
+
+
+def ann_recall_report(emb: DataFrame, probes=None, k: int = K) -> DataFrame:
+    """QA utility: recall@k of every approximate ANN path vs the
+    exact scan, per probe — the report a user runs before choosing a
+    serving structure (LSH vs IVF vs PQ vs IVFPQ trade recall against
+    scan shape differently on different data). Returns (method,
+    probe_id, recall) sorted by (method, probe_id); each method's
+    column is exactly len(top-k ∩ exact-top-k) / k.
+
+    Driver-side set math on P·k rows per method — bounded, like every
+    probe-shaped collect in this module."""
+    probes = probes if probes is not None else PROBES
+    spark = emb.sparkSession
+    methods = {
+        "lsh": lambda: ann_lsh_topk(emb, probes=probes, k=k,
+                                    bits=8, tables=4, multiprobe=1),
+        "ivf": lambda: ann_ivf_topk(emb, probes=probes, k=k),
+        "pq": lambda: ann_pq_topk(emb, probes=probes, k=k),
+        "ivfpq": lambda: ann_ivfpq_topk(emb, probes=probes, k=k),
+    }
+    exact = {}
+    for r in ann_cosine_topk(emb, probes=probes, k=k).collect():
+        exact.setdefault(int(r.probe_id), set()).add(int(r.vec_id))
+    rows = []
+    for name in sorted(methods):
+        got: dict[int, set] = {}
+        for r in methods[name]().collect():
+            got.setdefault(int(r.probe_id), set()).add(int(r.vec_id))
+        for p, want in sorted(exact.items()):
+            rec = len(want & got.get(p, set())) / len(want)
+            rows.append((name, p, round(rec, 4)))
+    return spark.createDataFrame(
+        rows, "method string, probe_id bigint, recall double"
+    ).orderBy("method", "probe_id")

@@ -2480,3 +2480,42 @@ class TestCorpusPipeline:
 
         got = pipeline.prepare_corpus(docs).collect()
         assert all(not r.contaminated for r in got)
+
+
+class TestAnnRecallReport:
+    def test_report_shape_and_bounds(self, spark, emb):
+        from bm25spark.datapipe import similarity as S
+
+        rows = S.ann_recall_report(emb).collect()
+        methods = {r.method for r in rows}
+        assert methods == {"lsh", "ivf", "pq", "ivfpq"}
+        # one row per (method, probe)
+        assert len(rows) == 4 * len(S.PROBES)
+        assert all(0.0 <= r.recall <= 1.0 for r in rows)
+        # every path must beat random on the 500-vector corpus
+        # (k/n = 0.02); the report exists to show HOW MUCH
+        by_m = {}
+        for r in rows:
+            by_m.setdefault(r.method, []).append(r.recall)
+        for m, recs in by_m.items():
+            assert sum(recs) / len(recs) > 0.2, (m, recs)
+
+    def test_matches_independent_recall_math(self, spark, emb):
+        """The report's ivfpq column equals recall computed directly
+        from the two result frames."""
+        from bm25spark.datapipe import similarity as S
+
+        rep = {
+            r.probe_id: r.recall
+            for r in S.ann_recall_report(emb).collect()
+            if r.method == "ivfpq"
+        }
+        exact, got = {}, {}
+        for r in S.ann_cosine_topk(emb).collect():
+            exact.setdefault(r.probe_id, set()).add(r.vec_id)
+        for r in S.ann_ivfpq_topk(emb).collect():
+            got.setdefault(r.probe_id, set()).add(r.vec_id)
+        for p, want in exact.items():
+            assert rep[p] == round(
+                len(want & got.get(p, set())) / len(want), 4
+            )
