@@ -211,6 +211,25 @@ class TestDedup:
         assert len(by_doc[2]) == 2              # split by the gap
         assert [ln for _, ln in by_doc[2]] == [50, 50]
 
+    def test_substring_spans_non_ascii(self, spark):
+        """The r7 byte-slice fast path only applies to all-ASCII docs;
+        non-ASCII docs take the char-substring fallback. CHAR positions
+        (not byte offsets) must come out of both paths, and a gram
+        shared between an ASCII and a non-ASCII doc must still group
+        (both paths hash the gram's UTF-8 bytes)."""
+        s = "".join(chr(ord("A") + (i * 7) % 26) for i in range(60))
+        rows = [
+            (1, "é" * 10 + s + "ü" * 10),        # non-ASCII, S at 11..70
+            (2, "abcd" * 5 + s + "wxyz" * 5),    # ASCII, S at 21..80
+            (3, "日本語のテキスト" * 12),           # non-ASCII, no repeat
+        ]
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_len)
+            for r in dedup.substring_dup_spans(df, k=40).collect()
+        }
+        assert got == {(1, 11, 70, 60), (2, 21, 80, 60)}
+
     def test_keep_canonical_match_oracle(self, docs):
         assert_matches(
             dedup.dedup_keep_canonical(docs), dedup.dedup_keep_canonical_sql()
