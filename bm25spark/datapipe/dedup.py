@@ -1,13 +1,17 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
-Jaccard. All hash math uses md5 (identical in Spark and DuckDB) so
-each Spark pipeline has an exact SQL oracle; every pipeline is
-pure-JVM expressions (no Python UDFs).
+Jaccard. All hash math uses md5 (identical in Spark, Python hashlib,
+and DuckDB) so each Spark pipeline has an exact SQL oracle.
 
-Scale notes: exact dedup is one hash-shuffle groupBy. MinHash/SimHash
-signatures are narrow per-row transforms (shingle arrays stay inside
-one row until the signature explode), so they scale linearly; the LSH
-band self-join is the standard banding trick — join fan-out is bounded
-by bucket size, and Spark's AQE skew-join splits pathological buckets.
+Scale notes: exact dedup is one hash-shuffle groupBy. MinHash
+signatures are ONE narrow Arrow-batched pass (tokenize -> shingle ->
+md5 -> per-slice min entirely inside the batch, nothing shuffles
+until the band self-join) — the r7 optimization round moved them off
+per-shingle JVM md5 expressions, whose commons-codec digest costs
+~20x Python's hashlib and forced an extra explode + groupBy shuffle;
+the SQL oracle pins that the rewrite is value-identical. SimHash
+signatures remain narrow per-row JVM transforms. The LSH band
+self-join is the standard banding trick — join fan-out is bounded by
+bucket size, and Spark's AQE skew-join splits pathological buckets.
 The all-pairs n-gram Jaccard join is intentionally bounded to
 word-3-gram shingles (rare collisions) and exists as the exact
 verifier for the MinHash estimate.
@@ -17,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from .util import spread_small_scan
 
 N_HASHES = 8
 N_BANDS = 4  # 2 rows per band
@@ -132,34 +138,79 @@ shing AS (
 # --------------------------------------------------------------- minhash ----
 
 def _signatures(docs: DataFrame) -> DataFrame:
-    """Per-doc MinHash signature, unsorted. Explode + hash-aggregate:
-    both the explode and the min() aggregation run inside whole-stage
-    codegen (measurably faster than in-row higher-order functions,
-    which Spark evaluates interpreted). Two md5s per shingle sliced
-    into eight independent 32-bit hashes (see the module comment for
-    why the old affine transforms were degenerate), one shuffle on
-    doc_id with map-side partial min. Docs with no shingles get no
-    row (matching the SQL oracle)."""
-    ex = (
-        _with_shingles(docs)
-        .select("doc_id", F.explode("_sh").alias("shingle"))
-        .select(
-            "doc_id",
-            F.md5("shingle").alias("m0"),
-            F.md5(F.concat(F.col("shingle"), F.lit(_MINHASH_SALT))).alias(
-                "m1"
-            ),
-        )
+    """Per-doc MinHash signature, unsorted — ONE narrow Arrow-batched
+    pass (r7 optimization round; value-identical to the old explode +
+    JVM-md5 + groupBy form, which the SQL oracle still pins). Per
+    document: simple-analyzer tokens, distinct word-3-gram shingles,
+    two md5s per shingle (hashlib — Spark's Md5 expression pays a
+    MessageDigest provider lookup per call, ~20x slower) sliced into
+    eight independent big-endian 32-bit words, running minimum per
+    slice. sig_j = min over shingles of word j of
+    md5(shingle) / md5(shingle || '#'). No shuffle at all: the old
+    form exploded every shingle and aggregated back per doc. A
+    per-task memo dedups md5 work across documents (duplicate-heavy
+    corpora are the whole point of this module). Docs with fewer than
+    SHINGLE_WORDS tokens get no row (matching the SQL oracle)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType(), False)]
+        + [StructField(f"sig{j}", LongType(), True) for j in range(N_HASHES)]
     )
-    aggs = [
-        F.min(
-            F.conv(
-                F.substring(F.col(f"m{j // 4}"), (j % 4) * 8 + 1, 8), 16, 10
-            ).cast("bigint")
-        ).alias(f"sig{j}")
-        for j in range(N_HASHES)
-    ]
-    return ex.groupBy("doc_id").agg(*aggs)
+    salt = _MINHASH_SALT.encode()
+
+    def gen(batches):
+        import hashlib
+        import re
+        import struct
+
+        tok_re = re.compile("[a-z0-9]+")
+        md5 = hashlib.md5
+        unpack = struct.Struct(">4I").unpack
+        memo: dict[str, tuple] = {}
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for did, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
+                if text is None:
+                    continue
+                toks = tok_re.findall(text.lower())
+                if len(toks) < SHINGLE_WORDS:
+                    continue
+                mins = [1 << 40] * N_HASHES
+                seen = set()
+                if len(memo) > 2_000_000:
+                    memo.clear()
+                for i in range(len(toks) - (SHINGLE_WORDS - 1)):
+                    sh = " ".join(toks[i : i + SHINGLE_WORDS])
+                    if sh in seen:
+                        continue
+                    seen.add(sh)
+                    words = memo.get(sh)
+                    if words is None:
+                        b = sh.encode()
+                        words = memo[sh] = unpack(md5(b).digest()) + unpack(
+                            md5(b + salt).digest()
+                        )
+                    for j in range(N_HASHES):
+                        if words[j] < mins[j]:
+                            mins[j] = words[j]
+                out_ids.append(did)
+                out_sigs.append(mins)
+            if out_ids:
+                cols = list(zip(*out_sigs))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": out_ids,
+                        **{f"sig{j}": cols[j] for j in range(N_HASHES)},
+                    }
+                )
+
+    return (
+        spread_small_scan(docs.filter(F.col("text").isNotNull()))
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+        .mapInPandas(gen, schema)
+    )
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
