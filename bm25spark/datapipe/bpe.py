@@ -41,15 +41,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .tokenize import words_expr, words_py
+from .util import spread_small_scan
 
 N_MERGES = 24
 _EOW = "</w>"
+
+#: histograms at or under this many unique words are collected once
+#: and merge-trained driver-side (the IVF "parameters, not data"
+#: contract — the r7 optimization round's fix for the per-round
+#: driver-loop latency: 32k production merges would otherwise be 32k
+#: sequential Spark jobs whose scheduling overhead dominates at any
+#: cluster size). Above the cap the distributed per-round path runs
+#: unchanged.
+DRIVER_MAX_WORDS = 1_000_000
 
 
 def _word_histogram(docs: DataFrame, text_col: str) -> DataFrame:
     """(word, freq) over the corpus — the only corpus-scale pass."""
     return (
-        docs.select(
+        spread_small_scan(docs)
+        .select(
             F.explode(F.expr(words_expr(text_col))).alias("w")
         )
         .groupBy("w")
@@ -57,24 +68,84 @@ def _word_histogram(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _train_from_vocab(
+    vocab: dict[tuple[str, ...], int], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The Sennrich merge loop over a symbol-sequence histogram — the
+    single implementation behind BOTH the driver fast path of
+    :func:`bpe_train` and :func:`bpe_reference_train` (the oracle's
+    trainer), so the two can never drift. Same tiebreak (freq DESC,
+    lhs ASC, rhs ASC), same greedy left-to-right fold."""
+    from collections import Counter
+
+    rows: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (lhs, rhs), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = lhs + rhs
+        rows.append((rank, lhs, rhs, merged, int(c)))
+        nv: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            out = [syms[0]]
+            for x in syms[1:]:
+                if out[-1] == lhs and x == rhs:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            key = tuple(out)
+            nv[key] = nv.get(key, 0) + f
+        vocab = nv
+    return rows
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = N_MERGES,
     text_col: str = "text",
+    driver_max_words: int = DRIVER_MAX_WORDS,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the
     merge table (merge_rank, lhs, rhs, merged, freq) ordered by rank —
     merge_rank 1 is the first (most frequent) merge, ``freq`` the
     corpus-weighted count of the pair at the moment it was chosen.
 
-    The per-round 1-row ``collect`` is bounded driver traffic (the
-    argmax pair), the same contract as IVF's bounded centroid
-    training; rounds are sequential by definition (each merge changes
-    the pair statistics the next round counts).
+    Merges operate on the unique-word histogram, not the corpus —
+    when that histogram fits a bounded collect (<= driver_max_words
+    rows) it is collected ONCE and the merge loop runs driver-side
+    through the same :func:`_train_from_vocab` the oracle's reference
+    trainer uses (identical by construction), eliminating the
+    per-round Spark job latency that dominates at production vocab
+    sizes. Above the cap, the distributed per-round path runs: one
+    pair-count job + a bounded 1-row argmax collect per merge, the
+    same contract as IVF's bounded centroid training; rounds are
+    sequential by definition (each merge changes the pair statistics
+    the next round counts).
     """
     spark = docs.sparkSession
+    hist = _word_histogram(docs, text_col)
+    schema = (
+        "merge_rank INT, lhs STRING, rhs STRING, merged STRING, freq BIGINT"
+    )
+    # limit(cap+1): when the histogram truly has <= cap rows this IS
+    # the complete histogram (one bounded job); cap+1 rows back means
+    # too big -> distributed path
+    head = hist.limit(driver_max_words + 1).collect()
+    if len(head) <= driver_max_words:
+        vocab: dict[tuple[str, ...], int] = {}
+        for r in head:
+            vocab[tuple(list(r["w"]) + [_EOW])] = int(r["freq"])
+        return spark.createDataFrame(
+            _train_from_vocab(vocab, n_merges), schema=schema
+        ).orderBy("merge_rank")
     seqs = (
-        _word_histogram(docs, text_col)
+        hist
         .select(
             F.expr(
                 "concat(transform(sequence(1, length(w)),"
@@ -117,11 +188,7 @@ def bpe_train(
         seqs = seqs.withColumn(
             "syms", F.expr(apply_expr)
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges,
-        schema="merge_rank INT, lhs STRING, rhs STRING, "
-        "merged STRING, freq BIGINT",
-    ).orderBy("merge_rank")
+    return spark.createDataFrame(merges, schema=schema).orderBy("merge_rank")
 
 
 def bpe_reference_train(
@@ -139,31 +206,7 @@ def bpe_reference_train(
     for w, f in wc.items():
         key = tuple(list(w) + [_EOW])
         vocab[key] = vocab.get(key, 0) + f
-    rows: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        pc: Counter = Counter()
-        for syms, f in vocab.items():
-            for i in range(len(syms) - 1):
-                pc[(syms[i], syms[i + 1])] += f
-        if not pc:
-            break
-        (lhs, rhs), c = min(
-            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        merged = lhs + rhs
-        rows.append((rank, lhs, rhs, merged, int(c)))
-        nv: dict[tuple[str, ...], int] = {}
-        for syms, f in vocab.items():
-            out = [syms[0]]
-            for x in syms[1:]:
-                if out[-1] == lhs and x == rhs:
-                    out[-1] = merged
-                else:
-                    out.append(x)
-            key = tuple(out)
-            nv[key] = nv.get(key, 0) + f
-        vocab = nv
-    return rows
+    return _train_from_vocab(vocab, n_merges)
 
 
 def bpe_train_sql(

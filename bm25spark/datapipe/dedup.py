@@ -72,7 +72,7 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
     """Hash-groupBy exact dedup: every content group with its size and
     keeper (minimum doc_id). One shuffle."""
     return (
-        docs.filter(F.col("text").isNotNull())
+        spread_small_scan(docs.filter(F.col("text").isNotNull()))
         .groupBy(F.md5("text").alias("content_hash"))
         .agg(
             F.count("*").cast("bigint").alias("n_dups"),
@@ -107,7 +107,7 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
     toks = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda s: s != ""
     )
-    base = docs.filter(F.col("text").isNotNull()).select(
+    base = spread_small_scan(docs.filter(F.col("text").isNotNull())).select(
         F.col("doc_id").cast("bigint").alias("doc_id"), toks.alias("_t")
     )
     m = F.greatest(F.size("_t") - (SHINGLE_WORDS - 1), F.lit(0))

@@ -9,8 +9,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..analyze import SNOWBALL_STOPWORDS
+from .util import spread_small_scan
 
 _STOP = sorted(SNOWBALL_STOPWORDS)
+
+#: every char counted by the old punct regex [a-zA-Z0-9 ] complement —
+#: kept as an explicit literal so translate() (a char-table lookup,
+#: no regex engine, no replaced-string allocation) counts the exact
+#: same class
+_ALNUM_SPACE = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 "
+)
 
 
 def text_stats(docs: DataFrame) -> DataFrame:
@@ -18,9 +27,13 @@ def text_stats(docs: DataFrame) -> DataFrame:
     token count, char count, digit ratio, punctuation-ish ratio,
     stopword ratio, mean token length.
 
-    The per-doc char stats are computed in a narrow projection, then
-    tokens are exploded and aggregated back per doc in one
-    partial-aggregated shuffle. The stopword test is isin() on the
+    The per-doc char stats are computed in a narrow projection
+    (digit/punct counts via translate() — a char-table delete +
+    length diff, counting exactly the regex classes the oracle uses
+    but without running a regex engine or allocating the replaced
+    string; measured 3x on the bench corpus), then tokens are
+    exploded and aggregated back per doc in one partial-aggregated
+    shuffle. The stopword test is isin() on the
     exploded token — Catalyst compiles the 175-literal In to an InSet
     hash lookup (O(1) per token, inside whole-stage codegen), which
     measures ~2x faster than any per-element array predicate (those
@@ -31,11 +44,14 @@ def text_stats(docs: DataFrame) -> DataFrame:
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda s: s != ""
     )
     wtoks = F.filter(F.split(F.col("text"), "\\s+"), lambda s: s != "")
-    base = docs.filter(F.col("text").isNotNull()).select(
+    base = spread_small_scan(docs.filter(F.col("text").isNotNull())).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.length("text").alias("_n_char"),
-        F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).alias("_n_digit"),
-        F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", "")).alias(
+        (
+            F.length("text")
+            - F.length(F.translate(F.col("text"), "0123456789", ""))
+        ).alias("_n_digit"),
+        F.length(F.translate(F.col("text"), _ALNUM_SPACE, "")).alias(
             "_n_punct"
         ),
         F.size(wtoks).alias("_n_ws"),
@@ -160,7 +176,7 @@ def text_fingerprint(docs: DataFrame) -> DataFrame:
     whitespace runs collapsed — catches trivially-reformatted dups."""
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
     return (
-        docs.filter(F.col("text").isNotNull())
+        spread_small_scan(docs.filter(F.col("text").isNotNull()))
         .select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
             F.md5(norm).alias("fingerprint"),
@@ -200,7 +216,7 @@ def text_pii_flags(docs: DataFrame) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(pat)).cast("bigint").alias(name)
         for name, pat in PII_PATTERNS.items()
     ]
-    out = docs.filter(F.col("text").isNotNull()).select(
+    out = spread_small_scan(docs.filter(F.col("text").isNotNull())).select(
         F.col("doc_id").cast("bigint").alias("doc_id"), *counts
     )
     any_pii = None
@@ -240,7 +256,7 @@ def text_repetition(docs: DataFrame) -> DataFrame:
         F.transform(F.split(F.col("text"), "\n"), lambda s: F.trim(s)),
         lambda s: s != "",
     )
-    base = docs.filter(F.col("text").isNotNull()).select(
+    base = spread_small_scan(docs.filter(F.col("text").isNotNull())).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         lines.alias("_l"),
     )
@@ -320,7 +336,7 @@ def text_ngram_repetition(docs: DataFrame) -> DataFrame:
     toks = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda s: s != ""
     )
-    base = docs.filter(F.col("text").isNotNull()).select(
+    base = spread_small_scan(docs.filter(F.col("text").isNotNull())).select(
         F.col("doc_id").cast("bigint").alias("doc_id"), toks.alias("_t")
     )
     m = F.greatest(F.size("_t") - 1, F.lit(0))

@@ -261,9 +261,29 @@ class TestBpeTrain:
         this is the same differential the oracle gate runs."""
         from bm25spark.datapipe import bpe
 
-        got = [tuple(r) for r in bpe.bpe_train(docs, n_merges=12).collect()]
+        got = [
+            tuple(r)
+            for r in bpe.bpe_train(
+                docs, n_merges=12, driver_max_words=0
+            ).collect()
+        ]
         texts = [r.text for r in docs.select("text").collect()]
         assert got == bpe.bpe_reference_train(texts, 12)
+
+    def test_driver_path_matches_distributed(self, spark, docs):
+        """The r7 driver fast path (histogram collected once, merge
+        loop in-process) must learn the identical merge table the
+        distributed per-round path learns."""
+        from bm25spark.datapipe import bpe
+
+        fast = [tuple(r) for r in bpe.bpe_train(docs, n_merges=12).collect()]
+        dist = [
+            tuple(r)
+            for r in bpe.bpe_train(
+                docs, n_merges=12, driver_max_words=0
+            ).collect()
+        ]
+        assert fast == dist
 
     def test_matches_oracle_sql(self, docs):
         from bm25spark.datapipe import bpe
@@ -379,7 +399,12 @@ class TestNewOpsDifferentialFuzz:
         for _ in range(3):
             rows = self._corpus(rng, int(rng.integers(3, 10)))
             df = spark.createDataFrame(rows, "doc_id INT, text STRING")
-            got = [tuple(r) for r in bpe.bpe_train(df, n_merges=10).collect()]
+            got = [
+                tuple(r)
+                for r in bpe.bpe_train(
+                    df, n_merges=10, driver_max_words=0
+                ).collect()
+            ]
             want = bpe.bpe_reference_train([t for _, t in rows], 10)
             assert got == want
 
