@@ -71,6 +71,9 @@ from .config import BLOCK_SIZE, FORMAT_MAGIC, FORMAT_VERSION, Bm25Config
 from .scoring import tf_score
 from .udfs import with_doc_terms
 
+#: tail-block (bytepacked) metadata flag — packing._BIT_FLAG
+_BYTE_FLAG = 1 << 7
+
 POSTINGS_SCHEMA = StructType(
     [
         StructField("term_key", BinaryType(), False),
@@ -138,13 +141,19 @@ def _assign_doc_ids(
     The range-shuffled frame is eagerly local-checkpointed *before*
     the counts pass: Spark's RangePartitioner re-samples boundaries on
     every action (seed depends on the RDD id), so without pinning, the
-    counts job and the assign job can see different partitionings and
-    mint duplicate ids. Pinning also keeps the per-partition rank
-    meaningful if a later plan (e.g. vacuum's union) would otherwise
-    merge the mapInPandas into a wider stage. The *id values* are
-    independent of where the sampled boundaries fall — they equal the
-    global rank under order_cols — so artifacts stay identical across
-    cluster sizes."""
+    counts job and the assign job could see different partitionings
+    and mint duplicate ids. The *id values* are independent of where
+    the sampled boundaries fall — they equal the global rank under
+    order_cols — so artifacts stay identical across cluster sizes.
+
+    The id itself is pure JVM (r7 optimization round; previously a
+    mapInPandas that shipped every row — including the text column —
+    JVM->Python->JVM just to append a counter):
+    ``monotonically_increasing_id()`` is partitionId * 2^33 + the
+    row's rank within its (checkpoint-pinned, sorted) partition, so
+    _iid = offsets[partitionId] + rank recovers exactly the global
+    rank the Python pass produced. The offset table is a literal
+    array indexed by partition id (O(1) per row)."""
     parts = (
         df.repartitionByRange(partitions, *order_cols)
         .sortWithinPartitions(*order_cols)
@@ -157,29 +166,29 @@ def _assign_doc_ids(
         .collect()
     )
     by_pid = {r._pid: r["count"] for r in counts}
-    offsets, acc = {}, 0
-    for pid in range(partitions):
-        offsets[pid] = acc
+    if by_pid and max(by_pid.values()) >= (1 << 33):
+        raise ValueError(
+            "doc-id assignment: a partition exceeds 2^33 rows; raise "
+            "id_partitions"
+        )
+    offsets, acc = [], 0
+    for pid in range(parts.rdd.getNumPartitions()):
+        offsets.append(acc)
         acc += by_pid.get(pid, 0)
-    boffsets = spark.sparkContext.broadcast(offsets)
 
-    schema = StructType(
-        parts.schema.fields + [StructField("_iid", LongType(), False)]
+    # _mono materialized in its own projection so partition id and
+    # local rank derive from ONE evaluation of the nondeterministic
+    # expression
+    off_arr = F.array(*[F.lit(o) for o in offsets])
+    out = (
+        parts.withColumn("_mono", F.monotonically_increasing_id())
+        .withColumn(
+            "_iid",
+            F.get(off_arr, F.shiftrightunsigned(F.col("_mono"), 33).cast("int"))
+            + F.col("_mono").bitwiseAND(F.lit((1 << 33) - 1)),
+        )
+        .drop("_mono")
     )
-
-    def assign(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        base = boffsets.value[pid]
-        seen = 0
-        for pdf in iterator:
-            pdf = pdf.copy()
-            pdf["_iid"] = np.arange(base + seen, base + seen + len(pdf))
-            seen += len(pdf)
-            yield pdf
-
-    out = parts.mapInPandas(assign, schema)
     if pin_output:
         # second pin: keeps partition ids valid when a later plan (the
         # vacuum union) would merge this mapInPandas into a wider
@@ -205,90 +214,163 @@ def _blocks_from_arrays(
     (any order): lexsort by (term_key, shard, local_id), find group
     boundaries vectorized, emit 128-posting blocks per (term, shard)
     group — compression + block-max WAND exactly as the reference's
-    flush loop (flush.rs:78-125), with group dispatch costing an
-    argwhere over the sorted keys instead of one pandas DataFrame per
-    group (~50k tiny groups otherwise)."""
-    order = np.lexsort((lids, shards, keys))
+    flush loop (flush.rs:78-125).
+
+    Fully vectorized across groups (r7 optimization round; the
+    previous per-group Python loop cost ~150µs x one iteration per
+    (term, shard) group — the dominant cost of the postings stage at
+    bench scale). Full 128-entry blocks from every group are gathered
+    into one (nb, 128) matrix and batch-packed; tail blocks are
+    delta'd, width-sized and max-scored with segmented reduceat
+    operations, leaving one cheap byte-slice per tail block as the
+    only per-group Python work. Output rows are identical to the old
+    loop's (order differs — full blocks first — which is irrelevant:
+    every consumer sorts or aggregates). Returns a dict of column
+    arrays ready for DataFrame assembly."""
+    n = len(keys)
+    if not n:
+        return {c: [] for c in POSTINGS_SCHEMA.fieldNames()}
+    # uint64 halves of the 16-byte key: integer lexsort + comparisons
+    # (byte order preserved via big-endian views) beat S16 bytes ops
+    kb = np.ascontiguousarray(keys).view(np.uint8).reshape(n, 16)
+    khi = np.ascontiguousarray(kb[:, :8]).view(">u8").ravel().astype(np.uint64)
+    klo = np.ascontiguousarray(kb[:, 8:]).view(">u8").ravel().astype(np.uint64)
+    order = np.lexsort((lids, shards, klo, khi))
     keys, shards, lids = keys[order], shards[order], lids[order]
     tfs_all, fns_all = tfs_all[order], fns_all[order]
+    khi, klo = khi[order], klo[order]
 
-    change = (keys[1:] != keys[:-1]) | (shards[1:] != shards[:-1])
-    bounds = np.concatenate(([0], np.flatnonzero(change) + 1, [len(keys)]))
+    change = (
+        (khi[1:] != khi[:-1]) | (klo[1:] != klo[:-1]) | (shards[1:] != shards[:-1])
+    )
+    starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+    lens = np.diff(np.concatenate((starts, [n])))
+    ids_u32 = lids.astype(np.uint32)
+    tfs_u32 = tfs_all.astype(np.uint32)
+    scores = tf_score(fns_all, tfs_u32, k1, b, avgdl)
 
-    rows = []
-    if len(keys):
-        for gi in range(len(bounds) - 1):
-            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-            # numpy S16 strips trailing NULs; re-pad — unambiguous
-            # because raw interned keys contain no interior NULs and
-            # hashed keys end in a forced-nonzero byte (vector.rs:30-32)
-            term_key = bytes(keys[lo]).ljust(16, b"\x00")
-            shard = int(shards[lo])
-            base = shard * shard_size
-            bucket = term_bucket(term_key, n_buckets)
-            ids = lids[lo:hi].astype(np.uint32)
-            tfs = tfs_all[lo:hi].astype(np.uint32)
-            fns = fns_all[lo:hi]
-            scores = tf_score(fns, tfs, k1, b, avgdl)
+    # per-group metadata; bucket via a per-distinct-key memo (zlib
+    # crc32 is ~1µs, vocab per task is small)
+    g_shard = shards[starts].astype(np.int64)
+    g_base = g_shard * shard_size
+    # numpy S16 strips trailing NULs; re-pad — unambiguous because
+    # raw interned keys contain no interior NULs and hashed keys end
+    # in a forced-nonzero byte (vector.rs:30-32)
+    g_keys = [bytes(kk).ljust(16, b"\x00") for kk in keys[starts]]
+    bmemo: dict[bytes, int] = {}
+    g_bucket = np.empty(len(starts), dtype=np.int64)
+    for i, kk in enumerate(g_keys):
+        v = bmemo.get(kk)
+        if v is None:
+            v = bmemo[kk] = term_bucket(kk, n_buckets)
+        g_bucket[i] = v
 
-            n = len(ids)
-            n_full = n // BLOCK_SIZE
-            # full blocks: batch-packed (one vector op per distinct
-            # bitwidth instead of one call per block)
-            if n_full:
-                full = n_full * BLOCK_SIZE
-                ids2d = ids[:full].reshape(-1, BLOCK_SIZE)
-                tfs2d = tfs[:full].reshape(-1, BLOCK_SIZE)
-                sc2d = scores[:full].reshape(-1, BLOCK_SIZE)
-                fn2d = fns[:full].reshape(-1, BLOCK_SIZE)
-                am2d = np.argmax(sc2d, axis=1)
-                id_packs = packing.compress_id_blocks(ids2d)
-                tf_packs = packing.compress_tf_blocks(tfs2d)
-                for j in range(n_full):
-                    rows.append(
-                        (
-                            term_key,
-                            bucket,
-                            shard,
-                            j,
-                            base + int(ids2d[j, 0]),
-                            base + int(ids2d[j, -1]),
-                            BLOCK_SIZE,
-                            int(fn2d[j, am2d[j]]),
-                            int(tfs2d[j, am2d[j]]),
-                            float(sc2d[j, am2d[j]]),
-                            id_packs[j][0],
-                            id_packs[j][1],
-                            tf_packs[j][0],
-                            tf_packs[j][1],
-                        )
-                    )
-            # tail block (< 128 postings): bytepacked, per-block path
-            if n_full * BLOCK_SIZE < n:
-                start = n_full * BLOCK_SIZE
-                bi, bt, sc = ids[start:], tfs[start:], scores[start:]
-                am = int(np.argmax(sc))
-                ids_meta, ids_bytes = packing.compress_document_ids(int(bi[0]), bi)
-                tfs_meta, tfs_bytes = packing.compress_term_frequencies(bt)
-                rows.append(
-                    (
-                        term_key,
-                        bucket,
-                        shard,
-                        n_full,
-                        base + int(bi[0]),
-                        base + int(bi[-1]),
-                        len(bi),
-                        int(fns[start + am]),
-                        int(bt[am]),
-                        float(sc[am]),
-                        ids_meta,
-                        ids_bytes,
-                        tfs_meta,
-                        tfs_bytes,
-                    )
-                )
-    return rows
+    def _ragged_arange(reps: np.ndarray) -> np.ndarray:
+        # [0..reps[0]-1, 0..reps[1]-1, ...]
+        total = int(reps.sum())
+        out = np.arange(total, dtype=np.int64)
+        return out - np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+
+    cols: dict[str, list] = {c: [] for c in POSTINGS_SCHEMA.fieldNames()}
+
+    # ---- full blocks, batched across ALL groups --------------------------
+    n_full_g = lens // BLOCK_SIZE
+    fg = np.flatnonzero(n_full_g)
+    if len(fg):
+        reps = n_full_g[fg]
+        fb_group = np.repeat(fg, reps)
+        fb_ord = _ragged_arange(reps)
+        fb_start = starts[fb_group] + BLOCK_SIZE * fb_ord
+        off2d = fb_start[:, None] + np.arange(BLOCK_SIZE)
+        ids2d = ids_u32[off2d]
+        tfs2d = tfs_u32[off2d]
+        sc2d = scores[off2d]
+        fn2d = fns_all[off2d]
+        am2d = np.argmax(sc2d, axis=1)
+        rowsel = np.arange(len(fb_group))
+        id_packs = packing.compress_id_blocks(ids2d)
+        tf_packs = packing.compress_tf_blocks(tfs2d)
+        cols["term_key"].extend(g_keys[g] for g in fb_group)
+        cols["bucket"].append(g_bucket[fb_group])
+        cols["shard"].append(g_shard[fb_group])
+        cols["block_ord"].append(fb_ord)
+        cols["min_doc"].append(g_base[fb_group] + ids2d[:, 0])
+        cols["max_doc"].append(g_base[fb_group] + ids2d[:, -1])
+        cols["count"].append(np.full(len(fb_group), BLOCK_SIZE, dtype=np.int64))
+        cols["wand_fn"].append(fn2d[rowsel, am2d])
+        cols["wand_tf"].append(tfs2d[rowsel, am2d].astype(np.int64))
+        cols["block_ub"].append(sc2d[rowsel, am2d])
+        cols["ids_meta"].append(np.array([p[0] for p in id_packs], dtype=np.int64))
+        cols["ids_bytes"].extend(p[1] for p in id_packs)
+        cols["tfs_meta"].append(np.array([p[0] for p in tf_packs], dtype=np.int64))
+        cols["tfs_bytes"].extend(p[1] for p in tf_packs)
+
+    # ---- tail blocks (< 128 postings), segmented-vectorized --------------
+    rem = lens - n_full_g * BLOCK_SIZE
+    tg = np.flatnonzero(rem)
+    if len(tg):
+        t_start = starts[tg] + BLOCK_SIZE * n_full_g[tg]
+        t_len = rem[tg]
+        flat0 = np.concatenate(([0], np.cumsum(t_len)[:-1]))  # group offsets
+        tidx = np.repeat(t_start, t_len) + _ragged_arange(t_len)
+        pos = _ragged_arange(t_len)
+        it = ids_u32[tidx]
+        vt = tfs_u32[tidx]
+        sct = scores[tidx]
+        fnt = fns_all[tidx]
+        # ordered-id deltas: first element vs block min (= itself -> 0)
+        prev = np.empty_like(it)
+        prev[0] = it[0]
+        prev[1:] = it[:-1]
+        d_ids = np.where(pos > 0, it - prev, np.uint32(0)).astype(np.uint32)
+        # bytewidths per group (OR of deltas / raw tfs, exactly
+        # packing._compress / compress_term_frequencies)
+        def _widths(vals: np.ndarray) -> np.ndarray:
+            orv = np.bitwise_or.reduceat(vals.astype(np.int64), flat0)
+            bl = np.where(
+                orv > 0, np.frexp(orv.astype(np.float64))[1], 0
+            ).astype(np.int64)
+            return np.maximum(1, (bl + 7) // 8)
+        w_ids = _widths(d_ids)
+        w_tfs = _widths(vt)
+        le_ids = d_ids.astype("<u4").view(np.uint8).reshape(-1, 4)
+        le_tfs = vt.astype("<u4").view(np.uint8).reshape(-1, 4)
+        # segmented argmax, first-max tie rule like np.argmax
+        gmax = np.maximum.reduceat(sct, flat0)
+        grp_rep = np.repeat(np.arange(len(tg)), t_len)
+        cand = np.where(sct == gmax[grp_rep], pos, np.int64(1 << 40))
+        am = np.minimum.reduceat(cand, flat0)
+        am_flat = flat0 + am
+        ends = flat0 + t_len
+        cols["term_key"].extend(g_keys[g] for g in tg)
+        cols["bucket"].append(g_bucket[tg])
+        cols["shard"].append(g_shard[tg])
+        cols["block_ord"].append(n_full_g[tg])
+        cols["min_doc"].append(g_base[tg] + it[flat0])
+        cols["max_doc"].append(g_base[tg] + it[ends - 1])
+        cols["count"].append(t_len.astype(np.int64))
+        cols["wand_fn"].append(fnt[am_flat])
+        cols["wand_tf"].append(vt[am_flat].astype(np.int64))
+        cols["block_ub"].append(sct[am_flat])
+        cols["ids_meta"].append(_BYTE_FLAG | w_ids)
+        cols["ids_bytes"].extend(
+            le_ids[s:e, :w].tobytes()
+            for s, e, w in zip(flat0, ends, w_ids)
+        )
+        cols["tfs_meta"].append(_BYTE_FLAG | w_tfs)
+        cols["tfs_bytes"].extend(
+            le_tfs[s:e, :w].tobytes()
+            for s, e, w in zip(flat0, ends, w_tfs)
+        )
+
+    for c in (
+        "bucket", "shard", "block_ord", "min_doc", "max_doc", "count",
+        "wand_fn", "wand_tf", "block_ub", "ids_meta", "tfs_meta",
+    ):
+        cols[c] = (
+            np.concatenate(cols[c]) if cols[c] else np.array([], dtype=np.int64)
+        )
+    return cols
 
 
 def _build_blocks_fn(cfg: Bm25Config, avgdl: float, n_buckets: int):
@@ -303,7 +385,7 @@ def _build_blocks_fn(cfg: Bm25Config, avgdl: float, n_buckets: int):
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        rows = _blocks_from_arrays(
+        cols = _blocks_from_arrays(
             np.array(pdf["term_key"].to_list(), dtype="S16"),
             pdf["shard"].to_numpy(np.int64),
             pdf["local_id"].to_numpy(np.int64),
@@ -311,7 +393,7 @@ def _build_blocks_fn(cfg: Bm25Config, avgdl: float, n_buckets: int):
             pdf["fieldnorm"].to_numpy(np.int64),
             k1, b, avgdl, shard_size, n_buckets,
         )
-        yield pd.DataFrame(rows, columns=POSTINGS_SCHEMA.fieldNames())
+        yield pd.DataFrame(cols)
 
     return build
 
@@ -378,7 +460,7 @@ def _build_blocks_docs_fn(cfg: Bm25Config, avgdl: float, n_buckets: int):
         shard_d = t.column("shard").to_numpy().astype(np.int64)
         lid_d = t.column("local_id").to_numpy().astype(np.int64)
         fn_d = t.column("fieldnorm").to_numpy().astype(np.int64)
-        rows = _blocks_from_arrays(
+        cols = _blocks_from_arrays(
             keys,
             np.repeat(shard_d, lens),
             np.repeat(lid_d, lens),
@@ -386,7 +468,7 @@ def _build_blocks_docs_fn(cfg: Bm25Config, avgdl: float, n_buckets: int):
             np.repeat(fn_d, lens),
             k1, b, avgdl, shard_size, n_buckets,
         )
-        out = pd.DataFrame(rows, columns=POSTINGS_SCHEMA.fieldNames())
+        out = pd.DataFrame(cols)
         yield pa.RecordBatch.from_pandas(
             out, schema=_arrow_postings_schema(), preserve_index=False
         )
@@ -414,6 +496,31 @@ def build_index(
     """
     cfg = cfg or Bm25Config()
     payload_cols = payload_cols or list(order_cols)
+
+    # r7: every build pins its range-shuffled source with an eager
+    # localCheckpoint whose blocks were never dropped — repeated builds
+    # in one session (the bench, rebuild loops) accumulated gigabytes
+    # of dead checkpoint blocks in the storage pool, evicting the live
+    # tokenized cache mid-build. Snapshot the persisted-RDD ids here
+    # and drop everything new before returning (the tracked persist is
+    # unpersisted explicitly; the only other new id is the checkpoint).
+    def _persisted_ids() -> set:
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            return {int(k) for k in jmap.keySet().toArray()}
+        except Exception:
+            return set()
+
+    def _drop_new_persists(before: set) -> None:
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for k in jmap.keySet().toArray():
+                if int(k) not in before:
+                    jmap.get(k).unpersist()
+        except Exception:
+            pass
+
+    _rdds_before = _persisted_ids()
 
     docs_path = fsio.join(index_dir, "docs")
     maps_path = fsio.join(index_dir, "mappings")
@@ -467,8 +574,17 @@ def build_index(
             "content_sha256",
             *[f"p_{c}" for c in payload_cols],
         )
+        # corpus stats (N, Σdl) ride the docs write as an observation —
+        # no separate stage-2 scan job (r7 optimization round)
+        from pyspark.sql import Observation
+
+        obs = Observation("build_stats")
         (
-            docs_art
+            docs_art.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("doc_len").alias("sdl"),
+            )
             # already range-partitioned + sorted by id (ids were
             # assigned in the order_cols range shuffle) — write as-is,
             # no second shuffle; row groups stay doc_id-clustered for
@@ -477,6 +593,7 @@ def build_index(
             .write.mode("overwrite")
             .parquet(docs_path)
         )
+        stats_nd = obs.get
         _ensure_readable_parquet(docs_path, docs_art.schema)
         # the exploded mappings staging parquet exists for resume and
         # vacuum (they re-enter through finalize_index's mappings
@@ -515,12 +632,16 @@ def build_index(
             out = finalize_index(
                 spark, index_dir, cfg, payload_cols, resume=resume,
                 doc_terms_df=doc_terms,
+                stats=(int(stats_nd["n"]), int(stats_nd["sdl"] or 0)),
             )
             fut.result()
         with_ids.unpersist()
+        _drop_new_persists(_rdds_before)
         return out
 
-    return finalize_index(spark, index_dir, cfg, payload_cols, resume=resume)
+    out = finalize_index(spark, index_dir, cfg, payload_cols, resume=resume)
+    _drop_new_persists(_rdds_before)
+    return out
 
 
 def finalize_index(
@@ -531,6 +652,7 @@ def finalize_index(
     resume: bool = False,
     mappings_df: DataFrame | None = None,
     doc_terms_df: DataFrame | None = None,
+    stats: tuple[int, int] | None = None,
 ) -> str:
     """Stages 2-5 over already-written docs/mappings artifacts.
 
@@ -551,10 +673,16 @@ def finalize_index(
     meta_path = fsio.join(index_dir, "meta.json")
 
     # ---- stage 2: corpus stats ------------------------------------------
+    # the initial build passes them in (observed during the docs
+    # write — zero extra jobs); resume/vacuum recompute from the
+    # written artifact
     docs_art = spark.read.parquet(docs_path)
-    n_docs, sum_dl = docs_art.agg(
-        F.count("*"), F.sum("doc_len")
-    ).first()
+    if stats is not None:
+        n_docs, sum_dl = stats
+    else:
+        n_docs, sum_dl = docs_art.agg(
+            F.count("*"), F.sum("doc_len")
+        ).first()
     n_docs = int(n_docs)
     sum_dl = int(sum_dl or 0)
     avgdl = (sum_dl / n_docs) if n_docs else 0.0

@@ -98,8 +98,11 @@ def tokenize_udf_mappings(
     df: DataFrame, text_col: str, id_col: str, cfg: Bm25Config
 ) -> DataFrame:
     """Analyzer-general mappings (term keys, not token strings) via the
-    fused pandas UDF."""
-    prepared = with_doc_terms(df, text_col, cfg.analyzer, cfg.seed)
+    fused Arrow tokenizer pass. Only (id, text) are selected first —
+    the map pass is opaque to Catalyst column pruning."""
+    prepared = with_doc_terms(
+        df.select(id_col, text_col), text_col, cfg.analyzer, cfg.seed
+    )
     return explode_mappings(
         prepared.withColumnRenamed(id_col, "doc_id")
         if id_col != "doc_id"
