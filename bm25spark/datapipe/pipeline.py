@@ -56,7 +56,20 @@ def prepare_corpus(
             "canonical_id",
             (~F.col("keep")).alias("is_duplicate"),
         )
-        .join(qf, "doc_id")
+        # LEFT join (r7 advice fix): the quality stages filter
+        # text IS NOT NULL, so an inner join silently dropped
+        # NULL-text docs from the audit frame, violating the
+        # one-row-per-input-document contract. They re-enter here as
+        # quality_keep=false with the explicit 'null_text' reason
+        # (canonical_id/split already cover every doc).
+        .join(qf, "doc_id", "left")
+        .withColumn(
+            "quality_keep", F.coalesce(F.col("quality_keep"), F.lit(False))
+        )
+        .withColumn(
+            "quality_reasons",
+            F.coalesce(F.col("quality_reasons"), F.lit("null_text")),
+        )
     )
     if benchmark is not None:
         dc = decontam.decontaminate_ngrams(

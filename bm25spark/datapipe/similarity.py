@@ -26,7 +26,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .util import spread_small_scan
+from .util import SPREAD_MIN_BYTES_LIGHT, spread_small_scan
 
 PROBES = list(range(10))
 K = 10
@@ -68,7 +68,7 @@ def ann_cosine_topk(emb: DataFrame, probes=None, k: int = K) -> DataFrame:
         .select("probe_id", "pe", _norm(F.col("pe")).alias("_pn"))
     )
     pairs = F.broadcast(p).crossJoin(
-        spread_small_scan(emb)
+        spread_small_scan(emb, min_bytes=SPREAD_MIN_BYTES_LIGHT)
         .select(
             F.col("vec_id").cast("bigint").alias("vec_id"),
             _as_double(F.col("embedding")).alias("e"),
@@ -170,7 +170,7 @@ def ann_cosine_topk_kernel(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    partial = spread_small_scan(emb).select(
+    partial = spread_small_scan(emb, min_bytes=SPREAD_MIN_BYTES_LIGHT).select(
         F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
     ).mapInPandas(score, "probe_id bigint, vec_id bigint, cos double")
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -300,7 +300,7 @@ def lsh_tagged_df(
                 }
             )
 
-    return spread_small_scan(emb).select(
+    return spread_small_scan(emb, min_bytes=SPREAD_MIN_BYTES_LIGHT).select(
         F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
     ).mapInPandas(assign, "vec_id bigint, tb bigint")
 
@@ -424,7 +424,7 @@ def build_lsh_index(
                 }
             )
 
-    src = spread_small_scan(emb).select(
+    src = spread_small_scan(emb, min_bytes=SPREAD_MIN_BYTES_LIGHT).select(
         F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
     )
     (
@@ -1059,7 +1059,7 @@ def build_ivf_index(
             out["cid"] = _ivf_assign(vecs, cent, quant)
             yield out
 
-    src = spread_small_scan(emb).select(
+    src = spread_small_scan(emb, min_bytes=SPREAD_MIN_BYTES_LIGHT).select(
         F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
     )
     (
@@ -1313,7 +1313,8 @@ def ann_pq_topk(
         axis=1,
     )
     adcs = pq_adc_candidates(
-        spread_small_scan(emb), books, luts, pids, pool=pool, quant=quant
+        spread_small_scan(emb, min_bytes=SPREAD_MIN_BYTES_LIGHT),
+        books, luts, pids, pool=pool, quant=quant,
     )
     wpool = Window.partitionBy("probe_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     cands = (
@@ -1555,7 +1556,7 @@ def ivfpq_adc_candidates(
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    return spread_small_scan(emb).select(
+    return spread_small_scan(emb, min_bytes=SPREAD_MIN_BYTES_LIGHT).select(
         F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
     ).mapInPandas(scan, "probe_id bigint, vec_id bigint, adc bigint")
 
@@ -1792,7 +1793,9 @@ def ann_recall_report(emb: DataFrame, probes=None, k: int = K) -> DataFrame:
     serving structure (LSH vs IVF vs PQ vs IVFPQ trade recall against
     scan shape differently on different data). Returns (method,
     probe_id, recall) sorted by (method, probe_id); each method's
-    column is exactly len(top-k ∩ exact-top-k) / k.
+    column is len(top-k ∩ exact-top-k) / len(exact-top-k) — the
+    denominator is the exact result size, which equals k except on a
+    corpus smaller than k.
 
     Driver-side set math on P·k rows per method — bounded, like every
     probe-shaped collect in this module."""

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from .analyze import get_analyzer
 from .config import Bm25Config
 from .fieldnorm import FIELDNORM_TO_LENGTH
+from .datapipe.util import SPREAD_MIN_BYTES_LIGHT, spread_small_scan
 from .udfs import explode_mappings, with_doc_terms
 
 #: half-open quantization ranges (lo, hi, qdl): dl in [lo, hi) -> qdl=lo
@@ -82,7 +83,7 @@ def tokenize_simple_sql(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """simple-analyzer mappings via built-in expressions only (stays
     inside whole-stage codegen; no Python). Returns
     (doc_id, token, tf) with one row per distinct (doc, token)."""
-    toks = df.select(
+    toks = spread_small_scan(df, min_bytes=SPREAD_MIN_BYTES_LIGHT).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.filter(
@@ -101,7 +102,12 @@ def tokenize_udf_mappings(
     fused Arrow tokenizer pass. Only (id, text) are selected first —
     the map pass is opaque to Catalyst column pruning."""
     prepared = with_doc_terms(
-        df.select(id_col, text_col), text_col, cfg.analyzer, cfg.seed
+        spread_small_scan(
+            df.select(id_col, text_col), min_bytes=SPREAD_MIN_BYTES_LIGHT
+        ),
+        text_col,
+        cfg.analyzer,
+        cfg.seed,
     )
     return explode_mappings(
         prepared.withColumnRenamed(id_col, "doc_id")
@@ -275,7 +281,7 @@ def exact_topk(
         return spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
 
     if cfg.analyzer == "simple":
-        toks = docs.select(
+        toks = spread_small_scan(docs, min_bytes=SPREAD_MIN_BYTES_LIGHT).select(
             F.col(id_col).alias("doc_id"),
             F.explode(
                 F.filter(

@@ -39,7 +39,13 @@ def get_spark(
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
             "2",
         )
-        .config("spark.driver.memory", os.environ.get("BM25SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM hosts every executor thread, so
+        # its heap is the whole storage+execution pool. 8g forced the
+        # tokenized-corpus cache to evict mid-build at the bench's
+        # escalated scale (measured r7); 16g on a 128 GiB box leaves
+        # the pool comfortable and stays parameterized for real
+        # clusters (where executors size their own heaps)
+        .config("spark.driver.memory", os.environ.get("BM25SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -2509,6 +2509,24 @@ class TestCorpusPipeline:
         assert any(not v[4] for v in got.values())
         assert any(v[4] for v in got.values())
 
+    def test_prepare_corpus_keeps_null_text_rows(self, spark):
+        """The audit frame's ONE-row-per-input-document contract must
+        hold for NULL-text docs (r7 advice fix: the quality stages
+        filter text IS NOT NULL, so the old inner join silently
+        dropped them): they appear with quality_keep=false and the
+        explicit 'null_text' reason, and are not kept."""
+        from bm25spark.datapipe import pipeline
+
+        rows = [(1, "the quick brown fox " * 20), (2, None),
+                (3, "a different document with words " * 15)]
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        got = {r.doc_id: r for r in pipeline.prepare_corpus(df).collect()}
+        assert set(got) == {1, 2, 3}
+        assert got[2].quality_keep is False
+        assert got[2].quality_reasons == "null_text"
+        assert got[2].keep is False
+        assert got[2].canonical_id == 2 and got[2].split is not None
+
     def test_clean_corpus_materializer(self, spark, docs):
         from bm25spark.datapipe import pipeline
 
