@@ -595,29 +595,6 @@ def build_index(
         )
         stats_nd = obs.get
         _ensure_readable_parquet(docs_path, docs_art.schema)
-        # the exploded mappings staging parquet exists for resume and
-        # vacuum (they re-enter through finalize_index's mappings
-        # path); it reads the already-materialized cache, so it can
-        # run concurrently with stage 3 instead of serializing ~10s
-        # of parquet IO in front of it
-        def _write_mappings():
-            m = with_ids.select(
-                F.explode("terms").alias("t"),
-                "shard",
-                "local_id",
-                "fieldnorm",
-            ).select(
-                F.col("t.key").alias("term_key"),
-                "shard",
-                "local_id",
-                F.col("t.tf").alias("tf"),
-                "fieldnorm",
-            )
-            m.write.mode("overwrite").parquet(maps_path)
-            _ensure_readable_parquet(maps_path, m.schema)
-
-        from concurrent.futures import ThreadPoolExecutor
-
         # stage 3 consumes the cached frame doc-grouped (one compact
         # row per document through the shard shuffle)
         doc_terms = with_ids.select(
@@ -627,6 +604,20 @@ def build_index(
             F.col("local_id").cast("int").alias("local_id"),
             F.col("fieldnorm").cast("int").alias("fieldnorm"),
         )
+
+        # the mappings staging parquet exists for resume and vacuum
+        # (they re-enter through finalize_index's mappings path); it
+        # reads the already-materialized cache, so it can run
+        # concurrently with stage 3 instead of serializing parquet IO
+        # in front of it. r7: written DOC-GROUPED (the same doc_terms
+        # shape stage 3 shuffles) instead of exploded per posting —
+        # ~40x fewer rows, no per-posting repetition of
+        # shard/local_id/fieldnorm; readers accept both layouts
+        def _write_mappings():
+            doc_terms.write.mode("overwrite").parquet(maps_path)
+            _ensure_readable_parquet(maps_path, doc_terms.schema)
+
+        from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=1) as pool:
             fut = pool.submit(_write_mappings)
             out = finalize_index(
@@ -704,14 +695,26 @@ def finalize_index(
                 if mappings_df is not None
                 else spark.read.parquet(maps_path)
             )
-            # hash-cluster by (term_key, shard); the kernel lexsorts its
-            # partition itself (NumPy sort beats a Spark sort it would
-            # redo anyway)
-            blocks = mappings.repartition(
-                n_part, "term_key", "shard"
-            ).mapInPandas(
-                _build_blocks_fn(cfg, avgdl, cfg.term_buckets), POSTINGS_SCHEMA
-            )
+            if "tkeys" in mappings.columns:
+                # doc-grouped staging (the r7 layout the initial build
+                # writes) — identical shape to the hot path's source,
+                # so it flows through the same shard-clustered kernel
+                blocks = mappings.repartition(n_part, "shard").mapInArrow(
+                    _build_blocks_docs_fn(cfg, avgdl, cfg.term_buckets),
+                    POSTINGS_SCHEMA,
+                )
+            else:
+                # exploded per-posting staging (pre-r7 indexes and
+                # vacuum's relabel output): hash-cluster by
+                # (term_key, shard); the kernel lexsorts its partition
+                # itself (NumPy sort beats a Spark sort it would redo
+                # anyway)
+                blocks = mappings.repartition(
+                    n_part, "term_key", "shard"
+                ).mapInPandas(
+                    _build_blocks_fn(cfg, avgdl, cfg.term_buckets),
+                    POSTINGS_SCHEMA,
+                )
         (
             blocks.repartition("bucket")
             .sortWithinPartitions("term_key", "shard", "block_ord")

@@ -739,7 +739,7 @@ def substring_dup_spans(docs: DataFrame, k: int = 40) -> DataFrame:
     Returns (doc_id, span_start, span_end, span_len) with 1-based
     inclusive char positions, sorted by (doc_id, span_start).
     """
-    base = docs.filter(F.length("text") >= k).select(
+    base = spread_small_scan(docs.filter(F.length("text") >= k)).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.encode(F.col("text"), "UTF-8").alias("_bin"),
         (F.octet_length("text") == F.length("text")).alias("_ascii"),

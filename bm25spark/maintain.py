@@ -1031,10 +1031,28 @@ def _vacuum_locked(
     _ensure_readable_parquet(fsio.join(work, "docs"), new_docs.schema)
 
     # --- new mappings: sealed relabel join ∪ delta ---
-    old_maps = spark.read.parquet(idx._path("mappings")).withColumn(
-        "gid",
-        F.col("shard").cast("long") * cfg.shard_size + F.col("local_id"),
-    )
+    old_maps = spark.read.parquet(idx._path("mappings"))
+    if "tkeys" in old_maps.columns:
+        # doc-grouped staging (r7 build layout): explode to the
+        # per-posting shape this join works in
+        old_maps = (
+            old_maps.withColumn(
+                "gid",
+                F.col("shard").cast("long") * cfg.shard_size
+                + F.col("local_id"),
+            )
+            .select("gid", F.explode(F.arrays_zip("tkeys", "ttfs")).alias("z"))
+            .select(
+                F.col("z.tkeys").alias("term_key"),
+                "gid",
+                F.col("z.ttfs").alias("tf"),
+            )
+        )
+    else:
+        old_maps = old_maps.withColumn(
+            "gid",
+            F.col("shard").cast("long") * cfg.shard_size + F.col("local_id"),
+        )
     relabel_map = relabeled.select(
         F.col("old_id").alias("gid"), F.col("_iid").alias("new_gid")
     )
