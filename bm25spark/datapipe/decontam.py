@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread_small_scan
+
 
 def _doc_grams(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, gram) with per-doc-DISTINCT space-joined n-token
@@ -32,7 +34,7 @@ def _doc_grams(docs: DataFrame, n: int) -> DataFrame:
     toks = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda s: s != ""
     )
-    base = docs.filter(F.col("text").isNotNull()).select(
+    base = spread_small_scan(docs.filter(F.col("text").isNotNull())).select(
         F.col("doc_id").cast("bigint").alias("doc_id"), toks.alias("_t")
     )
     m: Column = F.size("_t") - (n - 1)

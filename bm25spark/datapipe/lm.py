@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from .dedup import _persist_tracked, release_caches  # noqa: F401
 from .tokenize import words_expr, words_sql
+from .util import spread_small_scan
 
 # tracked persists are SHARED with the dedup module (one live frame
 # across the whole datapipe at a time, drained on the next tracked
@@ -49,7 +50,7 @@ from .tokenize import words_expr, words_sql
 
 
 def _doc_tokens(docs: DataFrame, text_col: str) -> DataFrame:
-    return docs.select(
+    return spread_small_scan(docs).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.expr(words_expr(text_col)).alias("toks"),
     )

@@ -34,6 +34,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .util import spread_small_scan
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -295,7 +297,9 @@ def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+    return spread_small_scan(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id")), min_bytes=1
+    ).mapInPandas(
         run,
         StructType(
             [
@@ -473,7 +477,9 @@ def synthesize_wav_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+    return spread_small_scan(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id")), min_bytes=1
+    ).mapInPandas(
         run,
         StructType(
             [
@@ -840,7 +846,9 @@ def synthesize_avi_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+    return spread_small_scan(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id")), min_bytes=1
+    ).mapInPandas(
         run,
         StructType(
             [
@@ -1171,7 +1179,9 @@ def synthesize_png_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+    return spread_small_scan(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id")), min_bytes=1
+    ).mapInPandas(
         run,
         StructType(
             [
@@ -1489,7 +1499,9 @@ def synthesize_gif_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+    return spread_small_scan(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id")), min_bytes=1
+    ).mapInPandas(
         run,
         StructType(
             [
@@ -2676,7 +2688,9 @@ def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+    return spread_small_scan(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id")), min_bytes=1
+    ).mapInPandas(
         run,
         StructType(
             [
@@ -2732,7 +2746,9 @@ def synthesize_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+    return spread_small_scan(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id")), min_bytes=1
+    ).mapInPandas(
         run,
         StructType(
             [

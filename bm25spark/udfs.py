@@ -64,14 +64,9 @@ _TBL = bytes(
 _SAT = 0xFFFFFFFF
 
 
-def _simple_batch_terms(texts, seed: bytes, memo: dict):
-    """Batch form of analyze_document for the ``simple`` analyzer:
-    (pa.ListArray terms, np.int64 doc_len) for a list of non-null
-    strings. Value-identical to the per-doc path: same tokens, same
-    interned keys, items sorted by key bytes, saturating tf/len."""
-    import pandas as pd
-    import pyarrow as pa
-
+def _simple_tok_lists(texts):
+    """Per-doc token byte-lists for the ``simple`` analyzer: C-speed
+    bytes translate+split for ASCII text, the regex for the rest."""
     tok_lists = []
     for t in texts:
         if t is None:
@@ -82,6 +77,21 @@ def _simple_batch_terms(texts, seed: bytes, memo: dict):
             tok_lists.append(tl.encode().translate(_TBL).split())
         else:
             tok_lists.append([w.encode() for w in _SIMPLE_RE.findall(tl)])
+    return tok_lists
+
+
+def _batch_terms(tok_lists, seed: bytes, memo: dict):
+    """Batch form of analyze_document over per-doc token byte-lists:
+    (pa.ListArray terms, np.int64 doc_len). Analyzer-agnostic — only
+    token PRODUCTION is per-analyzer; counting, interning (once per
+    unique token via the memo), the key-byte sort and the Arrow
+    buffer assembly are vectorized across the whole batch.
+    Value-identical to the per-doc analyze_document path: same
+    tokens, same interned keys, items sorted by key bytes, saturating
+    tf/len."""
+    import pandas as pd
+    import pyarrow as pa
+
     n_docs = len(tok_lists)
     lens = np.fromiter((len(x) for x in tok_lists), np.int64, n_docs)
     total = int(lens.sum())
@@ -155,7 +165,6 @@ def doc_terms_udf(analyzer_name: str, seed: bytes):
     analyzer = get_analyzer(analyzer_name)
     simple = analyzer_name == "simple"
     memo: dict = {}
-    item_type = pa.struct([("key", pa.binary()), ("tf", pa.int32())])
 
     @F.arrow_udf(
         "struct<terms: array<struct<key: binary, tf: int>>, dl: int>"
@@ -163,20 +172,13 @@ def doc_terms_udf(analyzer_name: str, seed: bytes):
     def _analyze(texts: pa.Array) -> pa.Array:
         tl = texts.to_pylist()
         if simple:
-            terms_arr, dls = _simple_batch_terms(tl, seed, memo)
+            tok_lists = _simple_tok_lists(tl)
         else:
-            if len(memo) > 2_000_000:
-                memo.clear()
-            items_all, dls = [], []
-            for t in tl:
-                if t is None:
-                    items_all.append([])
-                    dls.append(0)
-                    continue
-                items, length = analyze_document(t, analyzer, seed, memo)
-                items_all.append(items)
-                dls.append(length)
-            terms_arr = pa.array(items_all, type=pa.list_(item_type))
+            tok_lists = [
+                [] if t is None else [w.encode() for w in analyzer(t)]
+                for t in tl
+            ]
+        terms_arr, dls = _batch_terms(tok_lists, seed, memo)
         return pa.StructArray.from_arrays(
             [terms_arr, pa.array(np.asarray(dls, dtype=np.int64), type=pa.int32())],
             names=["terms", "dl"],

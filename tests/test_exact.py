@@ -180,3 +180,55 @@ class TestDuckDBOracle:
         got = [(r.token, r.df, r.cf) for r in term_df(spark, docs, 20).collect()]
         want = duck(term_df_sql(20))
         assert got == want
+
+
+class TestTokenizerBatchParity:
+    """The r7 arrow_udf tokenizer's vectorized batch kernel must be
+    value-identical to analyze_document for EVERY analyzer — same
+    tokens, same interned keys, items sorted by key bytes, saturating
+    tf and doc_len, NULL text dropped upstream."""
+
+    CASES = {
+        "simple": [
+            (1, "Héllo WORLD 123 héllo"), (2, None), (3, ""),
+            (4, "ü" * 3 + " abc abc"), (5, "日本語 test 日本語"),
+            (6, "a " * 50),
+        ],
+        "code": [
+            (1, "def fooBar(x): return x_y + 12abc"),
+            (2, "CamelCaseHTTPServer_2 snake_case"), (3, None),
+        ],
+        "english": [
+            (1, "The quick-witted foxes are running-shoes stores"),
+            (2, "connection connected connects"),
+        ],
+        "unicode": [
+            (1, "全文検索エンジン test 123"), (2, "machine learning データ"),
+        ],
+    }
+
+    @pytest.mark.parametrize("analyzer", sorted(CASES))
+    def test_matches_analyze_document(self, spark, analyzer):
+        from bm25spark.analyze import analyze_document, get_analyzer
+        from bm25spark.udfs import with_doc_terms
+
+        cfg = Bm25Config()
+        rows = self.CASES[analyzer]
+        an = get_analyzer(analyzer)
+        memo: dict = {}
+        want = {
+            i: analyze_document(t, an, cfg.seed, memo)
+            for i, t in rows
+            if t is not None
+        }
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        got = {
+            r.doc_id: (
+                [(bytes(x["key"]), x["tf"]) for x in r.terms],
+                r.doc_len,
+            )
+            for r in with_doc_terms(df, "text", analyzer, cfg.seed).collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == (list(want[k][0]), want[k][1])
