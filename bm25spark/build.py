@@ -574,27 +574,31 @@ def build_index(
             "content_sha256",
             *[f"p_{c}" for c in payload_cols],
         )
-        # corpus stats (N, Σdl) ride the docs write as an observation —
-        # no separate stage-2 scan job (r7 optimization round)
-        from pyspark.sql import Observation
+        # corpus stats (N, Σdl) in one aggregation — this is also the
+        # job that materializes the tokenized cache, so the three
+        # artifact writes below all start against a HOT cache and can
+        # overlap fully (r7: the docs write previously had to finish
+        # first just to produce these stats, which serialized it in
+        # front of the postings stage)
+        n_docs, sum_dl = with_ids.agg(
+            F.count(F.lit(1)), F.sum("doc_len")
+        ).first()
+        n_docs, sum_dl = int(n_docs), int(sum_dl or 0)
+        avgdl = (sum_dl / n_docs) if n_docs else 0.0
 
-        obs = Observation("build_stats")
-        (
-            docs_art.observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.sum("doc_len").alias("sdl"),
+        def _write_docs():
+            (
+                docs_art
+                # already range-partitioned + sorted by id (ids were
+                # assigned in the order_cols range shuffle) — write
+                # as-is, no second shuffle; row groups stay
+                # doc_id-clustered for the per-shard fieldnorm reads
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(docs_path)
             )
-            # already range-partitioned + sorted by id (ids were
-            # assigned in the order_cols range shuffle) — write as-is,
-            # no second shuffle; row groups stay doc_id-clustered for
-            # the per-shard fieldnorm reads
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .parquet(docs_path)
-        )
-        stats_nd = obs.get
-        _ensure_readable_parquet(docs_path, docs_art.schema)
+            _ensure_readable_parquet(docs_path, docs_art.schema)
+
         # stage 3 consumes the cached frame doc-grouped (one compact
         # row per document through the shard shuffle)
         doc_terms = with_ids.select(
@@ -617,15 +621,46 @@ def build_index(
             doc_terms.write.mode("overwrite").parquet(maps_path)
             _ensure_readable_parquet(maps_path, doc_terms.schema)
 
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            fut = pool.submit(_write_mappings)
-            out = finalize_index(
-                spark, index_dir, cfg, payload_cols, resume=resume,
-                doc_terms_df=doc_terms,
-                stats=(int(stats_nd["n"]), int(stats_nd["sdl"] or 0)),
+        postings_path = fsio.join(index_dir, "postings")
+
+        def _write_postings():
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            blocks = doc_terms.repartition(n_part, "shard").mapInArrow(
+                _build_blocks_docs_fn(cfg, avgdl, cfg.term_buckets),
+                POSTINGS_SCHEMA,
             )
-            fut.result()
+            (
+                blocks.repartition("bucket")
+                .sortWithinPartitions("term_key", "shard", "block_ord")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(postings_path)
+            )
+            _ensure_readable_parquet(
+                postings_path,
+                StructType(
+                    [f for f in POSTINGS_SCHEMA.fields if f.name != "bucket"]
+                ),
+                subdir="bucket=0",
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        # all three consumers of the hot cache overlap (guide §2.6:
+        # later jobs back-fill the tails of earlier ones); finalize
+        # then only computes terms/lineage/meta over the written
+        # postings (resume=True: its _SUCCESS markers skip stage 3)
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [
+                pool.submit(f)
+                for f in (_write_docs, _write_mappings, _write_postings)
+            ]
+            for fu in futures:
+                fu.result()
+        out = finalize_index(
+            spark, index_dir, cfg, payload_cols, resume=True,
+            stats=(n_docs, sum_dl),
+        )
         with_ids.unpersist()
         _drop_new_persists(_rdds_before)
         return out
