@@ -557,22 +557,42 @@ def ivf_train(
     idx = np.linspace(0, len(q) - 1, num=min(k, len(q))).astype(int)
     c = q[idx].copy()
     qf = q.astype(np.float64)
+    # hoisted across iterations (r7: _sq_dists re-converted and
+    # re-normed the SAME q every round — the astype copies and
+    # ||q||^2 sums were most of the training time). The inlined
+    # expansion is the exact _sq_dists math: every product and
+    # partial sum is an integer < 2^53, so the distances — and the
+    # first-min tie rule — are bit-identical in any operation order.
+    qn = (qf * qf).sum(axis=1)[:, None]
     kk = len(c)
     for _ in range(iters):
-        a = _sq_dists(q, c).argmin(axis=1)
+        cf = c.astype(np.float64)
+        d = qn - 2.0 * (qf @ cf.T) + (cf * cf).sum(axis=1)[None, :]
+        # d's float64 entries ARE the exact integer distances, so
+        # argmin over them (first-min tie rule) equals argmin over
+        # the int64 cast — no per-iteration cast needed
+        a = d.argmin(axis=1)
         # vectorized centroid update (r7: the per-cluster boolean-mask
-        # loop was O(n*k) per iteration): per-cluster float64 sums via
-        # bincount are exact — every partial sum is an integer well
-        # under 2^53 — so sum/count/round reproduce members.mean()
-        # bit-for-bit and the trained centroids are unchanged
+        # loop was O(n*k) per iteration): per-cluster sums via ONE
+        # one-hot matmul are exact — every partial sum is an integer
+        # well under 2^53, so any accumulation order yields the same
+        # value — and sum/count/round reproduce members.mean()
+        # bit-for-bit, leaving the trained centroids unchanged
         counts = np.bincount(a, minlength=kk)
-        sums = np.stack(
-            [
-                np.bincount(a, weights=qf[:, d], minlength=kk)
-                for d in range(q.shape[1])
-            ],
-            axis=1,
-        )
+        if q.shape[1] >= 32:
+            # wide vectors: one BLAS matmul beats dim bincount calls
+            onehot = np.zeros((len(a), kk), dtype=np.float64)
+            onehot[np.arange(len(a)), a] = 1.0
+            sums = (qf.T @ onehot).T
+        else:
+            # narrow subspaces (PQ residuals): per-dim bincounts win
+            sums = np.stack(
+                [
+                    np.bincount(a, weights=qf[:, dd], minlength=kk)
+                    for dd in range(q.shape[1])
+                ],
+                axis=1,
+            )
         nonempty = counts > 0
         c[nonempty] = np.round(
             sums[nonempty] / counts[nonempty, None]
