@@ -144,7 +144,10 @@ def _batch_terms(tok_lists, seed: bytes, memo: dict):
         pa.binary(), n_items, [None, pa.py_buffer(koff), pa.py_buffer(keys_concat)]
     )
     st = pa.StructArray.from_arrays(
-        [keys_arr, pa.array(tf_s.astype(np.int32), type=pa.int32())],
+        # int64 -> int32 through pa.array: raises loudly on overflow
+        # (an astype would wrap silently; unreachable at sane doc
+        # sizes either way — tf saturates at 2^32-1)
+        [keys_arr, pa.array(tf_s, type=pa.int32())],
         names=["key", "tf"],
     )
     terms = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), st)
